@@ -1,13 +1,339 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Turn
+import graft.extract.Extractor
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.spark.Pipeline
+import graft.testgen.Synth
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator (SURVEY.md §2),
+  * with DuckDB oracle SQL wherever the semantics are exactly expressible in SQL.
+  *
+  * Float discipline for oracle-matched queries: sums go through DECIMAL so both
+  * engines compute exact values; raw doubles are only passed through or min/maxed
+  * (no arithmetic), keeping results bit-identical across engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents table → transcript turns (deterministic conv/turn mapping shared
+    * with the oracle SQL: conv_id = conv_%04d of doc_id%50, turn_idx = doc_id/50). */
+  private def docsAsTurns(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Turn] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(
+        format_string("conv_%04d", pmod(col("doc_id"), lit(50))).as("conv_id"),
+        floor(col("doc_id") / 50).cast("int").as("turn_idx"),
+        lit("user").as("role"),
+        col("text"),
+        lit("").as("tool"),
+        timestamp_seconds(lit(1735689600L) + col("doc_id")).as("ts"))
+      .as[Turn]
+      .map(tn => tn.copy(text = Synth.encodeHtml(tn.text)))
+  }
+
+  /** Flagship: the full extraction pipeline on sf0.001 transcripts. */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = docsAsTurns(spark, "/root/testdata/sf0.001")
+    Pipeline.extractTurns(turns).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ───────────── relational shell (Catalyst built-ins) ─────────────
+    "q01_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+    "q02_join_broadcast" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      val n = broadcast(t(s, dir, "nation"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    }),
+    "q03_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .select("event_id", "user_id", "rn", "prev_type")
+    }),
+    "q04_topn" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "q05_filter_pushdown" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_quantity") < 25)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"))),
+    "q06_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+    "q07_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").select("c_custkey", "c_name")
+    }),
+    "q08_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").select("c_custkey", "c_name")
+    }),
+    "q09_set_union" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()),
+
+    // ───────────── extraction engine (round-trip: encode → extract = identity) ─────────────
+    "q10_extract_html" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+        .map { case (id, txt) => (id, Extractor.extract(Synth.encodeHtml(txt)).text) }
+        .toDF("doc_id", "extracted_text")
+    }),
+    "q11_extract_svg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+        .map { case (id, txt) =>
+          (id, Extractor.extract(Synth.encodeSvg(txt)).text.replace('\n', ' '))
+        }
+        .toDF("doc_id", "extracted_text")
+    }),
+    "q12_extract_pdf" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+        .map { case (id, txt) =>
+          (id, Extractor.extract(Synth.encodePdf(txt)).text.replace('\n', ' '))
+        }
+        .toDF("doc_id", "extracted_text")
+    }),
+    "q13_pipeline_e2e" -> ((s, dir) =>
+      Pipeline.extractTurns(docsAsTurns(s, dir))
+        .select("conv_id", "turn_idx", "extracted_text")),
+    "q14_spans" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, txt) =>
+          Extractor.extract(Synth.encodeHtml(txt)).spans
+            .map(sp => (id, sp.start.toLong, sp.end.toLong, sp.label))
+        }
+        .toDF("doc_id", "span_start", "span_end", "label")
+    }),
+    "q15_ordering" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      Pipeline.extractTurns(docsAsTurns(s, dir))
+        .select("conv_id", "turn_idx")
+        .withColumn("rn", row_number().over(w).cast("long"))
+    }),
+
+    // ───────────── dedup suite ─────────────
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text", verifyBytes = true)),
+    "q21_dedup_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = docs.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), " [^ ]*$", "").as("text"))
+      Dedup.minhashNearDups(docs.union(mutated), "doc_id", "text", threshold = 0.8)
+        .select("a", "b").orderBy("a", "b")
+    }),
+    "q22_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = docs.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), " [^ ]*$", "").as("text"))
+      Dedup.simhashNearDups(docs.union(mutated), "doc_id", "text", maxHamming = 3)
+        .select("a", "b").orderBy("a", "b")
+    }),
+
+    // ───────────── similarity search ─────────────
+    "q30_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+    "q31_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5, bits = 6)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
+    // ───────────── text analysis ─────────────
+    "q40_textstats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextStats.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        size(filter(split(lower(col("text")), " "),
+          w => w.isInCollection(Seq("the", "of", "and", "a", "to", "in", "is", "for", "on", "with"))))
+          .cast("long").as("n_stop"))),
+    "q41_quality" -> ((s, dir) => {
+      val txt = col("text")
+      val len = length(txt)
+      val nWords = TextStats.wsTokenCount(txt)
+      val nStop = size(filter(split(lower(txt), " "),
+        w => w.isInCollection(Seq("the", "of", "and", "a", "to", "in", "is", "for", "on", "with"))))
+      val punct = TextStats.punctCount(txt)
+      val lenScore = when(len.between(50, 10000), lit(4)).when(len.between(20, 50000), lit(2)).otherwise(lit(0))
+      val stopScore = when(nStop * 20 > nWords, lit(3)).otherwise(lit(0))
+      val punctScore = when(punct * 5 < len, lit(3)).otherwise(lit(0))
+      t(s, dir, "documents").select(
+        col("doc_id"), (lenScore + stopScore + punctScore).cast("long").as("quality_x10"))
+    }),
+    "q42_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))),
+    "q43_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fingerprint"),
+        TextStats.bpeishTokenCount(col("text")).as("bpeish_tokens"))),
+
+    // ───────────── event-stream analytics ─────────────
+    "q50_events_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
+    "q51_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, lit(1))
+            .otherwise(lit(0)))
+        .withColumn("session_id", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("event_id", "user_id", "session_id")
+    }),
+    "q52_events_minmax" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_value"), max(col("value")).as("max_value"))),
+
+    // ───────────── multimodal plumbing (stubbed codec; real Spark structure) ─────────────
+    "q60_multimodal" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, s"$dir/documents.parquet"))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_broadcast" ->
+      """SELECT n_name, count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q03_window" ->
+      """SELECT event_id, user_id,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        | lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |FROM events""".stripMargin,
+    "q04_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q05_filter_pushdown" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_quantity < 25
+        |GROUP BY l_returnflag""".stripMargin,
+    "q06_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    "q09_set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q10_extract_html" ->
+      "SELECT doc_id, text AS extracted_text FROM documents",
+    "q11_extract_svg" ->
+      "SELECT doc_id, text AS extracted_text FROM documents",
+    "q12_extract_pdf" ->
+      "SELECT doc_id, text AS extracted_text FROM documents",
+    "q13_pipeline_e2e" ->
+      """SELECT 'conv_' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') AS conv_id,
+        | CAST(doc_id // 50 AS INT) AS turn_idx, text AS extracted_text
+        |FROM documents""".stripMargin,
+    "q14_spans" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS span_start, length(text) AS span_end,
+        | 'html>body>div>p' AS label FROM documents""".stripMargin,
+    "q15_ordering" ->
+      """SELECT 'conv_' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') AS conv_id,
+        | CAST(doc_id // 50 AS INT) AS turn_idx,
+        | row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id // 50) AS rn
+        |FROM documents""".stripMargin,
+    "q20_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "q40_textstats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        | CASE WHEN length(text) = 0 THEN 0
+        |      ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS ws_tokens,
+        | len(list_filter(string_split(lower(text), ' '),
+        |   w -> list_contains(['the','of','and','a','to','in','is','for','on','with'], w))) AS n_stop
+        |FROM documents""".stripMargin,
+    "q41_quality" ->
+      """SELECT doc_id,
+        | CAST(((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 4
+        |       WHEN length(text) BETWEEN 20 AND 50000 THEN 2 ELSE 0 END)
+        | + (CASE WHEN 20 * len(list_filter(string_split(lower(text), ' '),
+        |       w -> list_contains(['the','of','and','a','to','in','is','for','on','with'], w)))
+        |      > (CASE WHEN length(text) = 0 THEN 0
+        |              ELSE length(text) - length(replace(text, ' ', '')) + 1 END)
+        |    THEN 3 ELSE 0 END)
+        | + (CASE WHEN 5 * (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) < length(text)
+        |    THEN 3 ELSE 0 END)) AS BIGINT) AS quality_x10
+        |FROM documents""".stripMargin,
+    "q50_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    "q51_sessionize" ->
+      """SELECT event_id, user_id,
+        | CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |   CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR date_diff('second', lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |        THEN 1 ELSE 0 END AS brk
+        |  FROM events) s""".stripMargin,
+    "q52_events_minmax" ->
+      """SELECT event_type, count(*) AS cnt, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q60_multimodal" ->
+      """SELECT doc_id AS media_id,
+        | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,60 @@
+package graft.eval
+
+/** Metrics-only font model (SURVEY.md §2.5 F2: widths + encodings; no font-program
+  * sanitization). Widths are in 1/1000 em, looked up per char — the same shape the
+  * reference's std-14 metrics fallback uses (pdf.combined.js:46811-46845, backed by
+  * the public Adobe AFM width tables).
+  */
+final case class GlyphM(fontChar: String, width: Double, isSpace: Boolean)
+
+final case class FontSpec(
+    family: String,
+    widths: Int => Double,
+    monospace: Boolean = false,
+    bold: Boolean = false,
+    italic: Boolean = false) {
+
+  /** string → glyphs; identity 1-byte encoding (charsToGlyphs,
+    * pdf.combined.js:36674-36719, simple-font path). */
+  def charsToGlyphs(s: String): Array[GlyphM] = {
+    val out = new Array[GlyphM](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      out(i) = GlyphM(c.toString, widths(c.toInt), c == ' ')
+      i += 1
+    }
+    out
+  }
+  def spaceWidth: Double = widths(' ')
+}
+
+object FontMetrics {
+  // Helvetica AFM widths for 0x20..0x7e (public Adobe core-14 metrics).
+  private val helvetica: Array[Double] = Array(
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
+    584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611, 778, 722, 278,
+    500, 667, 556, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 278, 278, 278, 469, 556, 333, 556, 556, 500, 556, 556,
+    278, 556, 556, 222, 222, 500, 222, 833, 556, 556, 556, 556, 333, 500,
+    278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584)
+
+  val Helvetica: FontSpec = FontSpec(
+    "Helvetica",
+    c => if (c >= 0x20 && c <= 0x7e) helvetica(c - 0x20) else 556.0)
+
+  val Courier: FontSpec =
+    FontSpec("Courier", _ => 600.0, monospace = true)
+
+  /** Resolve a `/Fn` resource name. Bare content-stream fragments carry no
+    * resource dict; convention: names containing "C"/"Mono" → Courier, else
+    * Helvetica metrics, loadedName = `g_font_<name>` (matching the reference's
+    * loadedName scheme, e.g. `g_font_2`). */
+  def resolve(name: String, resources: Map[String, FontSpec] = Map.empty): FontSpec =
+    resources.getOrElse(
+      name, {
+        val base = if (name.contains("Mono") || name.startsWith("C")) Courier else Helvetica
+        base.copy(family = s"g_font_$name")
+      })
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the 100 TB training-data pipeline.
+  *
+  * All are declarative DataFrame plans (Catalyst-optimized, codegen'd built-ins —
+  * no UDF in the candidate-generation hot path except the documented signature
+  * steps), with shuffle structure chosen for scale:
+  *
+  *  - exact: one hash-shuffle on the content hash (map-side partial agg first);
+  *  - MinHash+LSH: shingle→minhash→band — the only shuffle is the band-bucket
+  *    self-join, whose fan-out is bounded by bucket size, not corpus size;
+  *  - SimHash: 64-bit fingerprints; near-dup candidates via block-permutation
+  *    (4×16-bit keys) so candidates shuffle on short keys;
+  *  - n-gram Jaccard verification over candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedupe: survivors = min id per normalized-content group. Map-side
+    * combine makes this one cheap shuffle at any scale; dedupe on xxhash64 of
+    * the text keeps shuffle rows narrow (hash collisions: verify on tie if
+    * byte-exactness is required — flag below). */
+  def exact(df: DataFrame, idCol: String, textCol: String, verifyBytes: Boolean = false): DataFrame =
+    if (verifyBytes)
+      df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)).select(idCol, textCol)
+    else
+      df.withColumn("__h", xxhash64(col(textCol)))
+        .groupBy(col("__h"))
+        .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+        .select(idCol, textCol)
+
+  /** Word k-shingles as an array column (codegen'd split + transform). */
+  def shingles(textCol: Column, k: Int): Column = {
+    val words = split(textCol, " ")
+    val n = size(words)
+    // positions 0 .. n-k; each shingle = words[i..i+k-1] joined
+    filter(
+      transform(sequence(lit(0), greatest(n - k, lit(0))),
+        i => when(i <= n - k, array_join(slice(words, i + 1, lit(k)), " "))),
+      x => x.isNotNull)
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions take the
+    * min over shingle hashes. Expressed with aggregate() over the shingle array —
+    * stays inside whole-stage codegen, no UDF, no explode shuffle. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    val sigs = (0 until numHashes).map { i =>
+      aggregate(
+        shinglesCol,
+        lit(Long.MaxValue),
+        (acc, s) => least(acc, pmod(xxhash64(s, lit(i)), lit(Long.MaxValue))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH banding: signature → `bands` bucket keys (hash of each band's rows).
+    * Near-dup candidate pairs = ids sharing any bucket. */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = df
+      .select(col(idCol), minhashSignature(shingles(col(textCol), shingleK), numHashes).as("__sig"))
+    val withBuckets = withSig.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(concat_ws(",",
+            (0 until rows).map(r => col("__sig")(b * rows + r)): _*), lit(b))): _*))
+        .as(Seq("__band", "__bucket")))
+    val left = withBuckets.select(col(idCol).as("a"), col("__band"), col("__bucket"))
+    val right = withBuckets.select(col(idCol).as("b"), col("__band"), col("__bucket"))
+    left.join(right, Seq("__band", "__bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Verified near-dups: candidates filtered by exact n-gram Jaccard ≥ threshold.
+    * The verification join is narrow (candidate pairs ≪ corpus²). */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
+    val sh = df.select(col(idCol), array_distinct(shingles(col(textCol), shingleK)).as("__sh"))
+    cands
+      .join(sh.select(col(idCol).as("a"), col("__sh").as("__sha")), "a")
+      .join(sh.select(col(idCol).as("b"), col("__sh").as("__shb")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash: 64-bit fingerprint — sign of the per-bit weighted sum of token
+    * hashes. Pure column expressions: explode-free via aggregate over the token
+    * array; one long per row out. */
+  def simhash(textCol: Column): Column = {
+    val tokens = split(textCol, " ")
+    // For each bit: count tokens with that bit set minus tokens with it unset;
+    // fingerprint bit = 1 when the sum is positive.
+    val bitCols = (0 until 64).map { bit =>
+      val votes = aggregate(
+        tokens, lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), bit).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b)).as("simhash")
+  }
+
+  /** Hamming-near SimHash pairs: block-permutation candidate generation — split
+    * the 64-bit fingerprint in 4 blocks of 16; any pair within Hamming distance
+    * ≤3 shares at least one exact block (pigeonhole). Shuffles on 16-bit keys. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val withFp = df.select(col(idCol), simhash(col(textCol)))
+    val blocks = withFp.select(
+      col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("__blk", "__key")))
+    val l = blocks.select(col(idCol).as("a"), col("simhash").as("__fa"), col("__blk"), col("__key"))
+    val r = blocks.select(col(idCol).as("b"), col("simhash").as("__fb"), col("__blk"), col("__key"))
+    l.join(r, Seq("__blk", "__key"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("__fa").bitwiseXOR(col("__fb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming").distinct()
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns with
+  * typed metadata. The Spark-side structure — schema, size-aware partitioning,
+  * batched per-partition processing — is real and tested; the actual media codec
+  * is STUBBED with a deterministic fake (this container ships no image/audio
+  * libraries), clearly marked below. Swap `decodeStub` for a real decoder (JNI
+  * or Pandas-UDF `mapInPandas` on a Python cluster) without touching the plan.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, media: Array[Byte],
+      width: Int, height: Int, duration_ms: Long)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      features: Array[Float])
+
+  /** Deterministic fake "decode + feature-extract": 8 floats from a rolling hash
+    * of the bytes. === STUB === replace with a real codec; the signature (bytes →
+    * fixed-length feature vector) and the batching around it are the contract. */
+  def decodeStub(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
+    val out = new Array[Float](dims)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = 31 * h + bytes(i)
+      out(i % dims) += ((h >>> 32).toInt % 1000) / 1000.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Media table → feature table. Structure for scale:
+    *  - repartitionByRange on byte size so one task never gets all the 4K videos
+    *    while another gets thumbnails (size skew is the dominant skew axis for
+    *    media corpora);
+    *  - mapPartitions processes rows in order, amortizing any per-batch decoder
+    *    init (a real codec holds native context per partition, not per row).
+    */
+  def extractFeatures(ds: Dataset[MediaRow], dims: Int = 8): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.withColumn("__sz", length(col("media")))
+      .repartitionByRange(col("__sz"), col("media_id"))
+      .drop("__sz")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (native context, model load)
+        it.map(r => MediaFeatures(r.media_id, r.kind, r.media.length.toLong,
+          decodeStub(r.media, dims)))
+      }
+  }
+
+  /** Deterministic synthetic media table (documents' text bytes as stand-in
+    * payloads) — exercises binary-column IO, partitioning, and batch shape. */
+  def syntheticMedia(spark: SparkSession, documentsPath: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(documentsPath)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("media"),
+        (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("height"),
+        (pmod(col("doc_id"), lit(1000)) * 40).as("duration_ms"))
+      .as[MediaRow]
+  }
+}

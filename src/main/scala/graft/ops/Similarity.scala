@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set, one
+  * pipelined pass over the corpus, per-query top-k via window rank. All vector
+  * math is `zip_with`/`aggregate` column expressions (whole-stage codegen; no
+  * UDF, no explode).
+  *
+  * Scale path: random-hyperplane LSH bucketing — queries probe only their own
+  * bucket (and optionally neighboring buckets), so the corpus scan becomes a
+  * bucket-pruned join on a short signature key. At 100 TB the corpus side is
+  * bucketed/partitioned by signature at write time, so probes touch only
+  * matching files (partition pruning), not the full table.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision, deterministic left-to-right order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * Output: (qid, nid, sim) with rank ≤ k per qid; ties broken by nid for
+    * determinism. Queries are broadcast — the corpus never shuffles. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
+    val scored = c.join(q, col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** Random-hyperplane signature: `bits` deterministic pseudo-hyperplanes; bit i
+    * = sign of dot(v, h_i). Hyperplane components are derived from xxhash64 of
+    * (dimension index, plane index) — seed-stable across executors with no
+    * broadcast of plane matrices needed. */
+  def lshSignature(vecCol: Column, bits: Int): Column = {
+    val sigBits = (0 until bits).map { p =>
+      // h_i[d] in {-1, +1} from parity of hash(d, p)
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (v, d) => v.cast("double") *
+            when(xxhash64(d, lit(p)).bitwiseAND(lit(1L)) === 0L, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    sigBits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: candidates share the signature bucket; exact cosine rank
+    * within bucket. `bits` trades recall (fewer) vs. candidate count (more). */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+      lshSignature(col(vecCol), bits).as("__sig")))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"),
+      lshSignature(col(vecCol), bits).as("__sig"))
+    val scored = c.join(q, Seq("__sig"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold, LSH-
+    * bucketed so the self-join never goes quadratic in the corpus. */
+  def cosineNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8): DataFrame = {
+    val sigs = df.select(col(idCol), col(vecCol).as("__v"),
+      lshSignature(col(vecCol), bits).as("__sig"))
+    val l = sigs.select(col(idCol).as("a"), col("__v").as("__va"), col("__sig"))
+    val r = sigs.select(col(idCol).as("b"), col("__v").as("__vb"), col("__sig"))
+    l.join(r, Seq("__sig"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .filter(col("sim") >= threshold)
+      .select("a", "b", "sim")
+  }
+}

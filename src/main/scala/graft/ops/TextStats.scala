@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting. All are
+  * built-in column expressions (codegen'd); semantics chosen to be exactly
+  * reproducible in ANSI SQL so the DuckDB oracle can verify them.
+  */
+object TextStats {
+
+  /** Whitespace token count — `length - length(remove spaces) + 1` (string-exact
+    * and oracle-reproducible, unlike regex splits across engines). */
+  def wsTokenCount(textCol: Column): Column =
+    when(length(textCol) === 0, lit(0))
+      .otherwise(length(textCol) - length(regexp_replace(textCol, " ", "")) + 1)
+
+  /** BPE-ish token estimate: words + punctuation marks counted separately, long
+    * words surcharged ~1 token per 4 chars beyond 4 (the usual subword scaling). */
+  def bpeishTokenCount(textCol: Column): Column = {
+    val words = filter(split(textCol, "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
+    val punct = length(regexp_replace(textCol, "[\\p{L}\\p{N}\\s]", ""))
+    val wordTokens = aggregate(words, lit(0L),
+      (acc, w) => acc + lit(1L) + greatest(lit(0L), ((length(w) - 1) / 4).cast("long")))
+    (wordTokens + punct).as("bpeish_tokens")
+  }
+
+  def punctCount(textCol: Column): Column =
+    length(textCol) - length(regexp_replace(textCol, "[\\p{Punct}]", ""))
+
+  def upperRatio(textCol: Column): Column = {
+    val letters = length(regexp_replace(textCol, "[^a-zA-Z]", ""))
+    val uppers = length(regexp_replace(textCol, "[^A-Z]", ""))
+    when(letters === 0, lit(0.0)).otherwise(uppers.cast("double") / letters)
+  }
+
+  private val stopwords = Seq("the", "of", "and", "a", "to", "in", "is", "for",
+    "on", "with", "as", "by", "at", "from", "or", "an", "be", "this", "that", "it")
+
+  def stopwordRatio(textCol: Column): Column = {
+    val words = split(lower(textCol), " ")
+    val stops = size(filter(words, w => w.isInCollection(stopwords)))
+    when(size(words) === 0, lit(0.0)).otherwise(stops.cast("double") / size(words))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence + low
+    * punctuation noise (heuristics from public web-corpus filtering pipelines —
+    * C4/Gopher-style rules). */
+  def qualityScore(textCol: Column): Column = {
+    val len = length(textCol)
+    val lenScore = when(len.between(50, 10000), lit(0.4))
+      .when(len.between(20, 50000), lit(0.2)).otherwise(lit(0.0))
+    val stopScore = when(stopwordRatio(textCol) > 0.05, lit(0.3)).otherwise(lit(0.0))
+    val punctRatio = punctCount(textCol).cast("double") / greatest(len, lit(1))
+    val punctScore = when(punctRatio < 0.2, lit(0.3)).otherwise(lit(0.0))
+    (lenScore + stopScore + punctScore).as("quality")
+  }
+
+  /** Language-ID heuristic: score per language = fraction of that language's
+    * top-stopword set present in the text; argmax wins, "und" when no evidence.
+    * N-gram-profile LID in the closed-vocabulary spirit of public n-gram LID
+    * (Cavnar-Trenkle); deterministic and cheap — one pass per language profile. */
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich", "auf"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "del", "las", "por", "con", "una", "para", "es"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  def langId(textCol: Column): Column = {
+    val words = split(lower(textCol), "[^\\p{L}]+")
+    val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
+      struct(
+        size(filter(words, w => w.isInCollection(profile))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprints over a sliding char window
+    * (Karp-Rabin winnowing): the minimum window hash per document — a compact
+    * near-dup/document-identity signature computable in one codegen'd pass. */
+  def fingerprint(textCol: Column, window: Int = 16): Column = {
+    val n = length(textCol)
+    val positions = sequence(lit(1), greatest(n - window + 1, lit(1)))
+    aggregate(
+      positions, lit(Long.MaxValue),
+      (acc, i) => least(acc, xxhash64(textCol.substr(i, lit(window)))))
+  }
+}

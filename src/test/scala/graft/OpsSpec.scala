@@ -1,0 +1,118 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // near dup of 0
+      (3L, "completely different content about spark catalyst optimizer internals and codegen"),
+      (4L, "der hund läuft über die straße und das ist nicht gut für ihn"),
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per content group") {
+    val out = Dedup.exact(docs, "doc_id", "text", verifyBytes = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds near-dups, skips unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always found
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
+  }
+
+  test("simhash hamming-near pairs") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical text → identical fingerprint
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  private def vectors: DataFrame = {
+    import spark.implicits._
+    // deterministic unit-ish vectors: id 0/1 nearly parallel, id 9 orthogonal-ish
+    (0L until 10L).map { i =>
+      val v = Array.tabulate(8)(d =>
+        (math.sin(i * 0.1 + d) + (if (i < 2) 2.0 else 0.0)).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k matches in-memory computation") {
+    val rows = vectors.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val expected = rows.filter(_._1 < 3).flatMap { case (qid, qv) =>
+      rows.filter(_._1 != qid).map { case (nid, nv) => (qid, nid, cos(qv, nv)) }
+        .sortBy { case (_, nid, sim) => (-sim, nid) }.take(3)
+        .zipWithIndex.map { case ((q, nb, _), r) => (q, nb, r + 1) }
+    }.toSet
+    val got = Similarity.bruteForceTopK(
+      vectors.filter(col("vec_id") < 3), vectors, "vec_id", "embedding", k = 3)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
+  test("lsh ANN: same-signature buckets contain the parallel pair") {
+    val out = Similarity.lshTopK(
+      vectors.filter(col("vec_id") === 0), vectors, "vec_id", "embedding", k = 3, bits = 4)
+      .select("nid").collect().map(_.getLong(0)).toSet
+    assert(out.contains(1L)) // nearly-parallel vector lands in the same bucket
+  }
+
+  test("cosine near-dup pairs above threshold") {
+    val pairs = Similarity.cosineNearDups(vectors, "vec_id", "embedding", threshold = 0.999, bits = 4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("text stats: token counts, quality, langid, fingerprint") {
+    val out = docs.select(
+      col("doc_id"),
+      TextStats.wsTokenCount(col("text")).as("ws"),
+      TextStats.bpeishTokenCount(col("text")).as("bpe"),
+      TextStats.langId(col("text")).as("lang"),
+      TextStats.fingerprint(col("text")).as("fp"),
+      TextStats.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Int]("ws") == 14)
+    assert(out(5L).getAs[Int]("ws") == 2)
+    assert(out(0L).getAs[String]("lang") == "en")
+    assert(out(4L).getAs[String]("lang") == "de")
+    assert(out(0L).getAs[Long]("fp") == out(1L).getAs[Long]("fp")) // identical text
+    assert(out(0L).getAs[Double]("q") >= 0.7) // long, stopword-rich, low punct
+  }
+
+  test("multimodal plumbing: deterministic stub features, size-ranged partitions") {
+    import spark.implicits._
+    val media = docs.select(
+      col("doc_id").as("media_id"), lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit(16).as("width"), lit(16).as("height"), lit(0L).as("duration_ms"))
+      .as[Multimodal.MediaRow]
+    val f1 = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(f1 == f2) // deterministic
+    assert(f1(0L) == f1(1L)) // same bytes → same features
+    assert(f1(0L) != f1(3L))
+    assert(f1.values.forall(_.length == 8))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.core.NumFmt
+import graft.eval.OpTable
+import graft.extract.Extractor
+import graft.lex.{ContentLexer, Tok}
+import graft.svg.{GlyphRunParser, SvgEmitter}
+import graft.testgen.Synth
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+
+class PropertySpec extends AnyFunSuite {
+
+  /** Run a scalacheck property and fail the ScalaTest test on falsification
+    * (no scalatestplus bridge in the offline cache — drive scalacheck directly). */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
+  private val sentence: Gen[String] =
+    Gen.nonEmptyListOf(word).map(_.mkString(" "))
+
+  test("pf is stable: parse(pf(x)) rounds back within 5e-11") {
+    check(Prop.forAll(Gen.chooseNum(-1e6, 1e6)) { (x: Double) =>
+      val s = NumFmt.pf(x)
+      // toFixed(10) rounding error (≤5e-11) plus re-parse rounding (≤1 ulp)
+      math.abs(java.lang.Double.parseDouble(s) - x) <= 5.000001e-11 + Math.ulp(x)
+    })
+  }
+
+  test("pf of pf output is a fixed point") {
+    check(Prop.forAll(Gen.chooseNum(-1e6, 1e6)) { (x: Double) =>
+      val once = NumFmt.pf(x)
+      NumFmt.pf(java.lang.Double.parseDouble(once)) == once
+    })
+  }
+
+  test("lexer: PDF string escape round-trip") {
+    val anyText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('(', ')', '\\', ' ', '\n', '\t'))).map(_.mkString)
+    check(Prop.forAll(anyText) { (s: String) =>
+      val payload = "(" + Synth.escapePdfString(s) + ")"
+      val toks = new ContentLexer(
+        payload.getBytes(StandardCharsets.ISO_8859_1), OpTable.knownCommands).tokens()
+      toks == Vector(Tok.Str(s))
+    })
+  }
+
+  test("xml encode/decode round-trip for arbitrary strings") {
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.oneOf("\n", "\t", "&", "<", "\"", ">")) {
+      (s: String, special: String) =>
+        val text = s + special + s
+        GlyphRunParser.xmlDecode(SvgEmitter.xmlEncode(text)) == text
+    })
+  }
+
+  test("svg dialect round-trip: encode → extract = expected lines") {
+    check(Prop.forAll(sentence) { (text: String) =>
+      Extractor.extract(Synth.encodeSvg(text)).text == Synth.expectedLines(text)
+    })
+  }
+
+  test("html dialect round-trip is identity") {
+    check(Prop.forAll(sentence) { (text: String) =>
+      Extractor.extract(Synth.encodeHtml(text)).text == text
+    })
+  }
+
+  test("pdf dialect round-trip = expected lines") {
+    check(Prop.forAll(sentence) { (text: String) =>
+      Extractor.extract(Synth.encodePdf(text)).text == Synth.expectedLines(text)
+    })
+  }
+
+  test("extractor never throws on arbitrary input") {
+    check(Prop.forAll(Gen.asciiStr) { (junk: String) =>
+      Extractor.extract(junk) != null
+    })
+  }
+}
