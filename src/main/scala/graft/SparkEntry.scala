@@ -143,6 +143,15 @@ object SparkEntry {
     }),
 
     // ───────────── dedup suite ─────────────
+    "q16_sql_extract" -> ((s, dir) => {
+      graft.functions.TextHashes.register(s)
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+        .map { case (id, txt) => (id, Synth.encodeHtml(txt)) }
+        .toDF("doc_id", "payload")
+        .createOrReplaceTempView("payloads")
+      s.sql("SELECT doc_id, extract_text(payload) AS extracted_text FROM payloads")
+    }),
     "q20_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text", verifyBytes = true)),
     "q21_dedup_minhash" -> ((s, dir) => {
@@ -162,16 +171,43 @@ object SparkEntry {
         .select("a", "b").orderBy("a", "b")
     }),
 
+    "q23_ngram_jaccard" -> ((s, dir) => {
+      // exact word-3-gram Jaccard between each doc and its last-word-dropped twin
+      // (integer intersection/union sizes — oracle-reproducible, no float compare)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").as("a"), col("text").as("ta"),
+          regexp_replace(col("text"), " [^ ]*$", "").as("tb"))
+        .withColumn("sa", array_distinct(Dedup.shingles(col("ta"), 3)))
+        .withColumn("sb", array_distinct(Dedup.shingles(col("tb"), 3)))
+      d.select(
+        col("a"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb"))))
+          .cast("long").as("uni"))
+    }),
+
     // ───────────── similarity search ─────────────
     "q30_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
-        .select("qid", "nid", "rank").orderBy("qid", "rank")
+        .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
     }),
     "q31_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5, bits = 6)
         .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
+    "q32_cosine_neardup" -> ((s, dir) => {
+      // random embeddings have no near-dups; add scaled twins (cosine exactly 1)
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), v => v * lit(1.5f)).as("embedding"))
+      Similarity.cosineNearDups(emb.union(twins), "vec_id", "embedding",
+        threshold = 0.999, bits = 6)
+        .select("a", "b").orderBy("a", "b")
     }),
 
     // ───────────── text analysis ─────────────
@@ -292,8 +328,35 @@ object SparkEntry {
         | CAST(doc_id // 50 AS INT) AS turn_idx,
         | row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id // 50) AS rn
         |FROM documents""".stripMargin,
+    "q16_sql_extract" ->
+      "SELECT doc_id, text AS extracted_text FROM documents",
     "q20_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "q23_ngram_jaccard" ->
+      """WITH pairs AS (
+        |  SELECT doc_id AS a, text AS ta, regexp_replace(text, ' [^ ]*$', '') AS tb
+        |  FROM documents
+        |), sh AS (
+        |  SELECT a,
+        |    list_distinct(list_transform(range(1, len(string_split(ta,' ')) - 1),
+        |      i -> array_to_string(string_split(ta,' ')[i:i+2], ' '))) AS sa,
+        |    list_distinct(list_transform(range(1, len(string_split(tb,' ')) - 1),
+        |      i -> array_to_string(string_split(tb,' ')[i:i+2], ' '))) AS sb
+        |  FROM pairs)
+        |SELECT a, CAST(len(list_intersect(sa, sb)) AS BIGINT) AS inter,
+        |  CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS BIGINT) AS uni
+        |FROM sh""".stripMargin,
+    "q30_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |        list_dot_product(qv, cv) /
+        |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |      FROM q, c WHERE qid <> nid)
+        |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        |  FROM s) WHERE rnk <= 5""".stripMargin,
     "q40_textstats" ->
       """SELECT doc_id, length(text) AS n_chars,
         | CASE WHEN length(text) = 0 THEN 0

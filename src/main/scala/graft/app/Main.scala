@@ -1,0 +1,67 @@
+package graft.app
+
+import graft.spark.{Manifest, Pipeline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entrypoint for the production extraction job.
+  *
+  * Usage:
+  *   spark-submit --class graft.app.Main <jar> \
+  *     --input <transcript table path> --output <extracted table path> \
+  *     --manifest <manifest path> [--partitions N] [--mode full|resume]
+  *
+  * Resume semantics: input partitions are bucketed by conv_id prefix; completed
+  * buckets (manifest status=done for the same snapshot) are anti-joined away,
+  * so reruns only process pending data, and the output write is idempotent per
+  * (conv_id, turn_idx) — MERGE INTO in the Iceberg deployment, partition
+  * overwrite here.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val input = opts("--input")
+    val output = opts("--output")
+    val manifestPath = opts.getOrElse("--manifest", s"$output.manifest")
+    val mode = opts.getOrElse("--mode", "full")
+    val partitions = opts.get("--partitions").map(_.toInt)
+
+    val spark = SparkSession.builder()
+      .appName("graft-extract")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    val snapshotId = opts.getOrElse("--snapshot", "latest")
+    val buckets = 64
+
+    val turnsAll = Pipeline.readTurns(spark, input)
+      .withColumn("__bucket", pmod(xxhash64(col("conv_id")), lit(buckets)).cast("string"))
+
+    val pendingBuckets: Set[String] =
+      if (mode == "resume") {
+        val done = Manifest.read(spark, manifestPath)
+          .filter(col("status") === "done" && col("snapshot_id") === snapshotId)
+          .select("part").collect().map(_.getString(0)).toSet
+        (0 until buckets).map(_.toString).toSet -- done
+      } else (0 until buckets).map(_.toString).toSet
+
+    import spark.implicits._
+    pendingBuckets.toSeq.sorted.foreach { bucket =>
+      val turns = turnsAll.filter(col("__bucket") === bucket)
+        .drop("__bucket").as[graft.core.Turn]
+      val extracted = Pipeline.extractTurns(turns, partitions)
+      extracted.write.mode("overwrite")
+        .parquet(s"$output/bucket=$bucket") // Iceberg: MERGE INTO keyed (conv_id, turn_idx)
+      val m = Pipeline.metrics(extracted).collect()(0)
+      Manifest.append(
+        Seq((bucket, snapshotId, m.getAs[Long]("turns"), m.getAs[Long]("chars"),
+          "done", new java.sql.Timestamp(System.currentTimeMillis())))
+          .toDF("part", "snapshot_id", "rows", "chars", "status", "run_ts"),
+        manifestPath)
+    }
+    spark.stop()
+  }
+}

@@ -33,20 +33,23 @@ object Extractor {
   }
 
   def sniff(payload: String): Dialect = {
-    val t = payload.dropWhile(_.isWhitespace)
-    if (t.startsWith("<svg:svg") || t.startsWith("<svg ") || t.contains("<svg:tspan")) Dialect.Svg
-    else if (t.startsWith("<!") || t.startsWith("<html") || t.startsWith("<HTML") ||
-             (t.startsWith("<") && t.length > 1 && (t.charAt(1).isLetter))) Dialect.Html
-    else if (t.startsWith("BT") || t.startsWith("q ") || t.startsWith("/") ||
-             hasContentStreamShape(t)) Dialect.Pdf
+    // allocation-free: scan past leading whitespace, then prefix-match in place
+    var i = 0
+    val n = payload.length
+    while (i < n && Character.isWhitespace(payload.charAt(i))) i += 1
+    def at(prefix: String): Boolean = payload.startsWith(prefix, i)
+    if (at("<svg:svg") || at("<svg ") || payload.indexOf("<svg:tspan", i) >= 0) Dialect.Svg
+    else if (at("<!") || at("<html") || at("<HTML") ||
+             (i + 1 < n && payload.charAt(i) == '<' && payload.charAt(i + 1).isLetter)) Dialect.Html
+    else if (at("BT") || at("q ") || at("/") || hasContentStreamShape(payload, i)) Dialect.Pdf
     else Dialect.Plain
   }
 
   /** Content-stream shape: a BT…ET block with at least one text-showing op. */
-  private def hasContentStreamShape(t: String): Boolean = {
-    val bt = t.indexOf("BT")
+  private def hasContentStreamShape(t: String, from: Int): Boolean = {
+    val bt = t.indexOf("BT", from)
     bt >= 0 && t.indexOf("ET", bt) > bt &&
-      (t.contains("Tj") || t.contains("TJ") || t.contains("Tf"))
+      (t.indexOf("Tj", from) >= 0 || t.indexOf("TJ", from) >= 0 || t.indexOf("Tf", from) >= 0)
   }
 
   def extract(payload: String): Result =

@@ -1,0 +1,231 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-sketch kernels as native Catalyst expressions.
+  *
+  * The declarative formulation (64 `aggregate()` lambdas, each re-hashing every
+  * shingle) produced megabyte codegen and O(64·shingles) string hashing per row.
+  * These expressions do one pass over the token stream per row: hash each
+  * shingle once, then derive the k MinHash slots (or 64 SimHash bit votes) with
+  * long arithmetic. Preference order per the engine's design rules: compose
+  * built-ins < native Expression < UDF — this is the middle tier, with codegen
+  * delegating to a static kernel (no virtual calls in the loop).
+  */
+object TextSketch {
+
+  /** 64-bit avalanche mix (splitmix64 finalizer — public domain constant set). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Rolling hash of word k-shingles; calls `onShingle` once per shingle. */
+  private[functions] def foreachShingleHash(text: UTF8String, k: Int)(onShingle: Long => Unit): Unit = {
+    val s = text.toString
+    val n = s.length
+    // word start offsets
+    var wordCount = 0
+    var i = 0
+    val starts = new java.util.ArrayList[Integer]()
+    var inWord = false
+    while (i <= n) {
+      val isSpace = i == n || s.charAt(i) == ' '
+      if (!isSpace && !inWord) { starts.add(i); inWord = true; wordCount += 1 }
+      if (isSpace) inWord = false
+      i += 1
+    }
+    if (wordCount < k) {
+      if (wordCount > 0) { // short doc: single shingle of everything
+        var h = 1125899906842597L
+        var j = 0
+        while (j < n) { h = 31 * h + s.charAt(j); j += 1 }
+        onShingle(mix64(h))
+      }
+      return
+    }
+    // per-word hashes, then combine k consecutive
+    val wordHashes = new Array[Long](wordCount)
+    var w = 0
+    while (w < wordCount) {
+      val from = starts.get(w)
+      var to = from
+      while (to < n && s.charAt(to) != ' ') to += 1
+      var h = 1125899906842597L
+      var j = from
+      while (j < to) { h = 31 * h + s.charAt(j); j += 1 }
+      wordHashes(w) = mix64(h)
+      w += 1
+    }
+    var p = 0
+    while (p + k <= wordCount) {
+      var h = 0L
+      var q = 0
+      while (q < k) { h = h * 0x100000001b3L + wordHashes(p + q); q += 1 }
+      onShingle(mix64(h))
+      p += 1
+    }
+  }
+
+  /** MinHash signature: k-shingle the words, hash each shingle once, derive
+    * `numHashes` universal-hash variants (odd multiplier + offset per slot). */
+  def minhash(text: UTF8String, shingleK: Int, numHashes: Int): Array[Long] = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    foreachShingleHash(text, shingleK) { h =>
+      var i = 0
+      while (i < numHashes) {
+        // per-slot universal hash: odd multiplier and offset derived from slot id
+        val v = mix64(h + i * 0xc2b2ae3d27d4eb4fL)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over whitespace tokens (1-shingles). */
+  def simhash(text: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    foreachShingleHash(text, 1) { h =>
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** Winnowing fingerprint: min rolling hash over char windows. */
+  def fingerprint(text: UTF8String, window: Int): Long = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return 0L
+    if (n <= window) {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < n) { h = 31 * h + s.charAt(i); i += 1 }
+      return mix64(h)
+    }
+    // polynomial rolling hash with precomputed 31^(window-1)
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow *= 31; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = 31 * h + s.charAt(i); i += 1 }
+    var min = mix64(h)
+    i = window
+    while (i < n) {
+      h = 31 * (h - s.charAt(i - window) * pow) + s.charAt(i)
+      val m = mix64(h)
+      if (m < min) min = m
+      i += 1
+    }
+    min
+  }
+}
+
+object TextSketchMore {
+  /** Sorted distinct shingle hashes — the exact-Jaccard operand. Joining on
+    * array<long> instead of array<string> keeps the verification shuffle narrow. */
+  def shingleHashes(text: UTF8String, k: Int): Array[Long] = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    TextSketch.foreachShingleHash(text, k)(h => { set.add(h); () })
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+}
+
+case class ShingleHashes(child: Expression, shingleK: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextSketchMore.shingleHashes(input.asInstanceOf[UTF8String], shingleK))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextSketchMore.shingleHashes($c, $shingleK))")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextSketch.minhash(input.asInstanceOf[UTF8String], shingleK, numHashes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextSketch.minhash($c, $shingleK, $numHashes))")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+case class WinnowFingerprint(child: Expression, window: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.fingerprint(input.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.fingerprint($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprint"
+}
+
+/** Column wrappers + SQL registration. */
+object TextHashes {
+  import org.apache.spark.sql.GraftBridge.{toColumn => column, toExpression => expression}
+
+  def minhash_signature(c: Column, shingleK: Int = 3, numHashes: Int = 64): Column =
+    column(MinHashSignature(expression(c), shingleK, numHashes))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def winnow_fingerprint(c: Column, window: Int = 16): Column =
+    column(WinnowFingerprint(expression(c), window))
+  def shingle_hashes(c: Column, shingleK: Int = 3): Column =
+    column(ShingleHashes(expression(c), shingleK))
+
+  /** Register as SQL functions: minhash_signature(text), simhash64(text), … */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSignature(es.head, 3, 64), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      es => WinnowFingerprint(es.head, 16), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(es.head, 3), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_text", es => ExtractText(es.head), "scala_udf")
+  }
+}

@@ -82,11 +82,6 @@ object TextStats {
   /** 64-bit polynomial rolling-hash fingerprints over a sliding char window
     * (Karp-Rabin winnowing): the minimum window hash per document — a compact
     * near-dup/document-identity signature computable in one codegen'd pass. */
-  def fingerprint(textCol: Column, window: Int = 16): Column = {
-    val n = length(textCol)
-    val positions = sequence(lit(1), greatest(n - window + 1, lit(1)))
-    aggregate(
-      positions, lit(Long.MaxValue),
-      (acc, i) => least(acc, xxhash64(textCol.substr(i, lit(window)))))
-  }
+  def fingerprint(textCol: Column, window: Int = 16): Column =
+    graft.functions.TextHashes.winnow_fingerprint(textCol, window)
 }

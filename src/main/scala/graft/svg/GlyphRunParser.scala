@@ -18,38 +18,60 @@ object GlyphRunParser {
 
   final case class Parsed(runs: Vector[GlyphRun], errors: Int)
 
+  /** Mutable per-element attribute holder — one per parse() call, reset per tag
+    * (the parser is the hottest allocation site at 32 threads; no Map per tspan). */
+  private final class Attrs {
+    var x: String = null
+    var y: String = null
+    var fontFamily: String = null
+    var fontSize: String = null
+    var fontStyle: String = null
+    var fontWeight: String = null
+    var fill: String = null
+    var transform: String = null
+    def reset(): Unit = {
+      x = null; y = null; fontFamily = null; fontSize = null
+      fontStyle = null; fontWeight = null; fill = null; transform = null
+    }
+  }
+
   def parse(svg: String): Parsed = {
     val runs = Vector.newBuilder[GlyphRun]
     var errors = 0
     var i = 0
     var textMatrix: Array[Double] = NumFmt.Identity
     val n = svg.length
+    val attrs = new Attrs
 
     while (i < n) {
       val lt = svg.indexOf('<', i)
       if (lt < 0) { i = n }
       else if (svg.startsWith("<svg:text", lt)) {
-        val (attrs, end) = parseAttrs(svg, lt + 9)
-        textMatrix = attrs.get("transform").map(parseTransform).getOrElse(NumFmt.Identity)
+        attrs.reset()
+        val end = parseAttrsInto(svg, lt + 9, attrs)
+        textMatrix =
+          if (attrs.transform != null) parseTransform(attrs.transform) else NumFmt.Identity
         i = end
       } else if (svg.startsWith("<svg:tspan", lt)) {
-        val (attrs, tagEnd) = parseAttrs(svg, lt + 10)
+        attrs.reset()
+        val tagEnd = parseAttrsInto(svg, lt + 10, attrs)
         val close = svg.indexOf("</svg:tspan>", tagEnd)
         if (close < 0) { errors += 1; i = n }
         else {
-          val raw = svg.substring(tagEnd, close)
-          val text = xmlDecode(raw)
-          val xs = attrs.get("x").map(parseDoubles).getOrElse(Array.empty[Double])
-          val y = attrs.get("y").flatMap(parseDouble).getOrElse(0.0)
-          val size = attrs.get("font-size")
-            .map(s => s.stripSuffix("px")).flatMap(parseDouble).getOrElse(0.0)
+          val text = xmlDecode(svg.substring(tagEnd, close))
           if (text.nonEmpty) {
+            val xs = if (attrs.x != null) parseDoubles(attrs.x) else Array.empty[Double]
+            val y = if (attrs.y != null) parseDouble(attrs.y).getOrElse(0.0) else 0.0
+            val size =
+              if (attrs.fontSize != null)
+                parseDouble(attrs.fontSize.stripSuffix("px")).getOrElse(0.0)
+              else 0.0
             runs += GlyphRun(
               text, xs, y,
-              attrs.getOrElse("font-family", ""), size,
-              attrs.getOrElse("font-style", "normal"),
-              attrs.getOrElse("font-weight", "normal"),
-              attrs.getOrElse("fill", "rgb(0,0,0)"),
+              if (attrs.fontFamily != null) attrs.fontFamily else "", size,
+              if (attrs.fontStyle != null) attrs.fontStyle else "normal",
+              if (attrs.fontWeight != null) attrs.fontWeight else "normal",
+              if (attrs.fill != null) attrs.fill else "rgb(0,0,0)",
               textMatrix)
           }
           i = close + 12
@@ -63,22 +85,24 @@ object GlyphRunParser {
     Parsed(runs.result(), errors)
   }
 
-  /** Parse attributes from after the tag name to the closing '>'.
-    * Returns (attrs, index just past '>'). */
-  private def parseAttrs(s: String, from: Int): (Map[String, String], Int) = {
-    val attrs = Map.newBuilder[String, String]
+  /** Parse attributes from after the tag name to the closing '>', storing only
+    * the attributes extraction needs (in-place name matching, no Map).
+    * Returns the index just past '>'. */
+  private def parseAttrsInto(s: String, from: Int, out: Attrs): Int = {
     var i = from
     val n = s.length
     var done = false
     while (!done && i < n) {
       while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
-      if (i >= n || s.charAt(i) == '>' ) { done = true; if (i < n) i += 1 }
-      else if (s.charAt(i) == '/' ) { i += 1 } // self-closing
+      if (i >= n || s.charAt(i) == '>') { done = true; if (i < n) i += 1 }
+      else if (s.charAt(i) == '/') { i += 1 } // self-closing
       else {
         val eq = s.indexOf('=', i)
         if (eq < 0) { done = true; i = n }
         else {
-          val name = s.substring(i, eq).trim
+          val nameStart = i
+          var nameEnd = eq
+          while (nameEnd > nameStart && Character.isWhitespace(s.charAt(nameEnd - 1))) nameEnd -= 1
           var j = eq + 1
           while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
           if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
@@ -86,14 +110,25 @@ object GlyphRunParser {
             val end = s.indexOf(q, j + 1)
             if (end < 0) { done = true; i = n }
             else {
-              attrs += name -> xmlDecode(s.substring(j + 1, end))
+              val len = nameEnd - nameStart
+              @inline def is(name: String): Boolean =
+                len == name.length && s.regionMatches(nameStart, name, 0, len)
+              @inline def value(): String = xmlDecode(s.substring(j + 1, end))
+              if (is("x")) out.x = value()
+              else if (is("y")) out.y = value()
+              else if (is("font-family")) out.fontFamily = value()
+              else if (is("font-size")) out.fontSize = value()
+              else if (is("font-style")) out.fontStyle = value()
+              else if (is("font-weight")) out.fontWeight = value()
+              else if (is("fill")) out.fill = value()
+              else if (is("transform")) out.transform = value()
               i = end + 1
             }
           } else { done = true; i = n }
         }
       }
     }
-    (attrs.result(), i)
+    i
   }
 
   /** Inverse of the reference's pm() short forms: "", scale(..), rotate(..),
@@ -135,19 +170,65 @@ object GlyphRunParser {
   private def parseDouble(s: String): Option[Double] =
     try Some(java.lang.Double.parseDouble(s.trim)) catch { case _: NumberFormatException => None }
 
+  /** Allocation-free parse of space-separated decimals (the hot path: one x per
+    * glyph). Handles sign/digits/fraction inline — the only shapes `pf` emits —
+    * and falls back to Double.parseDouble for anything exotic (exponents). */
   def parseDoubles(s: String): Array[Double] = {
-    val out = ArrayBuffer.empty[Double]
-    var i = 0
     val n = s.length
+    // count tokens for exact sizing
+    var count = 0
+    var i = 0
+    var inTok = false
     while (i < n) {
-      while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\n' || s.charAt(i) == '\t' || s.charAt(i) == '\r')) i += 1
-      var j = i
-      while (j < n && s.charAt(j) != ' ' && s.charAt(j) != '\n' && s.charAt(j) != '\t' && s.charAt(j) != '\r') j += 1
-      if (j > i) parseDouble(s.substring(i, j)).foreach(out += _)
-      i = j
+      val ws = s.charAt(i) <= ' '
+      if (!ws && !inTok) { count += 1; inTok = true }
+      if (ws) inTok = false
+      i += 1
     }
-    out.toArray
+    val out = new Array[Double](count)
+    var k = 0
+    i = 0
+    while (i < n && k < count) {
+      while (i < n && s.charAt(i) <= ' ') i += 1
+      val start = i
+      var neg = false
+      var c = if (i < n) s.charAt(i) else ' '
+      if (c == '-') { neg = true; i += 1 } else if (c == '+') i += 1
+      var intPart = 0L
+      var digits = 0
+      var simple = true
+      while (i < n && { c = s.charAt(i); c >= '0' && c <= '9' } && digits < 18) {
+        intPart = intPart * 10 + (c - '0'); i += 1; digits += 1
+      }
+      var value = intPart.toDouble
+      if (i < n && s.charAt(i) == '.') {
+        i += 1
+        var frac = 0L
+        var fracDigits = 0
+        while (i < n && { c = s.charAt(i); c >= '0' && c <= '9' } && fracDigits < 18) {
+          frac = frac * 10 + (c - '0'); i += 1; fracDigits += 1
+        }
+        value += frac / Pow10(fracDigits)
+      }
+      // token must end here for the fast path; otherwise re-parse the slice
+      if (i < n && s.charAt(i) > ' ') simple = false
+      if (!simple || digits == 0) {
+        var j = i
+        while (j < n && s.charAt(j) > ' ') j += 1
+        parseDouble(s.substring(start, j)) match {
+          case Some(v) => out(k) = v; k += 1
+          case None => k += 1 // keep slot alignment; value 0.0
+        }
+        i = j
+      } else {
+        out(k) = if (neg) -value else value
+        k += 1
+      }
+    }
+    if (k == count) out else java.util.Arrays.copyOf(out, k)
   }
+
+  private val Pow10: Array[Double] = Array.tabulate(19)(e => math.pow(10, e))
 
   /** Decode the xmlEncode set plus tolerated extras (&gt; &apos; &#NN; &#xNN;). */
   def xmlDecode(s: String): String = {

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality assertions: the 100 TB story depends on the physical plans, not
+  * just results. These pin the properties that must survive refactors:
+  * predicate/column pushdown to the parquet scan, broadcast joins for small
+  * dims, map-side partial aggregation, and a single exchange in the extraction
+  * pipeline.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q05: filters and projection pushed to the parquet scan") {
+    val p = plan("q05_filter_pushdown")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+    // pruned read schema: only the three referenced columns
+    assert(p.contains("l_returnflag") && !p.contains("l_extendedprice"), p)
+  }
+
+  test("q02: dimension joins are broadcast, aggregation is partial+final") {
+    val p = plan("q02_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q01: whole-stage codegen covers scan→partial agg") {
+    // AQE finalizes the plan at execution; run the query, then inspect
+    val df = SparkEntry.queries("q01_agg")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the plan printer marks whole-stage-codegen spans with "*(n)" prefixes
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+  }
+
+  test("extraction pipeline: exactly one exchange (the range repartition)") {
+    import spark.implicits._
+    val turns = spark.createDataset(Seq(
+      graft.core.Turn("c1", 0, "user", "plain", "", new java.sql.Timestamp(0))))
+    val p = graft.spark.Pipeline.extractTurns(turns).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("MapPartitions"), p)
+  }
+
+  test("q30 ANN: query side broadcast — corpus never shuffles for the join") {
+    val p = plan("q30_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q20 exact dedup: single shuffle with partial aggregation below it") {
+    val p = plan("q20_dedup_exact")
+    val idx = p.indexOf("Exchange")
+    assert(idx > 0, p)
+    // a HashAggregate (partial) must appear below (after, in printed order) the exchange
+    assert(p.indexOf("HashAggregate", idx) > idx, p)
+  }
+}
