@@ -152,6 +152,10 @@ object SparkEntry {
         .createOrReplaceTempView("payloads")
       s.sql("SELECT doc_id, extract_text(payload) AS extracted_text FROM payloads")
     }),
+    "q17_conv_rollup" -> ((s, dir) =>
+      graft.spark.ConvRollup.salted(Pipeline.extractTurns(docsAsTurns(s, dir)))
+        .select(col("conv_id"), col("turns"), col("chars"),
+          col("max_turn_idx").cast("int").as("max_turn_idx"))),
     "q20_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text", verifyBytes = true)),
     "q21_dedup_minhash" -> ((s, dir) => {
@@ -171,6 +175,11 @@ object SparkEntry {
         .select("a", "b").orderBy("a", "b")
     }),
 
+    "q24_dedup_norm" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(lower(col("text")).as("norm"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "norm")),
     "q23_ngram_jaccard" -> ((s, dir) => {
       // exact word-3-gram Jaccard between each doc and its last-word-dropped twin
       // (integer intersection/union sizes — oracle-reproducible, no float compare)
@@ -332,6 +341,13 @@ object SparkEntry {
       "SELECT doc_id, text AS extracted_text FROM documents",
     "q20_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "q17_conv_rollup" ->
+      """SELECT 'conv_' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') AS conv_id,
+        | count(*) AS turns, CAST(sum(length(text)) AS BIGINT) AS chars,
+        | CAST(max(doc_id // 50) AS INT) AS max_turn_idx
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q24_dedup_norm" ->
+      "SELECT min(doc_id) AS doc_id, lower(text) AS norm FROM documents GROUP BY lower(text)",
     "q23_ngram_jaccard" ->
       """WITH pairs AS (
         |  SELECT doc_id AS a, text AS ta, regexp_replace(text, ' [^ ]*$', '') AS tb

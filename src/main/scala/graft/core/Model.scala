@@ -45,7 +45,8 @@ final case class GlyphRun(
     fontStyle: String, // "normal" | "italic"
     fontWeight: String, // "normal" | "bold" | "bolder"
     fill: String, // "rgb(r,g,b)"
-    matrix: Array[Double] // text transform [a b c d e f]
+    matrix: Array[Double], // text transform [a b c d e f]
+    page: Int = 0 // page index within the payload (multi-page stitching, §2.8 C1-C2)
 ) {
   def pageX(i: Int): Double = matrix(0) * xs(i) + matrix(2) * -y + matrix(4)
   /** Page-space y of the run baseline (text-space point (x, -yAttr) through the

@@ -45,11 +45,13 @@ object LineAssembler {
     val tol = math.max(0.1, sizes(sizes.length / 2) * 0.4)
 
     // stable grouping: sort by y, start a new line when the gap exceeds tol
-    val byY = placed.sortBy(_.y)
+    val byY = placed.sortBy(p => (p.run.page, p.y))
     val lines = ArrayBuffer.empty[ArrayBuffer[Placed]]
     var curY = Double.NaN
+    var curPage = -1
     byY.foreach { p =>
-      if (lines.isEmpty || math.abs(p.y - curY) > tol) {
+      if (lines.isEmpty || p.run.page != curPage || math.abs(p.y - curY) > tol) {
+        curPage = p.run.page
         lines += ArrayBuffer(p)
         curY = p.y
       } else {
@@ -59,10 +61,11 @@ object LineAssembler {
       }
     }
 
-    // reading order: page y descending = top of page first for y-up coordinates
-    // (the SVG page shell flips y; runs carry text-space matrices where larger y
-    // is higher on the page), then x ascending within the line.
-    val ordered = lines.sortBy(l => -l.map(_.y).max)
+    // reading order: page index ascending, then page y descending = top of page
+    // first for y-up coordinates (the SVG page shell flips y; runs carry
+    // text-space matrices where larger y is higher on the page), then x
+    // ascending within the line.
+    val ordered = lines.sortBy(l => (l.head.run.page, -l.map(_.y).max))
 
     val out = new StringBuilder
     val spans = ArrayBuffer.empty[Span]

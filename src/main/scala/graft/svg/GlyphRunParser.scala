@@ -42,11 +42,16 @@ object GlyphRunParser {
     var textMatrix: Array[Double] = NumFmt.Identity
     val n = svg.length
     val attrs = new Attrs
+    var page = -1 // first <svg:svg> brings it to 0; headerless fragments stay page 0
 
     while (i < n) {
       val lt = svg.indexOf('<', i)
       if (lt < 0) { i = n }
-      else if (svg.startsWith("<svg:text", lt)) {
+      else if (svg.startsWith("<svg:svg", lt)) {
+        page += 1
+        val gt = svg.indexOf('>', lt)
+        i = if (gt < 0) n else gt + 1
+      } else if (svg.startsWith("<svg:text", lt)) {
         attrs.reset()
         val end = parseAttrsInto(svg, lt + 9, attrs)
         textMatrix =
@@ -72,7 +77,7 @@ object GlyphRunParser {
               if (attrs.fontStyle != null) attrs.fontStyle else "normal",
               if (attrs.fontWeight != null) attrs.fontWeight else "normal",
               if (attrs.fill != null) attrs.fill else "rgb(0,0,0)",
-              textMatrix)
+              textMatrix, math.max(page, 0))
           }
           i = close + 12
         }

@@ -66,6 +66,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.getAs[Long]("chars") > 0)
   }
 
+  test("typed MetricsAgg one-pass bundle equals column aggregates") {
+    val (ds, _) = synthTurns(convs = 4, avg = 3, mega = 10)
+    val out = Pipeline.extractTurns(ds)
+    val typed = graft.spark.MetricsAgg.over(out)
+    val df = Pipeline.metrics(out).collect()(0)
+    assert(typed.turns == df.getAs[Long]("turns"))
+    assert(typed.chars == df.getAs[Long]("chars"))
+    assert(typed.runs == df.getAs[Long]("runs"))
+    assert(typed.dropped == df.getAs[Long]("dropped_nodes"))
+  }
+
+  test("salted conv rollup equals unsalted groupBy") {
+    val (ds, _) = synthTurns(convs = 5, avg = 4, mega = 40)
+    val out = Pipeline.extractTurns(ds)
+    val salted = graft.spark.ConvRollup.salted(out, salt = 8)
+      .orderBy("conv_id").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val plain = out.toDF().groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("turns"), sum(length(col("extracted_text"))).as("chars"))
+      .orderBy("conv_id").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("manifest: append, latest-wins read, pending anti-join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString

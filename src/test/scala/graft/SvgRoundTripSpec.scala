@@ -90,6 +90,21 @@ class SvgRoundTripSpec extends AnyFunSuite {
     assert(LineAssembler.assemble(Vector(r1, r3)).text == "helloworld")
   }
 
+  test("multi-page payload keeps page order, restarts y per page") {
+    def pageOf(texts: Seq[String]): Seq[GlyphRun] =
+      texts.zipWithIndex.map { case (t, i) =>
+        GlyphRun(t, Array.tabulate(t.length)(_ * 6.0), 0, "f", 10,
+          "normal", "normal", "rgb(0,0,0)", Array(1, 0, 0, 1, 0, 700 - i * 20.0))
+      }
+    val p1 = SvgEmitter.page(pageOf(Seq("page one line a", "page one line b")))
+    val p2 = SvgEmitter.page(pageOf(Seq("page two line a", "page two line b")))
+    val parsed = GlyphRunParser.parse(p1 + p2)
+    assert(parsed.runs.map(_.page).distinct == Vector(0, 1))
+    val asm = LineAssembler.assemble(parsed.runs)
+    assert(asm.text ==
+      "page one line a\npage one line b\npage two line a\npage two line b")
+  }
+
   test("out-of-order runs are re-ordered into reading order") {
     def lineRun(y: Double, text: String): GlyphRun =
       GlyphRun(text, Array.tabulate(text.length)(_ * 6.0), 0, "f", 10,
