@@ -208,6 +208,13 @@ object SparkEntry {
         .select("qid", "nid", "rank").orderBy("qid", "rank")
     }),
 
+    "q33_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+        .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     "q32_cosine_neardup" -> ((s, dir) => {
       // random embeddings have no near-dups; add scaled twins (cosine exactly 1)
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")

@@ -80,6 +80,69 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+    * centroid (coarse quantizer); queries probe only the `nprobe` nearest
+    * centroid lists. Centroids here are a deterministic corpus sample refined
+    * by one Lloyd iteration — at 100 TB the centroid table is tiny and
+    * broadcast, the corpus is written partitioned by `__list` so probes prune
+    * partitions/files instead of scanning the table.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // deterministic seed centroids: nlist lowest xxhash64(id) vectors
+    val seeds = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy("__h").limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def assignExpr(cents: Array[Array[Double]], v: Column): Column = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        val lits = array(c.map(lit): _*)
+        struct(dot(v, lits).as("s"), lit(i).as("i"))
+      }
+      greatest(scored: _*).getField("i")
+    }
+
+    // one Lloyd refinement: mean of assigned vectors per list
+    val dims = seeds.headOption.map(_.length).getOrElse(0)
+    val assigned = corpus.select(col(vecCol).as("__v"),
+      assignExpr(seeds, col(vecCol)).as("__list"))
+    val refined: Array[Array[Double]] = {
+      val sums = assigned
+        .select(col("__list"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy("__list", "__d").agg(avg(col("__x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val out = seeds.map(_.clone())
+      sums.foreach { case (l, d, m) => if (l < out.length && d < dims) out(l)(d) = m }
+      out
+    }
+
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"),
+      assignExpr(refined, col(vecCol)).as("__list"))
+    // queries probe their nprobe nearest lists
+    val probeLists = refined.indices.map { i =>
+      val lits = array(refined(i).map(lit): _*)
+      struct(dot(col("__qv"), lits).as("s"), lit(i).as("i"))
+    }
+    val q = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+        .withColumn("__probes",
+          slice(reverse(array_sort(array(probeLists: _*))), 1, nprobe))
+        .withColumn("__list", explode(transform(col("__probes"), p => p.getField("i"))))
+        .drop("__probes"))
+    val scored = c.join(q, Seq("__list"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold, LSH-
     * bucketed so the self-join never goes quadratic in the corpus. */
   def cosineNearDups(

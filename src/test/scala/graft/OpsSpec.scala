@@ -78,6 +78,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out.contains(1L)) // nearly-parallel vector lands in the same bucket
   }
 
+  test("IVF ANN finds the near-parallel pair; recall vs brute force is high") {
+    val bf = Similarity.bruteForceTopK(
+      vectors.filter(col("vec_id") < 3), vectors, "vec_id", "embedding", k = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(
+      vectors.filter(col("vec_id") < 3), vectors, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe=2 of 4 lists: at least 2/3 of true neighbors recovered here
+    assert(ivf.intersect(bf).size * 3 >= bf.size * 2, s"ivf=$ivf bf=$bf")
+    assert(ivf.contains((0L, 1L))) // nearly-parallel pair must survive
+  }
+
   test("cosine near-dup pairs above threshold") {
     val pairs = Similarity.cosineNearDups(vectors, "vec_id", "embedding", threshold = 0.999, bits = 4)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
