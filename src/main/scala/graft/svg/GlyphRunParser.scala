@@ -21,17 +21,21 @@ object GlyphRunParser {
   /** Mutable per-element attribute holder — one per parse() call, reset per tag
     * (the parser is the hottest allocation site at 32 threads; no Map per tspan). */
   private final class Attrs {
-    var x: String = null
-    var y: String = null
+    // numeric attrs are kept as (start, end) ranges into the payload — the x
+    // attribute alone is ~half the payload, and substring+decode of it doubled
+    // the parse cost
+    var xStart, xEnd = -1
+    var yStart, yEnd = -1
+    var sizeStart, sizeEnd = -1
     var fontFamily: String = null
-    var fontSize: String = null
     var fontStyle: String = null
     var fontWeight: String = null
     var fill: String = null
     var transform: String = null
     def reset(): Unit = {
-      x = null; y = null; fontFamily = null; fontSize = null
-      fontStyle = null; fontWeight = null; fill = null; transform = null
+      xStart = -1; yStart = -1; sizeStart = -1
+      fontFamily = null; fontStyle = null; fontWeight = null
+      fill = null; transform = null
     }
   }
 
@@ -65,12 +69,17 @@ object GlyphRunParser {
         else {
           val text = xmlDecode(svg.substring(tagEnd, close))
           if (text.nonEmpty) {
-            val xs = if (attrs.x != null) parseDoubles(attrs.x) else Array.empty[Double]
-            val y = if (attrs.y != null) parseDouble(attrs.y).getOrElse(0.0) else 0.0
+            val xs =
+              if (attrs.xStart >= 0) parseDoublesRange(svg, attrs.xStart, attrs.xEnd)
+              else Array.empty[Double]
+            val y =
+              if (attrs.yStart >= 0) parseOneDouble(svg, attrs.yStart, attrs.yEnd) else 0.0
             val size =
-              if (attrs.fontSize != null)
-                parseDouble(attrs.fontSize.stripSuffix("px")).getOrElse(0.0)
-              else 0.0
+              if (attrs.sizeStart >= 0) {
+                var e = attrs.sizeEnd
+                if (e - 2 >= attrs.sizeStart && svg.charAt(e - 1) == 'x' && svg.charAt(e - 2) == 'p') e -= 2
+                parseOneDouble(svg, attrs.sizeStart, e)
+              } else 0.0
             runs += GlyphRun(
               text, xs, y,
               if (attrs.fontFamily != null) attrs.fontFamily else "", size,
@@ -119,10 +128,10 @@ object GlyphRunParser {
               @inline def is(name: String): Boolean =
                 len == name.length && s.regionMatches(nameStart, name, 0, len)
               @inline def value(): String = xmlDecode(s.substring(j + 1, end))
-              if (is("x")) out.x = value()
-              else if (is("y")) out.y = value()
+              if (is("x")) { out.xStart = j + 1; out.xEnd = end }
+              else if (is("y")) { out.yStart = j + 1; out.yEnd = end }
+              else if (is("font-size")) { out.sizeStart = j + 1; out.sizeEnd = end }
               else if (is("font-family")) out.fontFamily = value()
-              else if (is("font-size")) out.fontSize = value()
               else if (is("font-style")) out.fontStyle = value()
               else if (is("font-weight")) out.fontWeight = value()
               else if (is("fill")) out.fill = value()
@@ -178,11 +187,18 @@ object GlyphRunParser {
   /** Allocation-free parse of space-separated decimals (the hot path: one x per
     * glyph). Handles sign/digits/fraction inline — the only shapes `pf` emits —
     * and falls back to Double.parseDouble for anything exotic (exponents). */
-  def parseDoubles(s: String): Array[Double] = {
-    val n = s.length
+  def parseDoubles(s: String): Array[Double] = parseDoublesRange(s, 0, s.length)
+
+  def parseOneDouble(s: String, from: Int, to: Int): Double = {
+    val a = parseDoublesRange(s, from, to)
+    if (a.nonEmpty) a(0) else 0.0
+  }
+
+  def parseDoublesRange(s: String, from: Int, to: Int): Array[Double] = {
+    val n = to
     // count tokens for exact sizing
     var count = 0
-    var i = 0
+    var i = from
     var inTok = false
     while (i < n) {
       val ws = s.charAt(i) <= ' '
@@ -192,7 +208,7 @@ object GlyphRunParser {
     }
     val out = new Array[Double](count)
     var k = 0
-    i = 0
+    i = from
     while (i < n && k < count) {
       while (i < n && s.charAt(i) <= ' ') i += 1
       val start = i

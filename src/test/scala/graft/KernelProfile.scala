@@ -14,6 +14,11 @@ object KernelProfile {
     val html = texts.map(Synth.encodeHtml)
     val pdf = texts.map(Synth.encodePdf)
 
+    // warm everything before any timing (C2 tiering order bias)
+    (0 until 3).foreach { _ =>
+      svg.foreach(Extractor.extract); html.foreach(Extractor.extract); pdf.foreach(Extractor.extract)
+    }
+
     def bench(name: String, payloads: Seq[String]): Unit = {
       payloads.foreach(Extractor.extract) // warm
       var best = Double.MaxValue
