@@ -1,7 +1,5 @@
 package graft.lex
 
-import scala.collection.mutable
-
 /** Tokens of the PDF content-stream dialect (reference Lexer yields exactly these
   * shapes — pdf.combined.js:28154-28246). */
 sealed trait Tok

@@ -101,10 +101,10 @@ object Similarity {
 
     def assignExpr(cents: Array[Array[Double]], v: Column): Column = {
       val scored = cents.zipWithIndex.map { case (c, i) =>
-        val lits = array(c.map(lit): _*)
+        val lits = array(c.toIndexedSeq.map(lit): _*)
         struct(dot(v, lits).as("s"), lit(i).as("i"))
       }
-      greatest(scored: _*).getField("i")
+      greatest(scored.toIndexedSeq: _*).getField("i")
     }
 
     // one Lloyd refinement: mean of assigned vectors per list
@@ -125,7 +125,7 @@ object Similarity {
       assignExpr(refined, col(vecCol)).as("__list"))
     // queries probe their nprobe nearest lists
     val probeLists = refined.indices.map { i =>
-      val lits = array(refined(i).map(lit): _*)
+      val lits = array(refined(i).toIndexedSeq.map(lit): _*)
       struct(dot(col("__qv"), lits).as("s"), lit(i).as("i"))
     }
     val q = broadcast(

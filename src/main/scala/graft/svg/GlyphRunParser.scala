@@ -2,8 +2,6 @@ package graft.svg
 
 import graft.core.{GlyphRun, NumFmt}
 
-import scala.collection.mutable.ArrayBuffer
-
 /** Parses the reference's SVG output dialect back into positioned glyph runs.
   *
   * Hand-rolled forward scanner (no XML library): finds `svg:text`/`svg:tspan`
