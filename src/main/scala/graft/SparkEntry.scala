@@ -280,6 +280,28 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_value"), max(col("value")).as("max_value"))),
 
+    "q53_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))),
+    "q58_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      graft.ops.Joins.salted(o, c, "c_custkey", salt = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    }),
+    "q59_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.Joins.asOf(clicks, purchases, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("value_asof"))
+    }),
+
     // ───────────── multimodal plumbing (stubbed codec; real Spark structure) ─────────────
     "q60_multimodal" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, s"$dir/documents.parquet"))
@@ -416,6 +438,32 @@ object SparkEntry {
     "q52_events_minmax" ->
       """SELECT event_type, count(*) AS cnt, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q53_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q58_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+    "q59_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.value AS value_asof
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q53_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q58_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+    "q59_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.value AS value_asof
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q60_multimodal" ->
       """SELECT doc_id AS media_id,
         | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond vanilla equi-joins: as-of joins and skew-salted joins.
+  * Both compose built-in operators (SURVEY.md §7.4 — preference (a): no custom
+  * strategy needed), with shuffle structure chosen for 100 TB inputs.
+  */
+object Joins {
+
+  /** As-of join: for each left row, attach the latest right row with the same
+    * key and right.ts <= left.ts.
+    *
+    * Implementation: union the two sides tagged by origin, one window pass
+    * ordered by (ts, origin) per key carrying `last(right value)` forward —
+    * a single range-shuffle + sort, NO join node at all. This beats the
+    * windowed-self-join formulation at scale: each side is shuffled exactly
+    * once and skew splits by the range partitioner.
+    *
+    * `rightCols` are the value columns to carry; they appear suffixed "_asof".
+    */
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__src", lit(1))
+      .withColumns(rightCols.map(c => s"__v_$c" -> lit(null).cast(right.schema(c).dataType)).toMap)
+    val rightTagged = right
+      .select((Seq(col(keyCol), col(tsCol)) ++ rightCols.map(col)): _*)
+      .withColumn("__src", lit(0))
+      .withColumns(rightCols.map(c => s"__v_$c" -> col(c)).toMap)
+      .drop(rightCols: _*)
+    val leftCols = left.columns
+    val unioned = leftTagged.select(
+      (leftCols.map(col) ++ Seq(col("__src")) ++ rightCols.map(c => col(s"__v_$c"))): _*)
+      .unionByName(
+        rightTagged.select(
+          (leftCols.map(c => if (c == keyCol || c == tsCol) col(c)
+            else lit(null).cast(left.schema(c).dataType).as(c)) ++
+            Seq(col("__src")) ++ rightCols.map(c => col(s"__v_$c"))): _*))
+    // right rows sort before left rows at equal ts (__src 0 < 1): <= semantics
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"${c}_asof", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__src") === 1)
+      .select((leftCols.map(col) ++ rightCols.map(c => col(s"${c}_asof"))): _*)
+  }
+
+  /** Skew-salted equi-join: replicate the (small) right side `salt` times and
+    * scatter the left side across the replicas, so one hot key spreads over
+    * `salt` reducers instead of melting a single one. AQE's skew-join split is
+    * the runtime fallback; explicit salting is the planned-for-it version. */
+  def salted(
+      left: DataFrame, right: DataFrame,
+      key: String, salt: Int = 8): DataFrame = {
+    val saltedLeft = left.withColumn("__salt", pmod(xxhash64(rand(42)), lit(salt)))
+    val explodedRight = right
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salt - 1L))))
+    saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -97,6 +97,34 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("as-of join attaches the latest prior right value") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val left = Seq((1L, "u1", ts(10)), (2L, "u1", ts(20)), (3L, "u2", ts(15)), (4L, "u3", ts(5)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(("u1", ts(8), 1.5), ("u1", ts(20), 2.5), ("u2", ts(16), 9.9))
+      .toDF("user_id", "ts", "value")
+    val out = graft.ops.Joins.asOf(left, right, "user_id", "ts", Seq("value"))
+      .select("event_id", "value_asof").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(1L) == 1.5) // latest right <= ts(10) is ts(8)
+    assert(out(2L) == 2.5) // equal ts included
+    assert(out(3L) == null) // right at ts(16) is in the future
+    assert(out(4L) == null) // no right rows for u3
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val big = (1L to 500L).map(i => (i % 7, i)).toDF("k", "v")
+    val small = (0L to 6L).map(i => (i, s"dim$i")).toDF("k", "name")
+    val a = graft.ops.Joins.salted(big, small, "k", salt = 4)
+      .groupBy("k", "name").count().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val b = big.join(small, "k").groupBy("k", "name").count().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(a == b)
+  }
+
   test("text stats: token counts, quality, langid, fingerprint") {
     val out = docs.select(
       col("doc_id"),

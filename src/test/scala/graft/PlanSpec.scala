@@ -56,6 +56,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("SQL function surface: extensions wiring + registered functions") {
+    // the extensions class must inject cleanly into a SparkSessionExtensions
+    // (config-time path: spark.sql.extensions=graft.functions.GraftExtensions)
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // runtime path: same expressions through the session's function registry
+    val s2 = spark.newSession()
+    graft.functions.TextHashes.register(s2)
+    val r = s2.sql(
+      "SELECT extract_text('<body><p>hi</p></body>') AS t, simhash64('a b c') AS h")
+      .collect()(0)
+    assert(r.getString(0) == "hi")
+    assert(r.getLong(1) == graft.functions.TextSketch.simhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+  }
+
   test("q20 exact dedup: single shuffle with partial aggregation below it") {
     val p = plan("q20_dedup_exact")
     val idx = p.indexOf("Exchange")
