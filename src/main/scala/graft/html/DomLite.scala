@@ -70,7 +70,14 @@ object DomLite {
             i = after
             if (rawTextTags(tag) && !selfClosed) {
               val closeTag = s"</$tag"
-              val e = html.toLowerCase.indexOf(closeTag, i)
+              // case-insensitive scan without copying the whole document
+              var e = -1
+              var p = i
+              while (e < 0 && p + closeTag.length <= n) {
+                if (html.charAt(p) == '<' &&
+                    html.regionMatches(true, p, closeTag, 0, closeTag.length)) e = p
+                p += 1
+              }
               val end = if (e < 0) n else e
               if (end > i) el.children += HText(html.substring(i, end))
               i = if (e < 0) n else {

@@ -110,8 +110,12 @@ object GlyphRunParser {
       else if (s.charAt(i) == '/') { i += 1 } // self-closing
       else {
         val eq = s.indexOf('=', i)
-        if (eq < 0) { done = true; i = n }
-        else {
+        val gt = s.indexOf('>', i)
+        if (eq < 0 || (gt >= 0 && gt < eq)) {
+          // valueless attribute (or tag end before any '='): skip to tag end
+          done = true
+          i = if (gt < 0) n else gt + 1
+        } else {
           val nameStart = i
           var nameEnd = eq
           while (nameEnd > nameStart && Character.isWhitespace(s.charAt(nameEnd - 1))) nameEnd -= 1
