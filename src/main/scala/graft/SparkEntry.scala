@@ -451,19 +451,6 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
-    "q53_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
-    "q58_salted_join" ->
-      """SELECT c_nationkey, count(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_nationkey""".stripMargin,
-    "q59_asof_join" ->
-      """SELECT l.event_id, l.user_id, r.value AS value_asof
-        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
-        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q60_multimodal" ->
       """SELECT doc_id AS media_id,
         | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

@@ -53,9 +53,12 @@ object Main {
       val turns = turnsAll.filter(col("__bucket") === bucket)
         .drop("__bucket").as[graft.core.Turn]
       val extracted = Pipeline.extractTurns(turns, partitions)
+      val bucketPath = s"$output/bucket=$bucket"
       extracted.write.mode("overwrite")
-        .parquet(s"$output/bucket=$bucket") // Iceberg: MERGE INTO keyed (conv_id, turn_idx)
-      val m = Pipeline.metrics(extracted).collect()(0)
+        .parquet(bucketPath) // Iceberg: MERGE INTO keyed (conv_id, turn_idx)
+      // metrics from the just-written files — never re-run the extraction
+      val m = Pipeline.metrics(spark.read.parquet(bucketPath)
+        .as[graft.core.ExtractedTurn]).collect()(0)
       Manifest.append(
         Seq((bucket, snapshotId, m.getAs[Long]("turns"), m.getAs[Long]("chars"),
           "done", new java.sql.Timestamp(System.currentTimeMillis())))

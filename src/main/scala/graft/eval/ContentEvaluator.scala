@@ -40,14 +40,33 @@ object ContentEvaluator {
     var fontDirection = 1.0
     var font: FontSpec = FontMetrics.Helvetica
     var fillColor = "rgb(0,0,0)"
-    def snapshot: (Array[Double], String, FontSpec, Double, Double, Double, Double, Double) =
-      (ctm, fillColor, font, fontSize, charSpacing, wordSpacing, textHScale, leading)
+    /** Full clone — the reference save/restore clones the entire extra state
+      * (SVGGraphics save/restore, pdf.combined.js:20015-20029), including text
+      * position, matrices, fontDirection and rise. */
+    def snapshot: State = {
+      val c = new State
+      c.ctm = ctm; c.textMatrix = textMatrix; c.lineMatrix = lineMatrix
+      c.x = x; c.y = y; c.lineX = lineX; c.lineY = lineY
+      c.charSpacing = charSpacing; c.wordSpacing = wordSpacing
+      c.textHScale = textHScale; c.leading = leading; c.textRise = textRise
+      c.fontSize = fontSize; c.fontDirection = fontDirection; c.font = font
+      c.fillColor = fillColor
+      c
+    }
+    def restoreFrom(c: State): Unit = {
+      ctm = c.ctm; textMatrix = c.textMatrix; lineMatrix = c.lineMatrix
+      x = c.x; y = c.y; lineX = c.lineX; lineY = c.lineY
+      charSpacing = c.charSpacing; wordSpacing = c.wordSpacing
+      textHScale = c.textHScale; leading = c.leading; textRise = c.textRise
+      fontSize = c.fontSize; fontDirection = c.fontDirection; font = c.font
+      fillColor = c.fillColor
+    }
   }
 
   def evaluate(content: Array[Byte], resources: Map[String, FontSpec] = Map.empty): EvalResult = {
     val lexer = new ContentLexer(content, OpTable.knownCommands)
     val st = new State
-    val stack = ArrayBuffer.empty[(Array[Double], String, FontSpec, Double, Double, Double, Double, Double)]
+    val stack = ArrayBuffer.empty[State]
     val runs = Vector.newBuilder[GlyphRun]
     val boxes = Vector.newBuilder[PageBox]
     var errors = 0
@@ -154,10 +173,8 @@ object ContentEvaluator {
                 case "q" => stack += st.snapshot
                 case "Q" =>
                   if (stack.nonEmpty) {
-                    val s = stack.remove(stack.length - 1)
-                    st.ctm = s._1; st.fillColor = s._2; st.font = s._3
-                    st.fontSize = s._4; st.charSpacing = s._5; st.wordSpacing = s._6
-                    st.textHScale = s._7; st.leading = s._8
+                    flush() // restore may change fill/font/position: close the tspan
+                    st.restoreFrom(stack.remove(stack.length - 1))
                   } else errors += 1 // unbalanced restore tolerated (45891-45895)
                 case "cm" =>
                   st.ctm = NumFmt.mul(st.ctm,

@@ -44,5 +44,10 @@ object OpTable {
     OpSpec("EMC", 0), OpSpec("BX", 0), OpSpec("EX", 0)
   ).map(s => s.name -> s).toMap
 
-  val knownCommands: Set[String] = ops.keySet ++ Set("true", "false", "null")
+  /** Command set for the lexer's early-break rule — the full op table plus the
+    * reference's reserved partial commands (pdf.combined.js:47319-47328), which
+    * keep multi-char tokens whose first char is itself a command (`false`,
+    * `null`, `BMC`, `BDC`) from being split. */
+  val knownCommands: Set[String] = ops.keySet ++ Set(
+    "BM", "BD", "true", "fa", "fal", "fals", "false", "nu", "nul", "null")
 }

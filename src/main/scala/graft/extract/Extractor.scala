@@ -41,15 +41,35 @@ object Extractor {
     if (at("<svg:svg") || at("<svg ") || payload.indexOf("<svg:tspan", i) >= 0) Dialect.Svg
     else if (at("<!") || at("<html") || at("<HTML") ||
              (i + 1 < n && payload.charAt(i) == '<' && payload.charAt(i + 1).isLetter)) Dialect.Html
-    else if (at("BT") || at("q ") || at("/") || hasContentStreamShape(payload, i)) Dialect.Pdf
+    else if (hasContentStreamShape(payload, i)) Dialect.Pdf
     else Dialect.Plain
   }
 
-  /** Content-stream shape: a BT…ET block with at least one text-showing op. */
+  /** Content-stream shape — deliberately strict: a `BT`…`ET` block containing a
+    * text-showing operator as a standalone token. Loose prefixes (`/`, `q `,
+    * bare `BT`) misfire badly on chat text ("/remind me…", "BT Group reported…")
+    * and silently extract it to nothing, so plain text wins any ambiguity. */
   private def hasContentStreamShape(t: String, from: Int): Boolean = {
-    val bt = t.indexOf("BT", from)
-    bt >= 0 && t.indexOf("ET", bt) > bt &&
-      (t.indexOf("Tj", from) >= 0 || t.indexOf("TJ", from) >= 0 || t.indexOf("Tf", from) >= 0)
+    val bt = tokenIndex(t, "BT", from)
+    if (bt < 0) return false
+    val et = tokenIndex(t, "ET", bt + 2)
+    if (et < 0) return false
+    val tj = tokenIndex(t, "Tj", bt)
+    val tJ2 = tokenIndex(t, "TJ", bt)
+    (tj >= 0 && tj < et) || (tJ2 >= 0 && tJ2 < et)
+  }
+
+  /** indexOf of `tok` as a whitespace/delimiter-separated token. */
+  private def tokenIndex(t: String, tok: String, from: Int): Int = {
+    var i = t.indexOf(tok, from)
+    while (i >= 0) {
+      val beforeOk = i == 0 || { val c = t.charAt(i - 1); c <= ' ' || c == ')' || c == ']' }
+      val after = i + tok.length
+      val afterOk = after >= t.length || { val c = t.charAt(after); c <= ' ' || c == '(' || c == '[' || c == '/' }
+      if (beforeOk && afterOk) return i
+      i = t.indexOf(tok, i + 1)
+    }
+    -1
   }
 
   def extract(payload: String): Result =

@@ -76,27 +76,53 @@ object Boilerplate {
     var dropped = 0
 
     def walk(e: HElem, path: String): Unit = {
-      e.children.foreach {
-        case child: HElem =>
-          if (isStructuralBoilerplate(child)) dropped += 1
-          else {
-            val childPath = if (path.isEmpty) child.tag else s"$path>${child.tag}"
-            val hasBlockDescendant = child.children.exists {
-              case el: HElem => containsBlock(el)
-              case _ => false
-            }
-            if (blockTags(child.tag) && !hasBlockDescendant) {
-              if (isDenseBoilerplate(stats(child, inLink = false))) dropped += 1
-              else {
-                val sb = new StringBuilder
-                rawText(child, sb)
-                val t = normalizeWs(sb.toString)
-                if (t.nonEmpty) blocks += ((t, childPath))
-              }
-            } else walk(child, childPath)
+      // consecutive inline content (loose text, <b>, <a>, <thinking>-style
+      // unknown tags, <br>) groups into a synthetic block — text outside block
+      // tags must never be silently lost
+      val inlineRun = ArrayBuffer.empty[HNode]
+      def flushInline(): Unit = {
+        if (inlineRun.nonEmpty) {
+          val st = inlineRun.foldLeft(NodeStats(0, 0, 0)) { (acc, n) =>
+            val s = stats(n, inLink = false)
+            NodeStats(acc.chars + s.chars, acc.linkedChars + s.linkedChars, acc.tags + s.tags)
           }
-        case _ => () // loose text outside block tags: structural, skipped
+          if (isDenseBoilerplate(st)) dropped += 1
+          else {
+            val sb = new StringBuilder
+            inlineRun.foreach(rawText(_, sb))
+            val t = normalizeWs(sb.toString)
+            if (t.nonEmpty) blocks += ((t, if (path.isEmpty) "#text" else path))
+          }
+          inlineRun.clear()
+        }
       }
+      e.children.foreach {
+        case child: HElem if isStructuralBoilerplate(child) =>
+          flushInline(); dropped += 1
+        case child: HElem =>
+          val childPath = if (path.isEmpty) child.tag else s"$path>${child.tag}"
+          val hasBlockDescendant = child.children.exists {
+            case el: HElem => containsBlock(el)
+            case _ => false
+          }
+          if (blockTags(child.tag) && !hasBlockDescendant) {
+            flushInline()
+            if (isDenseBoilerplate(stats(child, inLink = false))) dropped += 1
+            else {
+              val sb = new StringBuilder
+              rawText(child, sb)
+              val t = normalizeWs(sb.toString)
+              if (t.nonEmpty) blocks += ((t, childPath))
+            }
+          } else if (!blockTags(child.tag) && !hasBlockDescendant) {
+            inlineRun += child // inline element: part of the surrounding text run
+          } else {
+            flushInline()
+            walk(child, childPath)
+          }
+        case t: HText => inlineRun += t
+      }
+      flushInline()
     }
 
     def containsBlock(e: HElem): Boolean =

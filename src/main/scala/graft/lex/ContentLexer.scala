@@ -29,10 +29,6 @@ final class ContentLexer(data: Array[Byte], knownCommands: Set[String]) {
 
   import ContentLexer._
 
-  // all prefixes of known commands, for the longest-prefix accumulation rule
-  private val commandPrefixes: Set[String] =
-    knownCommands.flatMap(c => (1 to c.length).map(c.substring(0, _)))
-
   private var pos = 0
   private var cur: Int = if (data.nonEmpty) data(0) & 0xff else -1
   private val strBuf = new StringBuilder(64)
@@ -219,17 +215,19 @@ final class ContentLexer(data: Array[Byte], knownCommands: Set[String]) {
       case _ => ()
     }
 
-    // command token: accumulate while the extension is still a known prefix
+    // command token: reference rule (pdf.combined.js:28219-28245) — keep
+    // accumulating; break early ONLY when the current token already IS a known
+    // command and the next char would make it unknown (handles glued `q1`,
+    // while malformed `Tq` stays one unknown token the evaluator skips)
     var str = ch.toChar.toString
-    var knownCommandFound = knownCommands.contains(str) || commandPrefixes.contains(str)
+    var knownCommandFound = knownCommands.contains(str)
     var done = false
     while (!done && { ch = nextChar(); ch >= 0 } && specialChars(ch) == 0) {
       val possible = str + ch.toChar
-      if (knownCommandFound && !commandPrefixes.contains(possible) &&
-          !knownCommands.contains(possible)) done = true
+      if (knownCommandFound && !knownCommands.contains(possible)) done = true
       else {
         str = possible
-        knownCommandFound = knownCommands.contains(str) || commandPrefixes.contains(str)
+        knownCommandFound = knownCommands.contains(str)
       }
     }
     str match {

@@ -24,13 +24,17 @@ object Joins {
   def asOf(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, rightCols: Seq[String]): DataFrame = {
+    // values are wrapped in single-field structs: the struct is non-null for
+    // every right row even when the value itself is null, so last(ignoreNulls)
+    // picks the latest right ROW (ASOF semantics), not the latest non-null value
     val leftTagged = left
       .withColumn("__src", lit(1))
-      .withColumns(rightCols.map(c => s"__v_$c" -> lit(null).cast(right.schema(c).dataType)).toMap)
+      .withColumns(rightCols.map(c =>
+        s"__v_$c" -> lit(null).cast(s"struct<v:${right.schema(c).dataType.sql}>")).toMap)
     val rightTagged = right
       .select((Seq(col(keyCol), col(tsCol)) ++ rightCols.map(col)): _*)
       .withColumn("__src", lit(0))
-      .withColumns(rightCols.map(c => s"__v_$c" -> col(c)).toMap)
+      .withColumns(rightCols.map(c => s"__v_$c" -> struct(col(c).as("v"))).toMap)
       .drop(rightCols: _*)
     val leftCols = left.columns
     val unioned = leftTagged.select(
@@ -45,7 +49,8 @@ object Joins {
       .orderBy(col(tsCol), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"${c}_asof", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+      df.withColumn(s"${c}_asof",
+        last(col(s"__v_$c"), ignoreNulls = true).over(w).getField("v"))
     }
     carried.filter(col("__src") === 1)
       .select((leftCols.map(col) ++ rightCols.map(c => col(s"${c}_asof"))): _*)

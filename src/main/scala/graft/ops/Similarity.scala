@@ -100,11 +100,16 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
     def assignExpr(cents: Array[Array[Double]], v: Column): Column = {
+      // nearest centroid by cosine: normalize the dot by the centroid norm
+      // (the row norm is constant across centroids and drops out of argmax);
+      // max-dot alone would collapse everything into the largest-norm centroid
       val scored = cents.zipWithIndex.map { case (c, i) =>
+        val cn = math.max(1e-12, math.sqrt(c.map(x => x * x).sum))
         val lits = array(c.toIndexedSeq.map(lit): _*)
-        struct(dot(v, lits).as("s"), lit(i).as("i"))
+        struct((dot(v, lits) / lit(cn)).as("s"), lit(i).as("i"))
       }
-      greatest(scored.toIndexedSeq: _*).getField("i")
+      if (scored.length == 1) lit(0)
+      else greatest(scored.toIndexedSeq: _*).getField("i")
     }
 
     // one Lloyd refinement: mean of assigned vectors per list

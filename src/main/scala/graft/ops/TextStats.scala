@@ -71,9 +71,14 @@ object TextStats {
   def langId(textCol: Column): Column = {
     val words = split(lower(textCol), "[^\\p{L}]+")
     val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
-      struct(
-        size(filter(words, w => w.isInCollection(profile))).as("score"),
-        lit(lang).as("lang"))
+      // space-delimited scripts score by stopword tokens; CJK has no word
+      // boundaries, so single-char profiles score by containment instead
+      val score =
+        if (profile.forall(_.length == 1))
+          profile.map(ch => when(contains(textCol, lit(ch)), 1).otherwise(0))
+            .reduce((a, b) => a + b)
+        else size(filter(words, w => w.isInCollection(profile)))
+      struct(score.as("score"), lit(lang).as("lang"))
     }
     val best = greatest(scores: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))

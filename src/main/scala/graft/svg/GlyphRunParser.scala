@@ -151,7 +151,7 @@ object GlyphRunParser {
     * translate(..), matrix(..); trailing " scale(1, -1)" (the Y flip on svg:text)
     * is recognized and dropped — run coordinates stay in text space. */
   def parseTransform(t0: String): Array[Double] = {
-    var m = NumFmt.Identity
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val t = t0.trim
     var i = 0
     while (i < t.length) {
@@ -163,7 +163,7 @@ object GlyphRunParser {
         if (close < 0) { i = t.length }
         else {
           val nums = parseDoubles(t.substring(open + 1, close).replace(',', ' '))
-          val part: Array[Double] = name match {
+          parts += (name match {
             case "matrix" if nums.length == 6 => nums
             case "scale" if nums.length == 2 => Array(nums(0), 0, 0, nums(1), 0, 0)
             case "scale" if nums.length == 1 => Array(nums(0), 0, 0, nums(0), 0, 0)
@@ -172,15 +172,18 @@ object GlyphRunParser {
               val a = math.toRadians(nums(0))
               Array(math.cos(a), math.sin(a), -math.sin(a), math.cos(a), 0, 0)
             case _ => NumFmt.Identity
-          }
-          // drop the trailing Y flip the emitter always appends to svg:text
-          val isFlip = part.sameElements(Array(1.0, 0, 0, -1.0, 0, 0))
-          if (!isFlip) m = NumFmt.mul(m, part)
+          })
           i = close + 1
         }
       }
     }
-    m
+    // drop ONLY the trailing Y flip the emitter appends to every svg:text —
+    // an interior scale(1,-1) is a genuine mirrored text matrix and must stay
+    val kept =
+      if (parts.nonEmpty && parts.last.sameElements(Array(1.0, 0, 0, -1.0, 0, 0)))
+        parts.dropRight(1)
+      else parts
+    kept.foldLeft(NumFmt.Identity)((acc, p) => NumFmt.mul(acc, p))
   }
 
   private def parseDouble(s: String): Option[Double] =

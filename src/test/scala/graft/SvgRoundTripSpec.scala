@@ -105,6 +105,13 @@ class SvgRoundTripSpec extends AnyFunSuite {
       "page one line a\npage one line b\npage two line a\npage two line b")
   }
 
+  test("genuine y-mirror transform survives; only trailing flip dropped (review regression)") {
+    val m = GlyphRunParser.parseTransform("matrix(1 0 0 -1 0 792) scale(1, -1)")
+    assert(m.toSeq == Seq(1.0, 0, 0, -1.0, 0, 792)) // interior flip preserved
+    val id = GlyphRunParser.parseTransform("translate(5 7) scale(1, -1)")
+    assert(id.toSeq == Seq(1.0, 0, 0, 1.0, 5, 7))
+  }
+
   test("out-of-order runs are re-ordered into reading order") {
     def lineRun(y: Double, text: String): GlyphRun =
       GlyphRun(text, Array.tabulate(text.length)(_ * 6.0), 0, "f", 10,
