@@ -82,4 +82,17 @@ class PropertySpec extends AnyFunSuite {
       Extractor.extract(junk) != null
     })
   }
+
+  test("extractor never throws on markup soup") {
+    val fragment: Gen[String] = Gen.oneOf(
+      Gen.oneOf("<svg:tspan ", "</svg:tspan>", "<svg:text transform=\"", "<div class=\"",
+        "BT ", "ET ", "(unclosed ", ") Tj ", "<p>", "</p>", "&amp;", "&#x", "x=\"1 2 3",
+        "<script>", "<!--", "q ", "Q ", "<html><body>", "scale(1, -1)", "\\", "\""),
+      Gen.alphaNumStr, Gen.asciiPrintableStr)
+    val soup: Gen[String] = Gen.listOf(fragment).map(_.mkString)
+    check(Prop.forAll(soup) { (payload: String) =>
+      val r = Extractor.extract(payload)
+      r != null && r.text != null
+    })
+  }
 }
