@@ -99,24 +99,31 @@ object ContentEvaluator {
       flush()
     }
 
-    def showText(glyphs: Array[AnyRef]): Unit = {
+    // one show op = a Tj string or a TJ item sequence; `x` (the intra-op
+    // advance accumulator, reference showText local) threads through the items.
+    // Glyph iteration is allocation-free: widths looked up per char, no glyph
+    // objects (the metrics-only model makes GlyphM redundant on this path).
+    var showX = 0.0
+    def showBegin(): Unit = showX = 0.0
+    def showString(str: String): Unit = {
       if (st.fontSize == 0) return // early skip (pdf.combined.js:20315-20317)
       val textHScale = st.textHScale * st.fontDirection
       val widthAdvanceScale = st.fontSize * FontMatrix0
-      var x = 0.0
+      val widths = st.font.widths
       var i = 0
-      while (i < glyphs.length) {
-        glyphs(i) match {
-          case null => x += st.fontDirection * st.wordSpacing
-          case n: java.lang.Double => x += -n.doubleValue * st.fontSize * 0.001
-          case g: GlyphM =>
-            xcoords += st.x + x * textHScale
-            x += g.width * widthAdvanceScale + st.charSpacing * st.fontDirection
-            sb.append(g.fontChar)
-        }
+      while (i < str.length) {
+        val c = str.charAt(i)
+        xcoords += st.x + showX * textHScale
+        showX += widths(c.toInt) * widthAdvanceScale + st.charSpacing * st.fontDirection
+        sb.append(c)
         i += 1
       }
-      st.x += x * textHScale
+    }
+    def showKern(n: Double): Unit =
+      if (st.fontSize != 0) showX += -n * st.fontSize * 0.001
+    def showEnd(): Unit = {
+      if (st.fontSize == 0) return
+      st.x += showX * (st.textHScale * st.fontDirection)
       // tspan attrs are (re)set at every showText; record state of last one
       tspanY = -st.y
       tspanMatrix = NumFmt.mul(st.ctm, st.textMatrix)
@@ -124,6 +131,7 @@ object ContentEvaluator {
       tspanSize = st.fontSize
       tspanFill = st.fillColor
     }
+    def showText(strs: String*): Unit = { showBegin(); strs.foreach(showString); showEnd() }
 
     def setFont(name: String, size: Double): Unit = {
       flush()
@@ -140,9 +148,6 @@ object ContentEvaluator {
       case Tok.Num(v) => v
       case _ => errors += 1; 0.0
     }
-    def glyphsOf(s: String): Array[AnyRef] =
-      st.font.charsToGlyphs(s).map(g => g: AnyRef)
-
     var tok = lexer.getObj()
     while (tok != Tok.EOF) {
       tok match {
@@ -205,32 +210,32 @@ object ContentEvaluator {
                 case "Tr" => () // render mode: no effect on extraction
                 case "Tj" =>
                   args(0) match {
-                    case Tok.Str(s) => showText(glyphsOf(s))
+                    case Tok.Str(s) => showText(s)
                     case _ => errors += 1
                   }
                 case "'" =>
                   moveText(0, st.leading)
                   args(0) match {
-                    case Tok.Str(s) => showText(glyphsOf(s))
+                    case Tok.Str(s) => showText(s)
                     case _ => errors += 1
                   }
                 case "\"" =>
                   st.wordSpacing = numArg(0); st.charSpacing = numArg(1)
                   moveText(0, st.leading)
                   args(2) match {
-                    case Tok.Str(s) => showText(glyphsOf(s))
+                    case Tok.Str(s) => showText(s)
                     case _ => errors += 1
                   }
                 case "TJ" =>
-                  // args hold "[" item* "]": flatten strings→glyphs, numbers→kern
-                  // (PartialEvaluator TJ flattening, pdf.combined.js:45710-45726)
-                  val flat = ArrayBuffer.empty[AnyRef]
+                  // args hold "[" item* "]": strings shown, numbers kern —
+                  // one show op (PartialEvaluator TJ flattening, 45710-45726)
+                  showBegin()
                   args.foreach {
-                    case Tok.Str(s) => flat ++= glyphsOf(s)
-                    case Tok.Num(n) => flat += java.lang.Double.valueOf(n)
+                    case Tok.Str(s) => showString(s)
+                    case Tok.Num(n) => showKern(n)
                     case _ => ()
                   }
-                  showText(flat.toArray)
+                  showEnd()
                 case "rg" => flush(); st.fillColor = rgb(numArg(0), numArg(1), numArg(2))
                 case "g" => flush(); val v = numArg(0); st.fillColor = rgb(v, v, v)
                 case "k" =>
