@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("extract_text"),
       info("extract_text", "extract_text(payload) - main-content extraction"),
       es => ExtractText(es.head)))
+    ext.injectFunction((FunctionIdentifier("extract_spans"),
+      info("extract_spans", "extract_spans(payload) - char-offset spans"),
+      es => ExtractSpans(es.head)))
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(text) - 64-slot MinHash"),
       es => MinHashSignature(es.head, 3, 64)))

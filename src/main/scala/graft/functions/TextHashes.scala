@@ -226,5 +226,6 @@ object TextHashes {
     reg.createOrReplaceTempFunction("shingle_hashes",
       es => ShingleHashes(es.head, 3), "scala_udf")
     reg.createOrReplaceTempFunction("extract_text", es => ExtractText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_spans", es => ExtractSpans(es.head), "scala_udf")
   }
 }

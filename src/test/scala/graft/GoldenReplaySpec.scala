@@ -61,6 +61,11 @@ class GoldenReplaySpec extends AnyFunSuite {
           val payload = SvgEmitter.page(runs, 612, 792)
           val res = Extractor.extract(payload)
           assert(res.text == expected, s"svg round-trip mismatch for $paper")
+          // one span per golden run, offsets consistent with the joined text
+          assert(res.spans.length == entries.length)
+          res.spans.zip(entries).foreach { case (sp, e) =>
+            assert(res.text.substring(sp.start, sp.end) == e)
+          }
       }
     }
   }

@@ -68,6 +68,10 @@ class PlanSpec extends AnyFunSuite {
       "SELECT extract_text('<body><p>hi</p></body>') AS t, simhash64('a b c') AS h")
       .collect()(0)
     assert(r.getString(0) == "hi")
+    val spans = s2.sql(
+      "SELECT explode(extract_spans('<body><p>hi</p></body>')) AS s")
+      .select("s.start", "s.end", "s.label").collect()
+    assert(spans.length == 1 && spans(0).getInt(0) == 0 && spans(0).getInt(1) == 2)
     assert(r.getLong(1) == graft.functions.TextSketch.simhash(
       org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
   }
