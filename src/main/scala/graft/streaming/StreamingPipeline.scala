@@ -6,6 +6,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
+/** Mutable-free per-conversation session accumulator (Encoders need it public
+  * and top-level for codegen). */
+final case class SessionState(turns: Long, chars: Long, firstTs: Long, lastTs: Long)
+
 /** Structured Streaming face of the extractor: the same per-row kernel behind
   * `readStream → mapPartitions → writeStream`, for deployments that tail the
   * transcript table instead of batch-snapshotting it.
@@ -57,6 +61,43 @@ object StreamingPipeline {
     }.toDF("conv_id", "turn_idx", "role", "extracted_text", "dropped", "ts")
       .withColumn("metrics", struct(col("dropped").as("dropped_nodes")))
       .drop("dropped")
+  }
+
+  /** Session descriptor emitted when a conversation goes quiet. */
+  final case class ConvSession(
+      conv_id: String, turns: Long, chars: Long,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+
+  /** Custom streaming state: per-conversation sessions closed after `gapMinutes`
+    * of event-time silence — `flatMapGroupsWithState` with an event-time timeout
+    * (the KeyValueGroupedDataset state API the batch engine has no analog for).
+    * Emits one ConvSession row when the conversation times out. */
+  def sessionize(turns: Dataset[Turn], gapMinutes: Int = 30): Dataset[ConvSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import turns.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    turns
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (convId: String, rows: Iterator[Turn], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ConvSession(convId, s.turns, s.chars,
+              new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs)))
+          } else {
+            var s = state.getOption.getOrElse(SessionState(0, 0, Long.MaxValue, Long.MinValue))
+            rows.foreach { t =>
+              s = SessionState(s.turns + 1, s.chars + t.text.length,
+                math.min(s.firstTs, t.ts.getTime), math.max(s.lastTs, t.ts.getTime))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTs + gapMs)
+            Iterator.empty
+          }
+        })
   }
 
   /** Sink: append to parquet/Iceberg with checkpointed exactly-once offsets. */

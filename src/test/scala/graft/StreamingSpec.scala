@@ -33,6 +33,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stateful sessionizer closes conversations after event-time silence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-02-01 00:00:00").getTime
+    def turn(conv: String, idx: Int, offsetSec: Int) =
+      Turn(conv, idx, "user", s"text $conv $idx", "",
+        new java.sql.Timestamp(base + offsetSec * 1000L))
+    val stream = MemoryStream[Turn]
+    // c1: three turns within a minute, then silence; c2 keeps the watermark moving
+    stream.addData(turn("c1", 0, 0), turn("c1", 1, 30), turn("c1", 2, 60))
+    stream.addData(turn("c2", 0, 7200)) // 2h later → c1's 30-min gap expires
+    val q = StreamingPipeline.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    q.processAllAvailable()
+    // one more batch so the state store applies the advanced watermark timeout
+    stream.addData(turn("c2", 1, 10800))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions_out")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sessions.contains("c1"), sessions.toString)
+    assert(sessions("c1")._1 == 3) // three turns in the closed session
+  }
+
   test("windowed metrics with watermark aggregate per event-time minute") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
