@@ -53,6 +53,38 @@ object Multimodal {
       }
   }
 
+  final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: one media row → every `stride`-th fixed-size chunk as a
+    * frame row. === STUB === the chunker stands in for a video demuxer; the
+    * Spark shape is the contract: flatMap explosion with bounded fan-out, frame
+    * rows carry (media_id, frame_idx) for downstream grouping, and the output
+    * is explode-partitioned so one long video never pins a task. */
+  def sampleFrames(ds: Dataset[MediaRow], frameBytes: Int = 256, stride: Int = 4): Dataset[Frame] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      val nFrames = math.max(1, r.media.length / frameBytes)
+      (0 until nFrames by stride).iterator.map { f =>
+        val from = f * frameBytes
+        val until = math.min(r.media.length, from + frameBytes)
+        Frame(r.media_id, f, java.util.Arrays.copyOfRange(r.media, from, until))
+      }
+    }
+  }
+
+  /** "Resize": deterministic downsample of a frame to `outBytes` by strided
+    * byte selection. === STUB === stands in for image resize; signature
+    * (bytes, target dims → bytes) and per-partition batching are the contract. */
+  def resizeStub(frame: Array[Byte], outBytes: Int = 64): Array[Byte] = {
+    if (frame.isEmpty) return Array.emptyByteArray
+    val out = new Array[Byte](math.min(outBytes, frame.length))
+    val step = math.max(1, frame.length / out.length)
+    var i = 0
+    while (i < out.length) { out(i) = frame(math.min(frame.length - 1, i * step)); i += 1 }
+    out
+  }
+
   /** Deterministic synthetic media table (documents' text bytes as stand-in
     * payloads) — exercises binary-column IO, partitioning, and batch shape. */
   def syntheticMedia(spark: SparkSession, documentsPath: String): Dataset[MediaRow] = {

@@ -175,4 +175,23 @@ class OpsSpec extends AnyFunSuite {
     assert(f1(0L) != f1(3L))
     assert(f1.values.forall(_.length == 8))
   }
+
+  test("multimodal frame sampling + resize plumbing") {
+    import spark.implicits._
+    val media = docs.select(
+      col("doc_id").as("media_id"), lit("video").as("kind"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit(16).as("width"), lit(16).as("height"), lit(0L).as("duration_ms"))
+      .as[Multimodal.MediaRow]
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0)) // stride respected
+    assert(frames.forall(_.frame.length <= 64))
+    // deterministic + resize bound
+    val resized = frames.map(f => Multimodal.resizeStub(f.frame, 16))
+    assert(resized.forall(_.length <= 16))
+    val again = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2).collect()
+    assert(frames.map(f => (f.media_id, f.frame_idx)).toSeq ==
+      again.map(f => (f.media_id, f.frame_idx)).toSeq)
+  }
 }
