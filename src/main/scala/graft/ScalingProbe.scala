@@ -63,6 +63,29 @@ object ScalingProbe {
         payloads.foreach(p => chars += Extractor.extract(p).text.length)
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[probe] raw 1-thread: ${payloads.length} payloads in $sec%.2f s (${payloads.length / sec}%.0f turns/s, $chars chars)")
+      case m if m.startsWith("write") => // full job incl. parquet sink: writeN
+        val c = m.substring(5).toInt
+        val s = session(c)
+        val outDir = java.nio.file.Files.createTempDirectory("graft-write").toString + "/out"
+        def job() = Pipeline.extractTurns(Pipeline.readTurns(s, corpus))
+          .write.mode("overwrite").parquet(outDir)
+        job()
+        val t0 = System.nanoTime(); job(); val sec = (System.nanoTime() - t0) / 1e9
+        val n = s.read.parquet(outDir).count()
+        println(f"[probe] write local[$c%d]: $sec%.2f s  (${n / sec}%.0f turns/s incl. sink)")
+        s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      case m if m.startsWith("wlite") => // write without the spans column: wliteN
+        val c = m.substring(5).toInt
+        val s = session(c)
+        val outDir = java.nio.file.Files.createTempDirectory("graft-wlite").toString + "/out"
+        def job() = Pipeline.extractTurns(Pipeline.readTurns(s, corpus))
+          .drop("spans")
+          .write.mode("overwrite").parquet(outDir)
+        job()
+        val t0 = System.nanoTime(); job(); val sec = (System.nanoTime() - t0) / 1e9
+        val n = s.read.parquet(outDir).count()
+        println(f"[probe] wlite local[$c%d]: $sec%.2f s  (${n / sec}%.0f turns/s, no spans col)")
+        s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       case m if m.startsWith("map") => // extraction only, no shuffle: mapN
         val c = m.substring(3).toInt
         val s = session(c)
