@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
 object Main {
 
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-extract")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  /** Session-agnostic job body (tests drive it with their own session). */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val input = opts("--input")
     val output = opts("--output")
@@ -27,15 +39,8 @@ object Main {
     val mode = opts.getOrElse("--mode", "full")
     val partitions = opts.get("--partitions").map(_.toInt)
 
-    val spark = SparkSession.builder()
-      .appName("graft-extract")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-
     val snapshotId = opts.getOrElse("--snapshot", "latest")
-    val buckets = 64
+    val buckets = opts.get("--buckets").map(_.toInt).getOrElse(64)
 
     val turnsAll = Pipeline.readTurns(spark, input)
       .withColumn("__bucket", pmod(xxhash64(col("conv_id")), lit(buckets)).cast("string"))
@@ -65,6 +70,5 @@ object Main {
           .toDF("part", "snapshot_id", "rows", "chars", "status", "run_ts"),
         manifestPath)
     }
-    spark.stop()
   }
 }
