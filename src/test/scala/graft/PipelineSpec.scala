@@ -88,6 +88,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("skew: a 100k-turn mega-conversation splits across partitions") {
+    import spark.implicits._
+    // plain-text payloads: this test exercises partitioning, not the parsers
+    val mega = (0 until 100000).map(i =>
+      Turn("mega", i, "user", s"turn text $i", "", new java.sql.Timestamp(i.toLong)))
+    val small = (0 until 50).flatMap(c => (0 until 10).map(i =>
+      Turn(f"c$c%03d", i, "user", s"small $c $i", "", new java.sql.Timestamp(i.toLong))))
+    val ds = spark.createDataset(scala.util.Random.shuffle(mega ++ small))
+    val out = Pipeline.extractTurns(ds, Some(8))
+    val sizes = out.toDF().mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.sum == 100500)
+    // the mega conversation must not land on one reducer: no partition holds
+    // more than ~40% of the rows (range partitioner splits it by turn_idx)
+    assert(sizes.max < 40000, sizes.mkString(","))
+    assert(Pipeline.orderingViolations(out) == 0)
+  }
+
   test("manifest: append, latest-wins read, pending anti-join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
