@@ -27,6 +27,14 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set(0L, 2L, 3L, 4L, 5L))
   }
 
+  test("exact dedup hash path (verifyBytes=false) matches the byte-exact path") {
+    val byHash = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byBytes = Dedup.exact(docs, "doc_id", "text", verifyBytes = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byHash == byBytes)
+  }
+
   test("minhash LSH finds near-dups, skips unrelated") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

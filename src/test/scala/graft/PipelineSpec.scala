@@ -124,6 +124,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(pending == Set("p3"))
   }
 
+  test("driver entry() smoke: rows > 0 with the full output schema") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSet == Set("conv_id", "turn_idx", "extracted_text", "spans", "metrics"))
+  }
+
   test("manifest read on missing path yields empty frame") {
     val m = Manifest.read(spark, "/tmp/graft-no-such-manifest-xyz")
     assert(m.count() == 0)
