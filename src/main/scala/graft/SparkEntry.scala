@@ -195,6 +195,19 @@ object SparkEntry {
           .cast("long").as("uni"))
     }),
 
+    "q44_chunking" -> ((s, dir) =>
+      graft.ops.Chunking.chunkWords(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+        size = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk_text"))),
+    "q45_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.Chunking.redactPii(
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1 (415) 555-01"), pmod(col("doc_id"), lit(90)) + 10))
+          .as("redacted"))),
+
     // ───────────── similarity search ─────────────
     "q30_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -447,6 +460,20 @@ object SparkEntry {
         |  CASE WHEN (list_sort(scores)[5]).score > 0 THEN (list_sort(scores)[5]).lang
         |       ELSE 'und' END AS lang_guess
         |FROM sc""".stripMargin,
+    "q44_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(range(0, ((len(ws)-1)//24)+1),
+        |        i -> {'i': i, 't': array_to_string(ws[i*24+1 : i*24+32], ' ')})) AS u
+        |      FROM w)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx, u.t AS chunk_text FROM c""".stripMargin,
+    "q45_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     text || ' contact user' || doc_id || '@example.com or +1 (415) 555-01' || (doc_id % 90 + 10),
+        |     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
     "q50_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

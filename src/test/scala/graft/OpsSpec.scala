@@ -169,6 +169,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L).getAs[Double]("q") >= 0.7) // long, stopword-rich, low punct
   }
 
+  test("token-window chunking: coverage with overlap; redaction hits PII shapes") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.ops.Chunking.chunkWords(d, "doc_id", "text", size = 32, stride = 24)
+      .orderBy("chunk_idx").collect().map(_.getString(2))
+    assert(chunks.length == 5) // starts 0,24,48,72,96
+    assert(chunks.head.startsWith("w1 ") && chunks.head.endsWith(" w32"))
+    assert(chunks(1).startsWith("w25 ")) // 8-word overlap
+    assert(chunks.last == "w97 w98 w99 w100") // short tail window
+    // every word appears in at least one chunk
+    val covered = chunks.flatMap(_.split(" ")).toSet
+    assert(covered.size == 100)
+
+    val red = Seq((1L, "mail me at jo.doe@example.com or call +1 (415) 555-0117 now"))
+      .toDF("doc_id", "text")
+      .select(graft.ops.Chunking.redactPii(col("text")).as("r"))
+      .collect()(0).getString(0)
+    assert(red == "mail me at <EMAIL> or call <PHONE> now", red)
+  }
+
   test("multimodal plumbing: deterministic stub features, size-ranged partitions") {
     import spark.implicits._
     val media = docs.select(
