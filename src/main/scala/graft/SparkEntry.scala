@@ -208,6 +208,27 @@ object SparkEntry {
             lit("@example.com or +1 (415) 555-01"), pmod(col("doc_id"), lit(90)) + 10))
           .as("redacted"))),
 
+    "q46_clean_pipeline" -> ((s, dir) => {
+      // the composed training-data cleaning flow: exact dedup -> quality gate
+      // -> language filter -> PII redaction -> token-window chunking
+      val docs = t(s, dir, "documents")
+      val deduped = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val len = length(col("text"))
+      val nWords = TextStats.wsTokenCount(col("text"))
+      val nStop = size(filter(split(lower(col("text")), " "),
+        w => w.isInCollection(Seq("the", "of", "and", "a", "to", "in", "is", "for", "on", "with"))))
+      val punct = TextStats.punctCount(col("text"))
+      val quality = when(len.between(50, 10000), lit(4)).when(len.between(20, 50000), lit(2)).otherwise(lit(0)) +
+        when(nStop * 20 > nWords, lit(3)).otherwise(lit(0)) +
+        when(punct * 5 < len, lit(3)).otherwise(lit(0))
+      val cleaned = deduped
+        .filter(quality >= 7)
+        .filter(TextStats.langId(col("text")) === "en")
+        .select(col("doc_id"), graft.ops.Chunking.redactPii(col("text")).as("text"))
+      graft.ops.Chunking.chunkWords(cleaned, "doc_id", "text", size = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk_text"))
+    }),
+
     // ───────────── similarity search ─────────────
     "q30_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -474,6 +495,42 @@ object SparkEntry {
         |     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |   '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
+    "q46_clean_pipeline" ->
+      """WITH dedup AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |flt AS (
+        |  SELECT doc_id, text FROM dedup
+        |  WHERE (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 4
+        |              WHEN length(text) BETWEEN 20 AND 50000 THEN 2 ELSE 0 END)
+        |      + (CASE WHEN 20 * len(list_filter(string_split(lower(text), ' '),
+        |            w -> list_contains(['the','of','and','a','to','in','is','for','on','with'], w)))
+        |           > (CASE WHEN length(text) = 0 THEN 0
+        |                   ELSE length(text) - length(replace(text, ' ', '')) + 1 END)
+        |         THEN 3 ELSE 0 END)
+        |      + (CASE WHEN 5 * (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) < length(text)
+        |         THEN 3 ELSE 0 END) >= 7
+        |),
+        |lang AS (
+        |  SELECT doc_id, text,
+        |    [
+        |     {'score': len(list_filter(string_split(lower(text),' '), w -> list_contains(['der','die','und','das','ist','nicht','mit','ein','ich','auf'], w))), 'lang': 'de'},
+        |     {'score': len(list_filter(string_split(lower(text),' '), w -> list_contains(['the','and','of','to','in','is','that','it','was','for'], w))), 'lang': 'en'},
+        |     {'score': len(list_filter(string_split(lower(text),' '), w -> list_contains(['el','la','los','del','las','por','con','una','para','es'], w))), 'lang': 'es'},
+        |     {'score': len(list_filter(string_split(lower(text),' '), w -> list_contains(['le','la','et','les','des','est','pas','une','dans','que'], w))), 'lang': 'fr'},
+        |     {'score': (CASE WHEN contains(text,'的') THEN 1 ELSE 0 END)+(CASE WHEN contains(text,'是') THEN 1 ELSE 0 END)+(CASE WHEN contains(text,'不') THEN 1 ELSE 0 END)+(CASE WHEN contains(text,'了') THEN 1 ELSE 0 END)+(CASE WHEN contains(text,'在') THEN 1 ELSE 0 END)+(CASE WHEN contains(text,'人') THEN 1 ELSE 0 END)+(CASE WHEN contains(text,'有') THEN 1 ELSE 0 END)+(CASE WHEN contains(text,'我') THEN 1 ELSE 0 END)+(CASE WHEN contains(text,'他') THEN 1 ELSE 0 END)+(CASE WHEN contains(text,'这') THEN 1 ELSE 0 END), 'lang': 'zh'}
+        |    ] AS scores
+        |  FROM flt),
+        |en AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS text
+        |  FROM lang
+        |  WHERE (list_sort(scores)[5]).score > 0 AND (list_sort(scores)[5]).lang = 'en'),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM en),
+        |c AS (SELECT doc_id, unnest(list_transform(range(0, ((len(ws)-1)//24)+1),
+        |        i -> {'i': i, 't': array_to_string(ws[i*24+1 : i*24+32], ' ')})) AS u
+        |      FROM w)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx, u.t AS chunk_text FROM c""".stripMargin,
     "q50_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
