@@ -79,7 +79,7 @@ object Bench {
       "q10_extract_html", "q11_extract_svg", "q12_extract_pdf",
       "q13_pipeline_e2e", "q20_dedup_exact", "q21_dedup_minhash",
       "q22_simhash_pairs", "q30_ann_bruteforce", "q33_ann_ivf", "q40_textstats",
-      "q43_fingerprint", "q50_events_window", "q53_rollup", "q59_asof_join")
+      "q43_fingerprint", "q44_chunking", "q46_clean_pipeline", "q50_events_window", "q53_rollup", "q59_asof_join")
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
