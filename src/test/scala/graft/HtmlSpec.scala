@@ -54,6 +54,24 @@ class HtmlSpec extends AnyFunSuite {
     assert(Boilerplate.extract(html).text == "first\nsecond")
   }
 
+  test("tables, captions, nested sections keep reading order") {
+    val html =
+      """<body><article><section><h2>Title</h2>
+        |<p>Intro para.</p>
+        |<table><tr><th>H1</th><th>H2</th></tr><tr><td>a1</td><td>a2</td></tr></table>
+        |<figure><img src="x.png"><figcaption>Figure one.</figcaption></figure>
+        |</section></article></body>""".stripMargin
+    val ex = Boilerplate.extract(html)
+    assert(ex.text == "Title\nIntro para.\nH1\nH2\na1\na2\nFigure one.")
+    assert(ex.spans.exists(_.label.endsWith("figcaption")))
+    assert(ex.spans.exists(_.label.contains("article>section")))
+  }
+
+  test("definition lists and blockquotes") {
+    val html = "<body><dl><dt>Term</dt><dd>Meaning</dd></dl><blockquote>Quoted words</blockquote></body>"
+    assert(Boilerplate.extract(html).text == "Term\nMeaning\nQuoted words")
+  }
+
   test("whitespace normalization collapses runs, keeps br newlines") {
     val html = "<body><p>a   b\n\t c</p></body>"
     assert(Boilerplate.extract(html).text == "a b c")
