@@ -54,19 +54,35 @@ object Main {
       } else (0 until buckets).map(_.toString).toSet
 
     import spark.implicits._
-    pendingBuckets.toSeq.sorted.foreach { bucket =>
-      val turns = turnsAll.filter(col("__bucket") === bucket)
+    val pending = pendingBuckets.toSeq.sorted
+    if (pending.nonEmpty) {
+      // ONE pass over the input: all pending buckets extracted together and
+      // split at write time via partitionBy — a per-bucket filter loop would
+      // rescan the full table O(buckets) times (xxhash64(conv_id) pmod can't be
+      // pushed down or pruned). Dynamic partition overwrite keeps the write
+      // idempotent per bucket (Iceberg deployment: MERGE INTO keyed on
+      // (conv_id, turn_idx)).
+      val turns = turnsAll.filter(col("__bucket").isin(pending: _*))
         .drop("__bucket").as[graft.core.Turn]
       val extracted = Pipeline.extractTurns(turns, partitions)
-      val bucketPath = s"$output/bucket=$bucket"
-      extracted.write.mode("overwrite")
-        .parquet(bucketPath) // Iceberg: MERGE INTO keyed (conv_id, turn_idx)
-      // metrics from the just-written files — never re-run the extraction
-      val m = Pipeline.metrics(spark.read.parquet(bucketPath)
-        .as[graft.core.ExtractedTurn]).collect()(0)
+        .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(buckets)).cast("string"))
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try extracted.write.mode("overwrite").partitionBy("bucket").parquet(output)
+      finally prevMode match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // per-bucket metrics from the just-written files — never re-run extraction
+      val ts = new java.sql.Timestamp(System.currentTimeMillis())
+      val rows = spark.read.parquet(output)
+        .filter(col("bucket").isin(pending: _*))
+        .groupBy(col("bucket").cast("string").as("part"))
+        .agg(count(lit(1)).as("rows"), sum(length(col("extracted_text"))).as("chars"))
+        .collect()
       Manifest.append(
-        Seq((bucket, snapshotId, m.getAs[Long]("turns"), m.getAs[Long]("chars"),
-          "done", new java.sql.Timestamp(System.currentTimeMillis())))
+        rows.toSeq.map(r => (r.getString(0), snapshotId, r.getAs[Long]("rows"),
+            r.getAs[Long]("chars"), "done", ts))
           .toDF("part", "snapshot_id", "rows", "chars", "status", "run_ts"),
         manifestPath)
     }

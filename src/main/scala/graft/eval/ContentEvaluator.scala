@@ -114,7 +114,10 @@ object ContentEvaluator {
       while (i < str.length) {
         val c = str.charAt(i)
         xcoords += st.x + showX * textHScale
-        showX += widths(c.toInt) * widthAdvanceScale + st.charSpacing * st.fontDirection
+        // word spacing applies to space glyphs (charcode 0x20, 1-byte encoding) —
+        // `(glyph.isSpace ? wordSpacing : 0) + charSpacing`, pdf.combined.js:29772
+        val spacing = st.charSpacing + (if (c == ' ') st.wordSpacing else 0.0)
+        showX += widths(c.toInt) * widthAdvanceScale + spacing * st.fontDirection
         sb.append(c)
         i += 1
       }

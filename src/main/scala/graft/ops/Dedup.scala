@@ -101,6 +101,10 @@ object Dedup {
     * the 64-bit fingerprint in 4 blocks of 16; any pair within Hamming distance
     * ≤3 shares at least one exact block (pigeonhole). Shuffles on 16-bit keys. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    // 4 blocks cover Hamming ≤ 3 by pigeonhole; a larger radius would need more
+    // blocks (or pair-of-block keys) to stay complete — refuse rather than
+    // silently under-report.
+    require(maxHamming <= 3, s"block-permutation with 4 blocks is complete only for maxHamming <= 3, got $maxHamming")
     val withFp = df.select(col(idCol), simhash(col(textCol)))
     val blocks = withFp.select(
       col(idCol), col("simhash"),

@@ -87,38 +87,47 @@ object Similarity {
     * broadcast, the corpus is written partitioned by `__list` so probes prune
     * partitions/files instead of scanning the table.
     */
+  /** Per-row scores against every centroid, as ONE array expression: the
+    * centroid matrix is a single `typedlit` constant (array<array<double>>), so
+    * codegen sees one literal and a higher-order-function loop — no per-centroid
+    * expression fan-out, works at nlist=256+ where per-centroid `lit()` arrays
+    * blew up generated code. Scores are dot / centroid-norm (cosine argmax: the
+    * row norm is constant across centroids and drops out) — the SAME scoring is
+    * used for corpus assignment and query probing, so probes land where the
+    * neighbors were assigned. */
+  private def centroidScores(cents: Array[Array[Double]], v: Column): Column = {
+    val centsCol = typedlit(cents.map(_.toSeq).toSeq)
+    val normsCol = typedlit(cents.map(c => math.max(1e-12, math.sqrt(c.map(x => x * x).sum))).toSeq)
+    zip_with(centsCol, normsCol, (c, n) => dot(v, c) / n)
+  }
+
+  /** argmax over a score array; first index wins ties (deterministic). */
+  private def argmax(scores: Column): Column =
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // deterministic seed centroids: nlist lowest xxhash64(id) vectors
-    val seeds = corpus
-      .select(col(idCol), col(vecCol))
-      .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy("__h").limit(nlist)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // the index build makes two passes (seed + Lloyd refinement) and the final
+    // assignment a third: cache the narrow (id, vec) projection across them.
+    // At 100 TB the corpus is instead written partitioned by __list at index
+    // build time, so probes prune files and no repeated full scan happens.
+    val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv")).cache()
 
-    def assignExpr(cents: Array[Array[Double]], v: Column): Column = {
-      // nearest centroid by cosine: normalize the dot by the centroid norm
-      // (the row norm is constant across centroids and drops out of argmax);
-      // max-dot alone would collapse everything into the largest-norm centroid
-      val scored = cents.zipWithIndex.map { case (c, i) =>
-        val cn = math.max(1e-12, math.sqrt(c.map(x => x * x).sum))
-        val lits = array(c.toIndexedSeq.map(lit): _*)
-        struct((dot(v, lits) / lit(cn)).as("s"), lit(i).as("i"))
-      }
-      if (scored.length == 1) lit(0)
-      else greatest(scored.toIndexedSeq: _*).getField("i")
-    }
+    // deterministic seed centroids: nlist lowest xxhash64(id) vectors
+    val seeds = base
+      .withColumn("__h", xxhash64(col("nid")))
+      .orderBy("__h").limit(nlist)
+      .select(col("__cv")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
     // one Lloyd refinement: mean of assigned vectors per list
     val dims = seeds.headOption.map(_.length).getOrElse(0)
-    val assigned = corpus.select(col(vecCol).as("__v"),
-      assignExpr(seeds, col(vecCol)).as("__list"))
     val refined: Array[Array[Double]] = {
-      val sums = assigned
-        .select(col("__list"), posexplode(col("__v")).as(Seq("__d", "__x")))
+      val sums = base
+        .select(argmax(centroidScores(seeds, col("__cv"))).as("__list"),
+          posexplode(col("__cv")).as(Seq("__d", "__x")))
         .groupBy("__list", "__d").agg(avg(col("__x")).as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       val out = seeds.map(_.clone())
@@ -126,19 +135,19 @@ object Similarity {
       out
     }
 
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"),
-      assignExpr(refined, col(vecCol)).as("__list"))
-    // queries probe their nprobe nearest lists
-    val probeLists = refined.indices.map { i =>
-      val lits = array(refined(i).toIndexedSeq.map(lit): _*)
-      struct(dot(col("__qv"), lits).as("s"), lit(i).as("i"))
-    }
+    val c = base.withColumn("__list", argmax(centroidScores(refined, col("__cv"))))
+    // queries probe their nprobe highest-scoring lists — scored identically to
+    // the corpus assignment (normalized dot), so probe lists are consistent
     val q = broadcast(
       queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
-        .withColumn("__probes",
-          slice(reverse(array_sort(array(probeLists: _*))), 1, nprobe))
-        .withColumn("__list", explode(transform(col("__probes"), p => p.getField("i"))))
-        .drop("__probes"))
+        .withColumn("__scores", centroidScores(refined, col("__qv")))
+        .withColumn("__structs",
+          zip_with(col("__scores"), sequence(lit(0), lit(nlist - 1)),
+            (s, i) => struct(s.as("s"), i.as("i"))))
+        .withColumn("__list",
+          explode(transform(slice(reverse(array_sort(col("__structs"))), 1, nprobe),
+            p => p.getField("i"))))
+        .drop("__scores", "__structs"))
     val scored = c.join(q, Seq("__list"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
