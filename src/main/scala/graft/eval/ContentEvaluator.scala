@@ -11,6 +11,27 @@ final case class PageBox(x: Double, y: Double, w: Double, h: Double)
 
 final case class EvalResult(runs: Vector[GlyphRun], boxes: Vector[PageBox], errors: Int)
 
+/** Resource context for a content stream: font lookups and Form XObjects
+  * (SURVEY.md §2.2 E8/R7 — the reference's resources dict + buildFormXObject,
+  * pdf.combined.js:45075-45121). */
+trait PageResources {
+  def font(name: String): FontSpec
+  def form(name: String): Option[FormXObject] = None
+}
+
+/** A Form XObject ready to execute: decoded content, its own resource context,
+  * the /Matrix to compose onto the CTM, and a stable identity key for the
+  * recursion guard (the reference memoizes XObjects the same way, 46318-46370). */
+final case class FormXObject(
+    content: Array[Byte], resources: PageResources, matrix: Array[Double], key: String)
+
+object PageResources {
+  def fromMap(m: Map[String, FontSpec]): PageResources = new PageResources {
+    def font(name: String): FontSpec = FontMetrics.resolve(name, m)
+  }
+  val empty: PageResources = fromMap(Map.empty)
+}
+
 /** Content-stream → positioned glyph runs.
   *
   * Fuses the reference's decode + render stages into one pass per row:
@@ -24,6 +45,13 @@ final case class EvalResult(runs: Vector[GlyphRun], boxes: Vector[PageBox], erro
   * typed Dataset with zero allocation beyond the output runs.
   */
 object ContentEvaluator {
+
+  /** Test-only boundary trace: when `sink` is non-null the evaluator appends
+    * one TSV row per tspan boundary with the geometric features the fake-space
+    * decision sees. Used to fit the golden generator's rule empirically. */
+  private[graft] object EvalTrace {
+    var sink: scala.collection.mutable.ArrayBuffer[String] = null
+  }
 
   private val FontMatrix0 = 0.001 // FONT_IDENTITY_MATRIX[0]
 
@@ -63,15 +91,26 @@ object ContentEvaluator {
     }
   }
 
-  def evaluate(content: Array[Byte], resources: Map[String, FontSpec] = Map.empty): EvalResult = {
-    val lexer = new ContentLexer(content, OpTable.knownCommands)
+  def evaluate(content: Array[Byte], resources: Map[String, FontSpec] = Map.empty): EvalResult =
+    evaluatePage(content, PageResources.fromMap(resources))
+
+  /** `fakeSpaces = true` reconstructs inter-word spaces the way the reference
+    * CLI's golden output does (SURVEY.md §2.9 R3/R5): a single leading space on
+    * a new tspan whose same-line gap from the previous show is ≥ 0.3×spaceWidth,
+    * and 1/round(gap/spaceWidth) spaces at TJ kern gaps ≥ 0.3×/1.5×spaceWidth
+    * (SPACE_FACTOR/MULTI_SPACE_FACTOR, pdf.combined.js:45930-45932 + the
+    * addFakeSpaces discipline at 46138-46150). Off by default: the synthetic
+    * dialect payloads carry real space glyphs, and the line assembler derives
+    * spacing from x-coordinates instead. */
+  def evaluatePage(content: Array[Byte], pageResources: PageResources,
+      fakeSpaces: Boolean = false): EvalResult = {
     val st = new State
     val stack = ArrayBuffer.empty[State]
     val runs = Vector.newBuilder[GlyphRun]
     val boxes = Vector.newBuilder[PageBox]
-    var errors = 0
 
     // current tspan accumulation
+    var flushedCount = 0
     val sb = new StringBuilder
     val xcoords = ArrayBuffer.empty[Double]
     var tspanY = 0.0
@@ -82,6 +121,7 @@ object ContentEvaluator {
 
     def flush(): Unit = {
       if (sb.nonEmpty) {
+        flushedCount += 1
         runs += GlyphRun(
           sb.toString, xcoords.toArray, tspanY,
           tspanFont.family, tspanSize,
@@ -105,28 +145,96 @@ object ContentEvaluator {
     // objects (the metrics-only model makes GlyphM redundant on this path).
     var showX = 0.0
     def showBegin(): Unit = showX = 0.0
+
+    // fake-space state: text-space pen position after the previous show, valid
+    // only within an unchanged (ctm, textMatrix) frame
+    var lastEndX, lastEndY = 0.0
+    var lastCtm: Array[Double] = null
+    var lastTm: Array[Double] = null
+    var lastGlyphStartX = 0.0
+    var glyphStartTmp = 0.0
+    var prevSw = 0.0
+    var cBT, cET, cTf, cTm, cTd, cTc, cOther = 0 // ops seen since the previous show (trace)
+    def spaceWidthUnits: Double = {
+      val est = st.font.spaceWidthEst
+      (if (est.isNaN) st.font.widths(' '.toInt) else est) * 0.001 * st.fontSize
+    }
+    def appendSpaces(n: Int, atX: Double): Unit = {
+      var k = 0
+      while (k < n) { xcoords += atX; sb.append(' '); k += 1 }
+    }
+
     def showString(str: String): Unit = {
       if (st.fontSize == 0) return // early skip (pdf.combined.js:20315-20317)
       val textHScale = st.textHScale * st.fontDirection
-      val widthAdvanceScale = st.fontSize * FontMatrix0
+      val widthAdvanceScale = st.fontSize * st.font.fontMatrix0
       val widths = st.font.widths
+      val glyphText = st.font.glyphText
+      if (fakeSpaces && sb.isEmpty && str.nonEmpty && lastCtm != null) {
+        val sameFrame = java.util.Arrays.equals(lastCtm, st.ctm) &&
+          java.util.Arrays.equals(lastTm, st.textMatrix)
+        val curX = st.x + showX * textHScale
+        val sw = spaceWidthUnits
+        if (EvalTrace.sink != null) {
+          def dev(ctm: Array[Double], tm: Array[Double], x: Double, y: Double): (Double, Double) = {
+            val m = NumFmt.mul(ctm, tm)
+            (m(0) * x + m(2) * y + m(4), m(1) * x + m(3) * y + m(5))
+          }
+          val (pdx, pdy) = dev(lastCtm, lastTm, lastEndX, lastEndY)
+          val (pgx, _) = dev(lastCtm, lastTm, lastGlyphStartX, lastEndY)
+          val (cdx, cdy) = dev(st.ctm, st.textMatrix, curX, st.y)
+          val pScale = { val m = NumFmt.mul(lastCtm, lastTm); math.hypot(m(0), m(1)) }
+          val cScale = { val m = NumFmt.mul(st.ctm, st.textMatrix); math.hypot(m(0), m(1)) }
+          EvalTrace.sink += Seq(
+            flushedCount,
+            if (sameFrame) 1 else 0, cBT, cET, cTf, cTm, cTd, cTc,
+            f"$pdx%.3f", f"$pdy%.3f", f"$pgx%.3f", f"$cdx%.3f", f"$cdy%.3f",
+            f"${prevSw * pScale}%.4f", f"${sw * cScale}%.4f",
+            f"${lastEndX}%.3f", f"$curX%.3f", f"${st.fontSize * cScale}%.3f").mkString("\t")
+        }
+        // single leading space on a new tspan after a positive x-gap within the
+        // same (ctm, textMatrix) frame — the golden corpus shows the generator
+        // compared x only (column jumps with Δy also get exactly one space)
+        if (sameFrame && sw > 0 && (curX - lastEndX) >= 0.3 * sw) appendSpaces(1, lastEndX)
+      }
       var i = 0
       while (i < str.length) {
         val c = str.charAt(i)
-        xcoords += st.x + showX * textHScale
+        // glyph text may expand to several chars (ligature /ToUnicode targets);
+        // keep one xcoord per emitted char so xs.length == text.length holds
+        val g = glyphText(c.toInt)
+        val gx = st.x + showX * textHScale
+        glyphStartTmp = gx
+        var k = 0
+        while (k < g.length) { xcoords += gx; k += 1 }
         // word spacing applies to space glyphs (charcode 0x20, 1-byte encoding) —
         // `(glyph.isSpace ? wordSpacing : 0) + charSpacing`, pdf.combined.js:29772
         val spacing = st.charSpacing + (if (c == ' ') st.wordSpacing else 0.0)
         showX += widths(c.toInt) * widthAdvanceScale + spacing * st.fontDirection
-        sb.append(c)
+        sb.append(g)
         i += 1
       }
     }
     def showKern(n: Double): Unit =
-      if (st.fontSize != 0) showX += -n * st.fontSize * 0.001
+      if (st.fontSize != 0) {
+        val adv = -n * st.fontSize * 0.001
+        showX += adv
+        if (fakeSpaces && sb.nonEmpty && sb.charAt(sb.length - 1) != ' ' && adv > 0) {
+          val sw = spaceWidthUnits
+          if (sw > 0 && adv >= 0.3 * sw)
+            appendSpaces(1, st.x + showX * (st.textHScale * st.fontDirection))
+        }
+      }
     def showEnd(): Unit = {
       if (st.fontSize == 0) return
       st.x += showX * (st.textHScale * st.fontDirection)
+      if (fakeSpaces) {
+        lastEndX = st.x; lastEndY = st.y
+        lastCtm = st.ctm; lastTm = st.textMatrix
+        lastGlyphStartX = glyphStartTmp
+        prevSw = spaceWidthUnits
+        cBT = 0; cET = 0; cTf = 0; cTm = 0; cTd = 0; cTc = 0; cOther = 0
+      }
       // tspan attrs are (re)set at every showText; record state of last one
       tspanY = -st.y
       tspanMatrix = NumFmt.mul(st.ctm, st.textMatrix)
@@ -136,9 +244,9 @@ object ContentEvaluator {
     }
     def showText(strs: String*): Unit = { showBegin(); strs.foreach(showString); showEnd() }
 
-    def setFont(name: String, size: Double): Unit = {
+    def setFont(name: String, size: Double, res: PageResources): Unit = {
       flush()
-      st.font = FontMetrics.resolve(name, resources)
+      st.font = res.font(name)
       if (size < 0) { st.fontSize = -size; st.fontDirection = -1 }
       else { st.fontSize = size; st.fontDirection = 1 }
     }
@@ -146,6 +254,12 @@ object ContentEvaluator {
     def rgb(r: Double, g: Double, b: Double): String =
       s"rgb(${(r * 255).round},${(g * 255).round},${(b * 255).round})"
 
+    /** Execute one content stream in the shared graphics/text state. Form
+      * XObjects recurse here with their own resources; `active` keys guard
+      * against reference cycles and `depth` bounds pathological nesting. */
+    def exec(bytes: Array[Byte], res: PageResources, depth: Int, active: Set[String]): Int = {
+    val lexer = new ContentLexer(bytes, OpTable.knownCommands)
+    var errors = 0
     val args = ArrayBuffer.empty[Tok]
     def numArg(i: Int): Double = args(i) match {
       case Tok.Num(v) => v
@@ -188,25 +302,28 @@ object ContentEvaluator {
                   st.ctm = NumFmt.mul(st.ctm,
                     Array(numArg(0), numArg(1), numArg(2), numArg(3), numArg(4), numArg(5)))
                 case "BT" =>
+                  cBT += 1
                   st.x = 0; st.y = 0; st.lineX = 0; st.lineY = 0
                   st.textMatrix = NumFmt.Identity; st.lineMatrix = NumFmt.Identity
                   flush()
-                case "ET" => flush()
+                case "ET" => cET += 1; flush()
                 case "Tf" =>
+                  cTf += 1
                   (args(0), args(1)) match {
-                    case (Tok.Name(n), Tok.Num(sz)) => setFont(n, sz)
+                    case (Tok.Name(n), Tok.Num(sz)) => setFont(n, sz, res)
                     case _ => errors += 1
                   }
-                case "Td" => moveText(numArg(0), numArg(1))
-                case "TD" => st.leading = numArg(1); moveText(numArg(0), numArg(1))
+                case "Td" => cTd += 1; moveText(numArg(0), numArg(1))
+                case "TD" => cTd += 1; st.leading = numArg(1); moveText(numArg(0), numArg(1))
                 case "Tm" =>
+                  cTm += 1
                   st.textMatrix = Array(numArg(0), numArg(1), numArg(2), numArg(3), numArg(4), numArg(5))
                   st.lineMatrix = st.textMatrix
                   st.x = 0; st.y = 0; st.lineX = 0; st.lineY = 0
                   flush()
-                case "T*" => moveText(0, st.leading)
+                case "T*" => cTd += 1; moveText(0, st.leading)
                 case "TL" => st.leading = -numArg(0)
-                case "Tc" => st.charSpacing = numArg(0)
+                case "Tc" => cTc += 1; st.charSpacing = numArg(0)
                 case "Tw" => st.wordSpacing = numArg(0)
                 case "Tz" => st.textHScale = numArg(0) / 100
                 case "Ts" => st.textRise = numArg(0)
@@ -249,7 +366,28 @@ object ContentEvaluator {
                   val (rx, ry) = NumFmt.apply(st.ctm, numArg(0), numArg(1))
                   boxes += PageBox(rx, ry, numArg(2), numArg(3))
                 case "ID" => lexer.seekAfterEI()
-                case _ => () // consumed: stroke colors, paths, gs, Do, marked content…
+                case "Do" =>
+                  args(0) match {
+                    case Tok.Name(n) =>
+                      res.form(n) match {
+                        case Some(fx) if depth < 12 && !active.contains(fx.key) =>
+                          // buildFormXObject: save → transform(/Matrix) → run →
+                          // restore (pdf.combined.js:45075-45121); the stack is
+                          // truncated afterwards so an unbalanced q/Q inside the
+                          // form cannot leak outer state away
+                          flush()
+                          val snapshot = st.snapshot
+                          val stackDepth = stack.length
+                          st.ctm = NumFmt.mul(st.ctm, fx.matrix)
+                          errors += exec(fx.content, fx.resources, depth + 1, active + fx.key)
+                          flush()
+                          if (stack.length > stackDepth) stack.remove(stackDepth, stack.length - stackDepth)
+                          st.restoreFrom(snapshot)
+                        case _ => () // image XObject / unknown: consumed as marker
+                      }
+                    case _ => errors += 1
+                  }
+                case _ => () // consumed: stroke colors, paths, gs, marked content…
               }
               args.clear()
           }
@@ -258,6 +396,10 @@ object ContentEvaluator {
       }
       tok = lexer.getObj()
     }
+    errors
+    }
+
+    val errors = exec(content, pageResources, 0, Set.empty)
     flush()
     EvalResult(runs.result(), boxes.result(), errors)
   }

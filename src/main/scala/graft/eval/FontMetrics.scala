@@ -12,21 +12,40 @@ final case class FontSpec(
     widths: Int => Double,
     monospace: Boolean = false,
     bold: Boolean = false,
-    italic: Boolean = false) {
+    italic: Boolean = false,
+    /** charcode → emitted glyph text: `glyph.unicode = toUnicode.get(c) || c`
+      * (Font.charToGlyph, pdf.combined.js:36632-36636) — possibly several
+      * chars (ligature expansions from a /ToUnicode CMap). Identity for the
+      * synthetic dialects; real PDF fonts install their toUnicode mapping. */
+    glyphText: Int => String = FontSpec.IdentityChar,
+    /** FontMatrix[0] — 0.001 for everything except Type3 fonts. */
+    fontMatrix0: Double = 0.001,
+    /** Estimated space width in 1/1000 em (the reference's Font.spaceWidth
+      * getter chain over space/minus/one/i, pdf.combined.js:36575-36619);
+      * NaN = use widths(0x20). */
+    spaceWidthEst: Double = Double.NaN) {
 
-  /** string → glyphs; identity 1-byte encoding (charsToGlyphs,
+  /** string → glyphs; 1-byte charcodes through the font mapping (charsToGlyphs,
     * pdf.combined.js:36674-36719, simple-font path). */
   def charsToGlyphs(s: String): Array[GlyphM] = {
     val out = new Array[GlyphM](s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      out(i) = GlyphM(c.toString, widths(c.toInt), c == ' ')
+      out(i) = GlyphM(glyphText(c.toInt), widths(c.toInt), c == ' ')
       i += 1
     }
     out
   }
   def spaceWidth: Double = widths(' ')
+}
+
+object FontSpec {
+  val IdentityChar: Int => String = {
+    // cache the single-char strings for the ASCII fast path
+    val ascii = Array.tabulate(128)(c => c.toChar.toString)
+    c => if (c < 128) ascii(c) else c.toChar.toString
+  }
 }
 
 object FontMetrics {

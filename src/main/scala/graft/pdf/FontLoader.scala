@@ -1,0 +1,441 @@
+package graft.pdf
+
+import PObj._
+import graft.eval.{FontMetrics, FontSpec}
+
+import scala.collection.immutable.ArraySeq
+
+/** Simple-font translation: font dict → metrics + charcode→glyph-text mapping
+  * (SURVEY.md §2.5 F1-F5, F3/F7). Mirrors the reference's PartialEvaluator
+  * translateFont/extractDataStructures/extractWidths (pdf.combined.js:
+  * 46408-46931) and Font.charToGlyph's unicode derivation (36632-36636):
+  * the golden tspan texts are `glyph.unicode = toUnicode.get(code) || code`
+  * per glyph, with toUnicode from the /ToUnicode CMap, from encoding glyph
+  * names through the Adobe Glyph List (buildToUnicode, 36449-36520), and —
+  * for embedded fonts — amended by the font program's own encoding.
+  *
+  * Scope: simple fonts (Type1/Type1C via FontFile3, non-embedded std-14,
+  * Type3, TrueType metrics-only). Composite (Type0/CID) fonts and Type1/
+  * TrueType *program* parsing degrade to the missing-file mapping — none of
+  * the reference's own test corpus needs them.
+  */
+object FontLoader {
+
+  private val FlagFixedPitch = 1
+  private val FlagSerif = 2
+  private val FlagSymbolic = 4
+  private val FlagNonsymbolic = 32
+
+  def load(fontDict: PDict, file: PdfFile): FontSpec = {
+    try loadImpl(fontDict, file)
+    catch { case scala.util.control.NonFatal(_) => FontMetrics.Helvetica }
+  }
+
+  private def loadImpl(fontDict: PDict, file: PdfFile): FontSpec = {
+    import file.{dictGet, resolve}
+
+    var dict = fontDict
+    val baseDict = fontDict
+    var tpe = dictGet(dict, "Subtype").collect { case PName(n) => n }.getOrElse("Type1")
+    var composite = false
+    if (tpe == "Type0") {
+      dictGet(dict, "DescendantFonts") match {
+        case Some(PArr(items)) if items.nonEmpty =>
+          resolve(items.head) match {
+            case d: PDict =>
+              dict = d
+              tpe = dictGet(d, "Subtype").collect { case PName(n) => n }.getOrElse(tpe)
+            case _ => ()
+          }
+        case _ => ()
+      }
+      composite = true
+    }
+
+    val descriptor = dictGet(dict, "FontDescriptor").collect { case d: PDict => d }
+
+    // ── no descriptor: std-14 or barebones Type3 (translateFont 46803-46846) ──
+    if (descriptor.isEmpty && tpe != "Type3") {
+      val baseFontName = dictGet(dict, "BaseFont")
+        .collect { case PName(n) => n }.getOrElse("Helvetica")
+        .replaceAll("[,_]", "-")
+      val metrics = baseFontMetrics(baseFontName)
+      val fontNameWoStyle = baseFontName.split("-")(0)
+      val flags = (if (isSerifFont(fontNameWoStyle)) FlagSerif else 0) |
+        (if (metrics.monospace) FlagFixedPitch else 0) |
+        (if (FontData.symbolsFonts.contains(fontNameWoStyle)) FlagSymbolic else FlagNonsymbolic)
+      val ds = extractDataStructures(dict, baseDict, file, tpe, flags, hasFile = false, name = baseFontName)
+      val widths = buildCharCodeToWidth(metrics.widths, ds)
+      return buildFont(baseFontName, None, None, tpe, composite = false, ds,
+        widths, metrics.defaultWidth, fontMatrix0 = 0.001, file)
+    }
+
+    val fontName: String = {
+      val descName = descriptor.flatMap(d => dictGet(d, "FontName")).collect { case PName(n) => n }
+      val baseName = dictGet(dict, "BaseFont").collect { case PName(n) => n }
+      (descName, baseName) match {
+        case (Some(fn), Some(bn)) if fn != bn && bn.startsWith(fn) => bn
+        case (Some(fn), _) => fn
+        case (None, Some(bn)) => bn
+        case _ => "Unknown"
+      }
+    }
+
+    val fontFile: Option[PStream] = descriptor.flatMap { d =>
+      dictGet(d, "FontFile").orElse(dictGet(d, "FontFile2")).orElse(dictGet(d, "FontFile3"))
+        .collect { case s: PStream => s }
+    }
+    val subtype = fontFile.flatMap(s => dictGet(s.dict, "Subtype").collect { case PName(n) => n })
+    val flags = descriptor.flatMap(d => dictGet(d, "Flags")).collect { case PNum(v) => v.toInt }.getOrElse(0)
+    val fontMatrix0 = dictGet(dict, "FontMatrix") match {
+      case Some(PArr(items)) => items.headOption.map(resolve).collect { case PNum(v) => v }.getOrElse(0.001)
+      case _ => 0.001
+    }
+
+    val ds = extractDataStructures(dict, baseDict, file, tpe, flags, hasFile = fontFile.nonEmpty, name = fontName)
+    val (widths, defaultWidth) = extractWidths(dict, descriptor, file, ds, fontName)
+
+    buildFont(fontName, fontFile.map(s => file.decodeStream(s)), subtype, tpe, composite, ds,
+      widths, defaultWidth, fontMatrix0, file)
+  }
+
+  // ── extractDataStructures (pdf.combined.js:46408-46501) ────────────────────
+
+  private final case class DataStructs(
+      toUnicodeStream: Option[Map[Int, String]],
+      differences: Map[Int, String],
+      baseEncodingName: Option[String],
+      defaultEncoding: ArraySeq[String],
+      flags: Int,
+      firstChar: Int,
+      hasEncoding: Boolean)
+
+  private def extractDataStructures(
+      dict: PDict, baseDict: PDict, file: PdfFile,
+      tpe: String, flags: Int, hasFile: Boolean, name: String): DataStructs = {
+    import file.dictGet
+
+    val toUnicode = dictGet(dict, "ToUnicode").orElse(dictGet(baseDict, "ToUnicode")) match {
+      case Some(s: PStream) => Some(ToUnicodeCMap.parse(file.decodeStream(s)))
+      case _ => None
+    }
+
+    var baseEncodingName: Option[String] = None
+    val differences = Map.newBuilder[Int, String]
+    dictGet(dict, "Encoding") match {
+      case Some(enc: PDict) =>
+        baseEncodingName = dictGet(enc, "BaseEncoding").collect { case PName(n) => n }
+        dictGet(enc, "Differences") match {
+          case Some(PArr(items)) =>
+            var index = 0
+            items.foreach { it =>
+              file.resolve(it) match {
+                case PNum(v) => index = v.toInt
+                case PName(n) => differences += index -> n; index += 1
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      case Some(PName(n)) => baseEncodingName = Some(n)
+      case _ => ()
+    }
+    if (!baseEncodingName.exists(n =>
+        n == "MacRomanEncoding" || n == "MacExpertEncoding" || n == "WinAnsiEncoding"))
+      baseEncodingName = None
+
+    val defaultEncoding: ArraySeq[String] = baseEncodingName match {
+      case Some(n) => FontData.getEncoding(n).getOrElse(FontData.standardEncoding)
+      case None =>
+        var enc = if (tpe == "TrueType") FontData.winAnsiEncoding else FontData.standardEncoding
+        if ((flags & FlagSymbolic) != 0) {
+          enc = FontData.macRomanEncoding
+          if (!hasFile) {
+            if (name.toLowerCase.contains("symbol")) enc = FontData.symbolSetEncoding
+            else if (name.toLowerCase.contains("dingbats")) enc = FontData.zapfDingbatsEncoding
+          }
+        }
+        enc
+    }
+
+    val firstChar = dictGet(dict, "FirstChar").collect { case PNum(v) => v.toInt }.getOrElse(0)
+    val hasEncoding = dictGet(dict, "Encoding").isDefined
+    DataStructs(toUnicode, differences.result(), baseEncodingName, defaultEncoding, flags,
+      firstChar, hasEncoding)
+  }
+
+  // ── extractWidths (pdf.combined.js:46557-46655), simple fonts ─────────────
+
+  private def extractWidths(
+      dict: PDict, descriptor: Option[PDict], file: PdfFile,
+      ds: DataStructs, fontName: String): (Map[Int, Double], Double) = {
+    import file.dictGet
+    dictGet(dict, "Widths") match {
+      case Some(PArr(items)) =>
+        val w = Map.newBuilder[Int, Double]
+        var j = ds.firstChar
+        items.foreach { it =>
+          file.resolve(it) match {
+            case PNum(v) => w += j -> v
+            case _ => ()
+          }
+          j += 1
+        }
+        val dw = descriptor.flatMap(d => dictGet(d, "MissingWidth"))
+          .collect { case PNum(v) => v }.getOrElse(0.0)
+        (w.result(), dw)
+      case _ =>
+        val metrics = baseFontMetrics(
+          dictGet(dict, "BaseFont").collect { case PName(n) => n }.getOrElse(fontName))
+        (buildCharCodeToWidth(metrics.widths, ds), metrics.defaultWidth)
+    }
+  }
+
+  private final case class BaseMetrics(widths: Map[String, Double], defaultWidth: Double, monospace: Boolean)
+
+  private def baseFontMetrics(name0: String): BaseMetrics = {
+    val name = FontData.stdFontMap.getOrElse(name0, name0)
+    val lookup =
+      if (FontData.metrics.contains(name)) name
+      else if (isSerifFont(name0)) "Times-Roman"
+      else "Helvetica"
+    FontData.metrics(lookup) match {
+      case Left(w) => BaseMetrics(Map.empty, w, monospace = true)
+      case Right(m) => BaseMetrics(m, 0.0, monospace = false)
+    }
+  }
+
+  private def isSerifFont(baseFontName: String): Boolean = {
+    val woStyle = baseFontName.split("-")(0)
+    FontData.serifFonts.contains(woStyle) || baseFontName.toLowerCase.contains("serif")
+  }
+
+  private def buildCharCodeToWidth(byName: Map[String, Double], ds: DataStructs): Map[Int, Double] = {
+    val out = Map.newBuilder[Int, Double]
+    var c = 0
+    while (c < 256) {
+      ds.differences.get(c).flatMap(byName.get) match {
+        case Some(w) => out += c -> w
+        case None =>
+          if (c < ds.defaultEncoding.length && ds.defaultEncoding(c).nonEmpty)
+            byName.get(ds.defaultEncoding(c)).foreach(w => out += c -> w)
+      }
+      c += 1
+    }
+    out.result()
+  }
+
+  // ── glyph text derivation (Font.charToGlyph, pdf.combined.js:36632-36636):
+  // the emitted text is glyph.unicode = toUnicode.get(charcode) || charcode.
+  // toUnicode comes from the /ToUnicode CMap when present, else from encoding
+  // glyph names (buildToUnicode), amended for embedded fonts by the font
+  // program's own encoding (the adjustToUnicode discipline) — the mapping the
+  // reference CLI's golden tspan texts were generated under.
+
+  private def buildFont(
+      name: String, fileBytes: Option[Array[Byte]], subtype: Option[String],
+      tpe: String, composite: Boolean, ds: DataStructs,
+      widths: Map[Int, Double], defaultWidth: Double, fontMatrix0: Double,
+      pdf: PdfFile): FontSpec = {
+
+    val toUnicode: Map[Int, String] = ds.toUnicodeStream.getOrElse(buildToUnicode(ds))
+
+    fileBytes match {
+      case None =>
+        // missing-file path: std-font alias for style flags only; the text
+        // mapping is the toUnicode built from encoding glyph names
+        val fontName0 = name.replaceAll("[,_]", "-")
+        val fontName = FontData.stdFontMap.getOrElse(fontName0,
+          FontData.nonStdFontMap.getOrElse(fontName0, fontName0))
+        val bold = fontName.toLowerCase.contains("bold")
+        val italic = fontName.toLowerCase.contains("oblique") || fontName.toLowerCase.contains("italic")
+        mkSpec(fontName.split("-")(0), widths, defaultWidth, fontMatrix0,
+          bold = bold, italic = italic, toUnicode)
+
+      case Some(bytes) =>
+        // embedded path: parse the CFF (Type1C) for its builtin encoding and
+        // charset names; Type1/TrueType programs are not parsed (none in the
+        // reference corpus), leaving the PDF-side toUnicode as-is.
+        val (charset, builtinEnc) =
+          if (subtype.contains("Type1C") || subtype.contains("CIDFontType0C") || isCffBytes(bytes))
+            CffParser.tryParse(bytes) match {
+              case Some(c) if !c.isCid => (c.charsetNames, c.builtinEncoding)
+              case _ => (Array.empty[String], Map.empty[Int, Int])
+            }
+          else (Array.empty[String], Map.empty[Int, Int])
+        // adjustToUnicode: the font program's own encoding (charcode → glyph
+        // name → AGL unicode) amends the PDF-side toUnicode wherever the PDF
+        // dict didn't speak (an explicit /ToUnicode stream wins outright;
+        // /Differences and named base encodings win per charcode).
+        val amended: Map[Int, String] =
+          if (ds.toUnicodeStream.isDefined) toUnicode
+          else {
+            val add = Map.newBuilder[Int, String]
+            builtinEnc.foreach { case (code, gid) =>
+              val skip = (ds.baseEncodingName.isDefined || ds.differences.contains(code)) && ds.hasEncoding
+              if (!skip && gid >= 0 && gid < charset.length) {
+                val u = FontData.unicodeForGlyph(charset(gid))
+                if (u != -1) add += code -> new String(Character.toChars(u))
+              }
+            }
+            toUnicode ++ add.result()
+          }
+        mkSpec(s"g_font_$name", widths, defaultWidth, fontMatrix0,
+          bold = false, italic = false, amended)
+    }
+  }
+
+  private def isCffBytes(b: Array[Byte]): Boolean =
+    b.length > 4 && (b(0) & 0xff) == 1 && (b(1) & 0xff) == 0
+
+  /** buildToUnicode, simple-font branch (pdf.combined.js:36449-36520). */
+  private def buildToUnicode(ds: DataStructs): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    val encoding = new Array[String](math.max(256, ds.defaultEncoding.length))
+    var i = 0
+    while (i < ds.defaultEncoding.length) { encoding(i) = ds.defaultEncoding(i); i += 1 }
+    ds.differences.foreach { case (c, n) => if (c < encoding.length) encoding(c) = n }
+    var c = 0
+    while (c < encoding.length) {
+      val glyphName = encoding(c)
+      if (glyphName != null && glyphName.nonEmpty) {
+        FontData.glyphsUnicode.get(glyphName) match {
+          case Some(u) => out += c -> u.toChar.toString
+          case None =>
+            // heuristic recovery: Gxx, g00xx, Cddd/cddd, uniXXXX
+            var code = 0
+            glyphName.charAt(0) match {
+              case 'G' if glyphName.length == 3 =>
+                code = try Integer.parseInt(glyphName.substring(1), 16) catch { case _: NumberFormatException => 0 }
+              case 'g' if glyphName.length == 5 =>
+                code = try Integer.parseInt(glyphName.substring(1), 16) catch { case _: NumberFormatException => 0 }
+              case 'C' | 'c' if glyphName.length >= 3 =>
+                code = try glyphName.substring(1).toDouble.toInt catch { case _: NumberFormatException => 0 }
+              case _ =>
+                val u = FontData.unicodeForGlyph(glyphName)
+                if (u != -1) code = u
+            }
+            if (code > 0) {
+              var resolved = code.toChar.toString
+              if (ds.baseEncodingName.isDefined && code == c) {
+                val base = FontData.getEncoding(ds.baseEncodingName.get)
+                base.foreach { b =>
+                  if (c < b.length && b(c).nonEmpty)
+                    FontData.glyphsUnicode.get(b(c)).foreach(u => resolved = u.toChar.toString)
+                }
+              }
+              out += c -> resolved
+            }
+        }
+      }
+      c += 1
+    }
+    out.result()
+  }
+
+  private def mkSpec(
+      family: String,
+      widths: Map[Int, Double], defaultWidth: Double, fontMatrix0: Double,
+      bold: Boolean, italic: Boolean,
+      toUnicode: Map[Int, String]): FontSpec = {
+    val gtFn: Int => String = { code =>
+      toUnicode.get(code) match {
+        case Some(u) if u.nonEmpty => u // JS `toUnicode.get(c) || c`: '' is falsy
+        case _ => FontSpec.IdentityChar(code)
+      }
+    }
+    FontSpec(
+      family = family,
+      widths = c => widths.getOrElse(c, defaultWidth),
+      monospace = false,
+      bold = bold,
+      italic = italic,
+      glyphText = gtFn,
+      fontMatrix0 = fontMatrix0,
+      spaceWidthEst = estimateSpaceWidth(widths, defaultWidth, toUnicode))
+  }
+
+  /** Font.spaceWidth getter chain (pdf.combined.js:36575-36619): try the
+    * space/minus/one/i glyphs — charcode via toUnicode reverse lookup, falling
+    * back to the unicode value itself — first non-zero width wins, else the
+    * default width. */
+  private def estimateSpaceWidth(
+      widths: Map[Int, Double], defaultWidth: Double, toUnicode: Map[Int, String]): Double = {
+    // the reference's toUnicode.charCodeOf(glyphUnicode) reverse lookup compares
+    // an int against string map values and thus never matches for simple fonts —
+    // the effective chain is widths[unicodeValue] per candidate, first non-zero
+    val _ = toUnicode
+    val candidates = Seq(0x20 /*space*/, 0x2212 /*minus*/, 0x31 /*one*/, 0x69 /*i*/)
+    candidates.iterator
+      .map(c => widths.getOrElse(c, 0.0))
+      .find(_ != 0.0)
+      .getOrElse(defaultWidth)
+  }
+}
+
+/** /ToUnicode CMap stream parser: bfchar + bfrange sections, UTF-16BE targets
+  * (readToUnicode, pdf.combined.js:46503-46540; CMap text format is public
+  * Adobe CMap spec syntax). */
+object ToUnicodeCMap {
+
+  def parse(data: Array[Byte]): Map[Int, String] = {
+    val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = Map.newBuilder[Int, String]
+
+    def hexToInt(h: String): Int = java.lang.Long.parseLong(h, 16).toInt
+    def hexToString(h: String): String = {
+      // UTF-16BE code units, surrogate pairs preserved as-is (String is UTF-16)
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= h.length) {
+        sb.append(Integer.parseInt(h.substring(i, i + 4), 16).toChar)
+        i += 4
+      }
+      if (i < h.length && h.length >= 2) // odd (1-byte) target
+        sb.append(Integer.parseInt(h.substring(i), 16).toChar)
+      sb.toString
+    }
+
+    val bfchar = "(?s)beginbfchar(.*?)endbfchar".r
+    val bfrange = "(?s)beginbfrange(.*?)endbfrange".r
+    val pair = "<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>".r
+    val triple = "<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>\\s*(<[0-9a-fA-F]+>|\\[[^\\]]*\\])".r
+    val hexItem = "<([0-9a-fA-F]+)>".r
+
+    bfchar.findAllMatchIn(s).foreach { m =>
+      pair.findAllMatchIn(m.group(1)).foreach { p =>
+        out += hexToInt(p.group(1)) -> hexToString(p.group(2))
+      }
+    }
+    bfrange.findAllMatchIn(s).foreach { m =>
+      triple.findAllMatchIn(m.group(1)).foreach { t =>
+        val lo = hexToInt(t.group(1))
+        val hi = hexToInt(t.group(2))
+        val dst = t.group(3)
+        if (dst.startsWith("[")) {
+          val items = hexItem.findAllMatchIn(dst).map(_.group(1)).toVector
+          var c = lo
+          items.foreach { h =>
+            if (c <= hi) out += c -> hexToString(h)
+            c += 1
+          }
+        } else {
+          val base = dst.stripPrefix("<").stripSuffix(">")
+          val baseStr = hexToString(base)
+          var c = lo
+          while (c <= hi) {
+            // increment the LAST code unit (CMap range semantics)
+            val off = c - lo
+            if (baseStr.nonEmpty) {
+              val adjusted = baseStr.substring(0, baseStr.length - 1) +
+                (baseStr.last + off).toChar
+              out += c -> adjusted
+            }
+            c += 1
+          }
+        }
+      }
+    }
+    out.result()
+  }
+}

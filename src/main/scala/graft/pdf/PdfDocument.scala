@@ -1,0 +1,170 @@
+package graft.pdf
+
+import PObj._
+import graft.core.GlyphRun
+import graft.eval.{ContentEvaluator, EvalResult, FontMetrics, FontSpec, FormXObject, PageResources}
+
+import scala.collection.mutable
+
+/** Whole-file PDF ingestion: xref → page tree walk (inherited attributes) →
+  * per-page content-stream concat → font/XObject resources → the shared
+  * content evaluator (SURVEY.md §2.1 S7-S9; reference Catalog/Page,
+  * pdf.combined.js:42930-42998, content concat 48873-48892).
+  *
+  * Never throws: malformed files return zero pages or degrade per-page
+  * (the reference's recovery discipline).
+  */
+final class PdfDocument private (val file: PdfFile) {
+
+  private val fontCache = mutable.Map.empty[AnyRef, FontSpec]
+
+  /** Page dicts in document order (depth-first /Kids walk, cycle-guarded). */
+  val pages: Vector[PageInfo] = {
+    import file.{dictGet, resolve}
+    val out = Vector.newBuilder[PageInfo]
+    val seen = mutable.Set.empty[PObj]
+    def walk(node: PObj, inherited: Map[String, PObj]): Unit = resolve(node) match {
+      case d: PDict if seen.add(node) =>
+        val inh = inherited ++
+          Seq("Resources", "MediaBox", "Rotate", "CropBox")
+            .flatMap(k => d.get(k).map(k -> _))
+        dictGet(d, "Type") match {
+          case Some(PName("Pages")) =>
+            dictGet(d, "Kids") match {
+              case Some(PArr(kids)) => kids.foreach(walk(_, inh))
+              case _ => ()
+            }
+          case Some(PName("Page")) => out += PageInfo(d, inh)
+          case _ =>
+            // missing /Type: treat nodes with /Kids as Pages, /Contents as Page
+            if (d.has("Kids")) dictGet(d, "Kids") match {
+              case Some(PArr(kids)) => kids.foreach(walk(_, inh))
+              case _ => ()
+            }
+            else if (d.has("Contents")) out += PageInfo(d, inh)
+        }
+      case _ => ()
+    }
+    try {
+      file.dictGet(file.trailer, "Root") match {
+        case Some(root: PDict) =>
+          file.dictGet(root, "Pages").foreach(p => walk(p, Map.empty))
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    out.result()
+  }
+
+  final case class PageInfo(dict: PDict, inherited: Map[String, PObj]) {
+    def attr(key: String): Option[PObj] =
+      dict.get(key).orElse(inherited.get(key)).map(file.resolve)
+
+    def mediaBox: Array[Double] = attr("MediaBox") match {
+      case Some(PArr(items)) if items.length == 4 =>
+        items.map(file.resolve).map { case PNum(v) => v; case _ => 0.0 }.toArray
+      case _ => Array(0, 0, 612, 792)
+    }
+
+    /** Concatenated decoded content streams, newline-joined (the reference's
+      * StreamsSequenceStream inserts nothing, but streams are required to end
+      * at a lexical boundary; a separating \n matches its effective behavior). */
+    def content: Array[Byte] = {
+      val parts: Vector[Array[Byte]] = attr("Contents") match {
+        case Some(s: PStream) => Vector(file.decodeStream(s))
+        case Some(PArr(items)) =>
+          items.map(file.resolve).collect { case s: PStream => file.decodeStream(s) }
+        case _ => Vector.empty
+      }
+      if (parts.isEmpty) Array.emptyByteArray
+      else if (parts.length == 1) parts.head
+      else {
+        val total = parts.map(_.length).sum + parts.length - 1
+        val out = new Array[Byte](total)
+        var off = 0
+        parts.zipWithIndex.foreach { case (p, i) =>
+          if (i > 0) { out(off) = '\n'; off += 1 }
+          System.arraycopy(p, 0, out, off, p.length)
+          off += p.length
+        }
+        out
+      }
+    }
+
+    def resources: PageResources = mkResources(attr("Resources"))
+  }
+
+  private def mkResources(resObj: Option[PObj]): PageResources = new PageResources {
+    private val resDict: PDict = resObj match {
+      case Some(d: PDict) => d
+      case _ => PDict(Map.empty)
+    }
+    private lazy val fontDict: PDict = file.dictGet(resDict, "Font") match {
+      case Some(d: PDict) => d
+      case _ => PDict(Map.empty)
+    }
+    private lazy val xobjDict: PDict = file.dictGet(resDict, "XObject") match {
+      case Some(d: PDict) => d
+      case _ => PDict(Map.empty)
+    }
+
+    override def font(name: String): FontSpec =
+      fontDict.get(name) match {
+        case Some(ref) =>
+          val key: AnyRef = ref match {
+            case PRef(n, g) => (n, g)
+            case other => other
+          }
+          fontCache.getOrElseUpdate(key, {
+            file.resolve(ref) match {
+              case d: PDict => FontLoader.load(d, file)
+              case _ => FontMetrics.Helvetica
+            }
+          })
+        case None => FontMetrics.resolve(name)
+      }
+
+    override def form(name: String): Option[FormXObject] =
+      xobjDict.get(name).flatMap { ref =>
+        val key = ref match {
+          case PRef(n, g) => s"xobj:$n:$g"
+          case _ => s"xobj:inline:$name"
+        }
+        file.resolve(ref) match {
+          case s: PStream if file.dictGet(s.dict, "Subtype").contains(PName("Form")) =>
+            val matrix = file.dictGet(s.dict, "Matrix") match {
+              case Some(PArr(items)) if items.length == 6 =>
+                items.map(file.resolve).map { case PNum(v) => v; case _ => 0.0 }.toArray
+              case _ => Array(1.0, 0, 0, 1, 0, 0)
+            }
+            Some(FormXObject(file.decodeStream(s), mkResources(file.dictGet(s.dict, "Resources")), matrix, key))
+          case _ => None
+        }
+      }
+  }
+
+  /** Evaluate page `i` → positioned glyph runs (page index stamped). */
+  def evalPage(i: Int): EvalResult = {
+    val p = pages(i)
+    val r = ContentEvaluator.evaluatePage(p.content, p.resources, fakeSpaces = true)
+    r.copy(runs = r.runs.map(_.copy(page = i)))
+  }
+
+  /** All pages' runs in document order. */
+  def allRuns: Vector[GlyphRun] =
+    pages.indices.flatMap(i => evalPage(i).runs).toVector
+
+  /** Ordered tspan texts — the reference CLI's golden surface
+    * (src/test/resources/output/NAME.pdf.expected/tspan-texts.txt). A tspan
+    * containing any XML-invalid control character does not survive the
+    * reference's SVG serialization — the whole entry is dropped, as are
+    * entries with no visible content (the goldens contain no empty or
+    * whitespace-only entries). */
+  def tspanTexts: Vector[String] =
+    allRuns.map(_.text)
+      .filter(t => t.forall(_ >= 0x20))
+      .filter(t => t.exists(_ != ' '))
+}
+
+object PdfDocument {
+  def open(bytes: Array[Byte]): PdfDocument = new PdfDocument(new PdfFile(bytes))
+}
