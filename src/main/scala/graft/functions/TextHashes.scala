@@ -192,6 +192,52 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+object VectorSketch {
+  /** Random-hyperplane LSH signature: bit p set iff the projection of the
+    * vector onto pseudo-hyperplane p is positive; hyperplane components are
+    * ±1 from the parity of mix64(d*K1 + p*K2) — seed-stable across executors,
+    * no plane matrix broadcast, and exactly mirrorable in the DuckDB oracle
+    * (graft.oracle.SketchSql.lshSignatureExpr). One pass, O(bits·dim) in a
+    * single codegen'd kernel (replaces `bits` separate aggregate-lambda
+    * passes). */
+  def lshSignature(vec: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int, isFloat: Boolean): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      val pOff = p.toLong * 0xc2b2ae3d27d4eb4fL
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val h = TextSketch.mix64(d.toLong * 0x9e3779b97f4a7c15L + pOff)
+        val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+        acc += x * (if ((h & 1L) == 0L) 1.0 else -1.0)
+        d += 1
+      }
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+case class LshSignature(child: Expression, bits: Int) extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    VectorSketch.lshSignature(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorSketch.lshSignature($c, $bits, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_signature"
+}
+
 case class WinnowFingerprint(child: Expression, window: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
@@ -214,6 +260,8 @@ object TextHashes {
     column(WinnowFingerprint(expression(c), window))
   def shingle_hashes(c: Column, shingleK: Int = 3): Column =
     column(ShingleHashes(expression(c), shingleK))
+  def lsh_signature(c: Column, bits: Int): Column =
+    column(LshSignature(expression(c), bits))
 
   /** Register as SQL functions: minhash_signature(text), simhash64(text), … */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

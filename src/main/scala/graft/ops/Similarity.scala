@@ -46,21 +46,12 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: `bits` deterministic pseudo-hyperplanes; bit i
-    * = sign of dot(v, h_i). Hyperplane components are derived from xxhash64 of
-    * (dimension index, plane index) — seed-stable across executors with no
-    * broadcast of plane matrices needed. */
-  def lshSignature(vecCol: Column, bits: Int): Column = {
-    val sigBits = (0 until bits).map { p =>
-      // h_i[d] in {-1, +1} from parity of hash(d, p)
-      val proj = aggregate(
-        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (v, d) => v.cast("double") *
-            when(xxhash64(d, lit(p)).bitwiseAND(lit(1L)) === 0L, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    sigBits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * = sign of dot(v, h_i). Hyperplane components are ±1 from the parity of
+    * mix64(dim, plane) — seed-stable across executors with no broadcast of
+    * plane matrices, computed by one native codegen'd kernel per row
+    * (graft.functions.LshSignature) and exactly mirrored by the DuckDB oracle. */
+  def lshSignature(vecCol: Column, bits: Int): Column =
+    graft.functions.TextHashes.lsh_signature(vecCol, bits)
 
   /** LSH-bucketed ANN: candidates share the signature bucket; exact cosine rank
     * within bucket. `bits` trades recall (fewer) vs. candidate count (more). */
