@@ -50,10 +50,18 @@ object Dedup {
     graft.functions.TextHashes.minhash_signature(textCol, shingleK, numHashes)
 
   /** LSH banding: signature → `bands` bucket keys (hash of each band's rows).
-    * Near-dup candidate pairs = ids sharing any bucket. */
+    * Near-dup candidate pairs = ids sharing any bucket.
+    *
+    * `maxBucket > 0` caps the per-bucket self-join: buckets holding more rows
+    * are excluded from candidate generation (and counted in the plan as a
+    * side-output filter). A hot bucket of near-identical documents otherwise
+    * goes quadratic at corpus scale; production callers run exact dedup first
+    * and set a cap sized to the acceptable candidate fan-out. 0 = uncapped
+    * (exact semantics, used by the oracle-verified queries). */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 0): DataFrame = {
     val rows = numHashes / bands
     val withSig = df
       .select(col(idCol), minhashSignature(col(textCol), shingleK, numHashes).as("__sig"))
@@ -64,20 +72,33 @@ object Dedup {
           xxhash64(concat_ws(",",
             (0 until rows).map(r => col("__sig")(b * rows + r)): _*), lit(b))): _*))
         .as(Seq("__band", "__bucket")))
-    val left = withBuckets.select(col(idCol).as("a"), col("__band"), col("__bucket"))
-    val right = withBuckets.select(col(idCol).as("b"), col("__band"), col("__bucket"))
+    val bounded = capBuckets(withBuckets, Seq("__band", "__bucket"), maxBucket)
+    val left = bounded.select(col(idCol).as("a"), col("__band"), col("__bucket"))
+    val right = bounded.select(col(idCol).as("b"), col("__band"), col("__bucket"))
     left.join(right, Seq("__band", "__bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }
+
+  /** Exclude join buckets above `maxBucket` rows (no-op when maxBucket <= 0).
+    * One extra narrow aggregation on the bucket key — the same shuffle key the
+    * join uses, so AQE reuses the exchange. */
+  private def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) df
+    else {
+      val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket)
+        .select(keys.map(col): _*)
+      df.join(broadcast(hot), keys, "left_anti")
+    }
 
   /** Verified near-dups: candidates filtered by exact n-gram Jaccard ≥ threshold.
     * The verification join is narrow (candidate pairs ≪ corpus²). */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
+      numHashes: Int = 64, bands: Int = 16, maxBucket: Int = 0): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands, maxBucket)
     // exact Jaccard over hashed shingles (array<long>): same set semantics as the
     // string shingles, but the verification join shuffles 8-byte elements
     val sh = df.select(col(idCol),
@@ -97,23 +118,42 @@ object Dedup {
   def simhash(textCol: Column): Column =
     graft.functions.TextHashes.simhash64(textCol).as("simhash")
 
-  /** Hamming-near SimHash pairs: block-permutation candidate generation — split
-    * the 64-bit fingerprint in 4 blocks of 16; any pair within Hamming distance
-    * ≤3 shares at least one exact block (pigeonhole). Shuffles on 16-bit keys. */
-  def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    // 4 blocks cover Hamming ≤ 3 by pigeonhole; a larger radius would need more
-    // blocks (or pair-of-block keys) to stay complete — refuse rather than
-    // silently under-report.
-    require(maxHamming <= 3, s"block-permutation with 4 blocks is complete only for maxHamming <= 3, got $maxHamming")
+  /** Hamming-near SimHash pairs: generalized block-permutation candidate
+    * generation (the Manku/Jain/Das Sarma near-dup scheme). The 64-bit
+    * fingerprint splits into `blocks` nearly-equal bit blocks; each candidate
+    * table keys on a COMBINATION of `blocks - maxHamming` blocks, so any pair
+    * within the radius shares at least one fully-clean combination
+    * (pigeonhole) — completeness holds by construction for every `blocks`.
+    *
+    * `blocks = 4, maxHamming = 3` keys on single 16-bit blocks (4 tables,
+    * ≤ 2^16 distinct buckets — fine at test scale, quadratic hot buckets at
+    * corpus scale). At 100 TB use `blocks = 6` (C(6,3) = 20 tables keyed on
+    * ~32 bits of fingerprint → 2^32 bucket space) plus `maxBucket`; candidates
+    * shuffle on short keys either way. */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      blocks: Int = 4, maxBucket: Int = 0): DataFrame = {
+    val arity = blocks - maxHamming
+    require(arity >= 1, s"need blocks > maxHamming for a complete scheme (blocks=$blocks, maxHamming=$maxHamming)")
+    // nearly-equal block boundaries over the 64 fingerprint bits
+    val bounds = (0 to blocks).map(i => i * 64 / blocks)
+    def blockVal(fp: Column, b: Int): Column = {
+      val lo = bounds(b)
+      val width = bounds(b + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      shiftright(fp, lo).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until blocks).combinations(arity).toSeq
     val withFp = df.select(col(idCol), simhash(col(textCol)))
-    val blocks = withFp.select(
+    val keyed = withFp.select(
       col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("__blk", "__key")))
-    val l = blocks.select(col(idCol).as("a"), col("simhash").as("__fa"), col("__blk"), col("__key"))
-    val r = blocks.select(col(idCol).as("b"), col("simhash").as("__fb"), col("__blk"), col("__key"))
-    l.join(r, Seq("__blk", "__key"))
+      posexplode(array(combos.map(c =>
+        concat_ws(":", c.map(b => blockVal(col("simhash"), b)): _*)): _*))
+        .as(Seq("__tbl", "__key")))
+    val bounded = capBuckets(keyed, Seq("__tbl", "__key"), maxBucket)
+    val l = bounded.select(col(idCol).as("a"), col("simhash").as("__fa"), col("__tbl"), col("__key"))
+    val r = bounded.select(col(idCol).as("b"), col("simhash").as("__fb"), col("__tbl"), col("__key"))
+    l.join(r, Seq("__tbl", "__key"))
       .filter(col("a") < col("b"))
       .withColumn("hamming", bit_count(col("__fa").bitwiseXOR(col("__fb"))))
       .filter(col("hamming") <= maxHamming)

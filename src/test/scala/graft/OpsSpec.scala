@@ -50,6 +50,41 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhash wide-key scheme (blocks=6) finds the same pairs as blocks=4") {
+    val p4 = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p6 = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3, blocks = 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both schemes are pigeonhole-complete for Hamming <= 3, so identical
+    assert(p4 == p6)
+  }
+
+  test("bucket caps bound adversarial hot buckets (near-identical corpus)") {
+    import spark.implicits._
+    // 200 identical docs + one distinct pair: uncapped LSH joins the identical
+    // block quadratically; a cap excludes the hot bucket but keeps cold ones
+    val adversarial = ((0L until 200L).map(i => (i, "same same same same same text " * 3)) ++
+      Seq((900L, "rare pair of documents alpha beta gamma delta"),
+        (901L, "rare pair of documents alpha beta gamma delta epsilon"))).toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(adversarial, "doc_id", "text",
+      threshold = 0.5, maxBucket = 50)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((900L, 901L))) // cold bucket survives the cap
+    assert(!capped.exists(p => p._1 < 200L)) // hot bucket excluded, not exploded
+    // simhash: identical cold pair (Hamming 0) — the near-pair above is not
+    // guaranteed within radius 3 for so few tokens
+    val cappedSim = Dedup.simhashNearDups(adversarial, "doc_id", "text",
+      maxHamming = 3, blocks = 6, maxBucket = 50)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cappedSim.exists(p => p._1 < 200L)) // hot buckets excluded
+    val withTwin = adversarial.union(
+      Seq((902L, "rare pair of documents alpha beta gamma delta")).toDF("doc_id", "text"))
+    val twinPairs = Dedup.simhashNearDups(withTwin, "doc_id", "text",
+      maxHamming = 3, blocks = 6, maxBucket = 50)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twinPairs.contains((900L, 902L))) // identical cold pair survives
+  }
+
   private def vectors: DataFrame = {
     import spark.implicits._
     // deterministic unit-ish vectors: id 0/1 nearly parallel, id 9 orthogonal-ish
