@@ -77,7 +77,7 @@ object Bench {
     val headline = Seq(
       "q01_agg", "q02_join_broadcast", "q03_window", "q05_filter_pushdown",
       "q10_extract_html", "q11_extract_svg", "q12_extract_pdf",
-      "q13_pipeline_e2e", "q20_dedup_exact", "q21_dedup_minhash",
+      "q13_pipeline_e2e", "q18_pdf_file_ingest", "q20_dedup_exact", "q21_dedup_minhash",
       "q22_simhash_pairs", "q30_ann_bruteforce", "q33_ann_ivf", "q40_textstats",
       "q43_fingerprint", "q44_chunking", "q46_clean_pipeline", "q50_events_window", "q53_rollup", "q59_asof_join")
     val results = headline.map { name =>
@@ -85,6 +85,27 @@ object Bench {
       val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       name -> sec
     }
+
+    // ── real-PDF ingestion throughput: the reference corpus PDFs through the
+    // full xref/fonts/evaluator path, replicated ×32 as a distributed source;
+    // reported as tspan runs/sec (BASELINE.md: the reference CLI manages
+    // ~260 runs/s on C04-1204 p.1 before aborting) ──
+    val pdfRunsPerSec: Double = try {
+      import spark.implicits._
+      val refDir = "/root/reference/src/test/resources/input"
+      if (!new java.io.File(refDir).isDirectory) -1.0
+      else {
+        val pdfs = spark.read.format("binaryFile").load(s"$refDir/*.pdf")
+          .select("content").as[Array[Byte]].collect()
+        val reps = spark.sparkContext.parallelize(
+          Seq.fill(32)(pdfs).flatten, math.min(cpus, 32))
+        def job() = reps.map(b => graft.pdf.PdfDocument.open(b).allRuns.length).reduce(_ + _)
+        job() // warm
+        val runs = job()
+        val sec = time(job())
+        runs / sec
+      }
+    } catch { case _: Throwable => -1.0 }
 
     // ── scaling evidence: identical extraction job at two parallelism levels ──
     val nTurns = materializeCorpus(spark, sfDir, target = 800000L, corpusPath)
@@ -123,6 +144,7 @@ object Bench {
       s""""extract_turns_per_sec_p2":$tp2,"extract_turns_per_sec_p8":$tp8,""" +
       s""""extract_turns_per_sec_p32":$tp32,""" +
       s""""scaling_efficiency_2_to_8":$eff2to8,"scaling_efficiency_8_to_32":$eff8to32,""" +
+      s""""pdf_ingest_runs_per_sec":$pdfRunsPerSec,""" +
       s""""extract_rows":$nTurns}""")
   }
 }
