@@ -197,22 +197,31 @@ object ContentEvaluator {
         // compared x only (column jumps with Δy also get exactly one space)
         if (sameFrame && sw > 0 && (curX - lastEndX) >= 0.3 * sw) appendSpaces(1, lastEndX)
       }
+      // composite fonts consume 2 bytes per charcode (Identity CMaps); word
+      // spacing only ever applies to the 1-byte 0x20 charcode
+      // (charsToGlyphs, pdf.combined.js:36697-36714)
+      val wide = st.font.wideChars
+      val step = if (wide) 2 else 1
       var i = 0
       while (i < str.length) {
-        val c = str.charAt(i)
+        val c: Int =
+          if (wide) {
+            val hi = str.charAt(i).toInt & 0xff
+            val lo = if (i + 1 < str.length) str.charAt(i + 1).toInt & 0xff else 0
+            (hi << 8) | lo
+          } else str.charAt(i).toInt
         // glyph text may expand to several chars (ligature /ToUnicode targets);
         // keep one xcoord per emitted char so xs.length == text.length holds
-        val g = glyphText(c.toInt)
+        val g = glyphText(c)
         val gx = st.x + showX * textHScale
         glyphStartTmp = gx
         var k = 0
         while (k < g.length) { xcoords += gx; k += 1 }
-        // word spacing applies to space glyphs (charcode 0x20, 1-byte encoding) —
         // `(glyph.isSpace ? wordSpacing : 0) + charSpacing`, pdf.combined.js:29772
-        val spacing = st.charSpacing + (if (c == ' ') st.wordSpacing else 0.0)
-        showX += widths(c.toInt) * widthAdvanceScale + spacing * st.fontDirection
+        val spacing = st.charSpacing + (if (!wide && c == ' ') st.wordSpacing else 0.0)
+        showX += widths(c) * widthAdvanceScale + spacing * st.fontDirection
         sb.append(g)
-        i += 1
+        i += step
       }
     }
     def showKern(n: Double): Unit =

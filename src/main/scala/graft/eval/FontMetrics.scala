@@ -23,7 +23,10 @@ final case class FontSpec(
     /** Estimated space width in 1/1000 em (the reference's Font.spaceWidth
       * getter chain over space/minus/one/i, pdf.combined.js:36575-36619);
       * NaN = use widths(0x20). */
-    spaceWidthEst: Double = Double.NaN) {
+    spaceWidthEst: Double = Double.NaN,
+    /** Composite (Type0) fonts consume two bytes per charcode (Identity-H/V
+      * CMaps — charsToGlyphs multi-byte path, pdf.combined.js:36697-36708). */
+    wideChars: Boolean = false) {
 
   /** string → glyphs; 1-byte charcodes through the font mapping (charsToGlyphs,
     * pdf.combined.js:36674-36719, simple-font path). */

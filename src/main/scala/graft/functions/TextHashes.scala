@@ -221,6 +221,59 @@ object VectorSketch {
   }
 }
 
+object VectorKernels {
+  /** argmax over centroids of dot(v, c_i) / ||c_i|| — first index wins ties
+    * (matching array_position semantics). One tight loop, no boxing: Spark's
+    * higher-order array functions are CodegenFallback (interpreted per row),
+    * which made the IVF assignment the bench's hottest spot. */
+  def nearestCentroid(
+      vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Array[Double]], norms: Array[Double], isFloat: Boolean): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val n = math.min(vec.numElements(), c.length)
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        acc += (if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)) * c(d)
+        d += 1
+      }
+      val s = acc / norms(i)
+      if (s > bestScore) { bestScore = s; best = i }
+      i += 1
+    }
+    best
+  }
+}
+
+/** Nearest-centroid assignment for IVF: the centroid matrix rides along as a
+  * codegen reference object (it is broadcast-tiny — nlist × dim doubles). */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  private val norms: Array[Double] =
+    centroids.map(c => math.max(1e-12, math.sqrt(c.map(x => x * x).sum)))
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroid(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centroids, norms, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.nearestCentroid($c, $centsRef, $normsRef, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid"
+}
+
 case class LshSignature(child: Expression, bits: Int) extends UnaryExpression {
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -262,6 +315,8 @@ object TextHashes {
     column(ShingleHashes(expression(c), shingleK))
   def lsh_signature(c: Column, bits: Int): Column =
     column(LshSignature(expression(c), bits))
+  def nearest_centroid(c: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroid(expression(c), centroids))
 
   /** Register as SQL functions: minhash_signature(text), simhash64(text), … */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -85,16 +85,19 @@ object Similarity {
     * blew up generated code. Scores are dot / centroid-norm (cosine argmax: the
     * row norm is constant across centroids and drops out) — the SAME scoring is
     * used for corpus assignment and query probing, so probes land where the
-    * neighbors were assigned. */
+    * neighbors were assigned. Query-side only (a handful of rows): Spark's
+    * higher-order array functions are interpreted (CodegenFallback), so the
+    * corpus-side assignment uses the native NearestCentroid kernel instead. */
   private def centroidScores(cents: Array[Array[Double]], v: Column): Column = {
     val centsCol = typedlit(cents.map(_.toSeq).toSeq)
     val normsCol = typedlit(cents.map(c => math.max(1e-12, math.sqrt(c.map(x => x * x).sum))).toSeq)
     zip_with(centsCol, normsCol, (c, n) => dot(v, c) / n)
   }
 
-  /** argmax over a score array; first index wins ties (deterministic). */
-  private def argmax(scores: Column): Column =
-    (array_position(scores, array_max(scores)) - 1).cast("int")
+  /** Corpus-side assignment: native codegen'd argmax with the identical
+    * normalized-dot scoring and first-index tie-break. */
+  private def assignList(cents: Array[Array[Double]], v: Column): Column =
+    graft.functions.TextHashes.nearest_centroid(v, cents)
 
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -117,7 +120,7 @@ object Similarity {
     val dims = seeds.headOption.map(_.length).getOrElse(0)
     val refined: Array[Array[Double]] = {
       val sums = base
-        .select(argmax(centroidScores(seeds, col("__cv"))).as("__list"),
+        .select(assignList(seeds, col("__cv")).as("__list"),
           posexplode(col("__cv")).as(Seq("__d", "__x")))
         .groupBy("__list", "__d").agg(avg(col("__x")).as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
@@ -126,7 +129,7 @@ object Similarity {
       out
     }
 
-    val c = base.withColumn("__list", argmax(centroidScores(refined, col("__cv"))))
+    val c = base.withColumn("__list", assignList(refined, col("__cv")))
     // queries probe their nprobe highest-scoring lists — scored identically to
     // the corpus assignment (normalized dot), so probe lists are consistent
     val q = broadcast(

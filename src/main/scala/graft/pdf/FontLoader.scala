@@ -15,9 +15,11 @@ import scala.collection.immutable.ArraySeq
   * for embedded fonts — amended by the font program's own encoding.
   *
   * Scope: simple fonts (Type1/Type1C via FontFile3, non-embedded std-14,
-  * Type3, TrueType metrics-only). Composite (Type0/CID) fonts and Type1/
-  * TrueType *program* parsing degrade to the missing-file mapping — none of
-  * the reference's own test corpus needs them.
+  * Type3, TrueType metrics-only) plus composite Type0 fonts under Identity
+  * CMaps (two-byte charcodes, /DW + /W CID widths, 2-byte /ToUnicode).
+  * Predefined non-Identity CMaps would need the Adobe cmap resource files
+  * (not shipped; the reference bundles none either) and degrade to identity
+  * CIDs; Type1/TrueType *program* parsing is metrics-only.
   */
 object FontLoader {
 
@@ -93,7 +95,7 @@ object FontLoader {
     }
 
     val ds = extractDataStructures(dict, baseDict, file, tpe, flags, hasFile = fontFile.nonEmpty, name = fontName)
-    val (widths, defaultWidth) = extractWidths(dict, descriptor, file, ds, fontName)
+    val (widths, defaultWidth) = extractWidths(dict, descriptor, file, ds, fontName, composite)
 
     buildFont(fontName, fontFile.map(s => file.decodeStream(s)), subtype, tpe, composite, ds,
       widths, defaultWidth, fontMatrix0, file)
@@ -168,8 +170,41 @@ object FontLoader {
 
   private def extractWidths(
       dict: PDict, descriptor: Option[PDict], file: PdfFile,
-      ds: DataStructs, fontName: String): (Map[Int, Double], Double) = {
+      ds: DataStructs, fontName: String, composite: Boolean = false): (Map[Int, Double], Double) = {
     import file.dictGet
+    if (composite) {
+      // CID widths: /DW default + /W runs ("start [w...]" or "start end w"),
+      // extractWidths composite branch (pdf.combined.js:46565-46580)
+      val dw = dictGet(dict, "DW").collect { case PNum(v) => v }.getOrElse(1000.0)
+      val w = Map.newBuilder[Int, Double]
+      dictGet(dict, "W") match {
+        case Some(PArr(items)) =>
+          val it = items.map(file.resolve).iterator
+          var cur: Option[Int] = None
+          while (it.hasNext) {
+            (cur, it.next()) match {
+              case (None, PNum(start)) => cur = Some(start.toInt)
+              case (Some(start), PArr(ws)) =>
+                ws.map(file.resolve).zipWithIndex.foreach {
+                  case (PNum(v), k) => w += (start + k) -> v
+                  case _ => ()
+                }
+                cur = None
+              case (Some(start), PNum(end)) =>
+                if (it.hasNext) it.next() match {
+                  case PNum(v) =>
+                    var c = start
+                    while (c <= end.toInt) { w += c -> v; c += 1 }
+                  case _ => ()
+                }
+                cur = None
+              case _ => cur = None
+            }
+          }
+        case _ => ()
+      }
+      return (w.result(), dw)
+    }
     dictGet(dict, "Widths") match {
       case Some(PArr(items)) =>
         val w = Map.newBuilder[Int, Double]
@@ -239,6 +274,26 @@ object FontLoader {
       pdf: PdfFile): FontSpec = {
 
     val toUnicode: Map[Int, String] = ds.toUnicodeStream.getOrElse(buildToUnicode(ds))
+
+    if (composite) {
+      // Type0 with an Identity CMap: two-byte charcodes, charcode == CID,
+      // text from the (2-byte-keyed) /ToUnicode CMap — the charsToGlyphs
+      // multi-byte path (pdf.combined.js:36697-36708). Predefined non-Identity
+      // CMaps would need the Adobe cmap resource files (not shipped; the
+      // reference bundles none either) — such fonts degrade to identity CIDs.
+      return FontSpec(
+        family = s"g_font_$name",
+        widths = c => widths.getOrElse(c, defaultWidth),
+        glyphText = { code =>
+          toUnicode.get(code) match {
+            case Some(u) if u.nonEmpty => u
+            case _ => FontSpec.IdentityChar(code)
+          }
+        },
+        fontMatrix0 = fontMatrix0,
+        spaceWidthEst = estimateSpaceWidth(widths, defaultWidth, toUnicode),
+        wideChars = true)
+    }
 
     fileBytes match {
       case None =>

@@ -142,16 +142,32 @@ final class PdfDocument private (val file: PdfFile) {
       }
   }
 
-  /** Evaluate page `i` → positioned glyph runs (page index stamped). */
-  def evalPage(i: Int): EvalResult = {
+  /** Evaluate page `i` → positioned glyph runs (page index stamped).
+    * `fakeSpaces` reconstructs inter-word spaces inside run texts (the golden
+    * tspan surface wants them; the line assembler derives spacing from the
+    * x-coordinates instead and must not get them twice). */
+  def evalPage(i: Int, fakeSpaces: Boolean = true): EvalResult = {
     val p = pages(i)
-    val r = ContentEvaluator.evaluatePage(p.content, p.resources, fakeSpaces = true)
+    val r = ContentEvaluator.evaluatePage(p.content, p.resources, fakeSpaces)
     r.copy(runs = r.runs.map(_.copy(page = i)))
   }
 
   /** All pages' runs in document order. */
   def allRuns: Vector[GlyphRun] =
     pages.indices.flatMap(i => evalPage(i).runs).toVector
+
+  /** Reading-order page text through the line assembler (y-clustering +
+    * metric-based word-gap inference) — the library's user-facing extraction
+    * surface for whole PDF files. */
+  def extractPageText(i: Int): String =
+    // fake spaces ON: intra-run kern word gaps are invisible to the line
+    // assembler (it only sees run-boundary geometry); leading fake spaces sit
+    // at the previous run's end x, so the assembler's gap test sees no gap and
+    // does not double them
+    graft.extract.LineAssembler.assemble(evalPage(i).runs).text
+
+  /** Whole-document text, pages joined by a blank line. */
+  def extractText: String = pages.indices.map(extractPageText).mkString("\n\n")
 
   /** Ordered tspan texts — the reference CLI's golden surface
     * (src/test/resources/output/NAME.pdf.expected/tspan-texts.txt). A tspan

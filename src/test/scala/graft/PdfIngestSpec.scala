@@ -68,4 +68,19 @@ class PdfIngestSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("whole-document text extraction: reading order through the line assembler") {
+    val pdfPath = inputDir.resolve("1301.4293.pdf")
+    if (!Files.exists(pdfPath)) cancel("reference inputs not present")
+    val doc = PdfDocument.open(Files.readAllBytes(pdfPath))
+    val p0 = doc.extractPageText(0)
+    val title = p0.indexOf("Latent Relation Representations for Universal")
+    val intro = p0.indexOf("1 Introduction")
+    val body = p0.indexOf("Supervised relation extraction uses a")
+    assert(title >= 0 && intro > title && body > intro, s"order: $title/$intro/$body")
+    // lines assemble left-to-right: author + affiliation columns both present
+    assert(p0.contains("Sebastian Riedel"))
+    assert(p0.contains("Limin Yao, Andrew McCallum"))
+    assert(doc.extractText.length > p0.length) // all 4 pages contribute
+  }
 }
