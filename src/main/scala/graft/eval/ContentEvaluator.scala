@@ -17,6 +17,10 @@ final case class EvalResult(runs: Vector[GlyphRun], boxes: Vector[PageBox], erro
 trait PageResources {
   def font(name: String): FontSpec
   def form(name: String): Option[FormXObject] = None
+  /** True when the XObject is a raster image — painted as a layout box
+    * (SURVEY.md §2.2 E9: image markers feed the boilerplate heuristics,
+    * pixels are never decoded). */
+  def isImage(name: String): Boolean = false
 }
 
 /** A Form XObject ready to execute: decoded content, its own resource context,
@@ -371,6 +375,22 @@ object ContentEvaluator {
                   flush()
                   val (c, m, yy, kk) = (numArg(0), numArg(1), numArg(2), numArg(3))
                   st.fillColor = rgb((1 - c) * (1 - kk), (1 - m) * (1 - kk), (1 - yy) * (1 - kk))
+                case "sc" | "scn" =>
+                  // component-count heuristic for the current color space
+                  // (SURVEY.md §2.2 E5): 1 → gray, 3 → RGB, 4 → CMYK; name
+                  // operands (pattern fills) leave the color unchanged
+                  val nums = args.collect { case Tok.Num(v) => v }
+                  if (nums.length == args.length) {
+                    nums.length match {
+                      case 1 => flush(); st.fillColor = rgb(nums(0), nums(0), nums(0))
+                      case 3 => flush(); st.fillColor = rgb(nums(0), nums(1), nums(2))
+                      case 4 =>
+                        flush()
+                        st.fillColor = rgb((1 - nums(0)) * (1 - nums(3)),
+                          (1 - nums(1)) * (1 - nums(3)), (1 - nums(2)) * (1 - nums(3)))
+                      case _ => ()
+                    }
+                  }
                 case "re" =>
                   val (rx, ry) = NumFmt.apply(st.ctm, numArg(0), numArg(1))
                   boxes += PageBox(rx, ry, numArg(2), numArg(3))
@@ -392,7 +412,11 @@ object ContentEvaluator {
                           flush()
                           if (stack.length > stackDepth) stack.remove(stackDepth, stack.length - stackDepth)
                           st.restoreFrom(snapshot)
-                        case _ => () // image XObject / unknown: consumed as marker
+                        case _ =>
+                          // image XObject: the CTM maps the unit square to the
+                          // painted area — record it as a layout box (E9)
+                          if (res.isImage(n))
+                            boxes += PageBox(st.ctm(4), st.ctm(5), st.ctm(0), st.ctm(3))
                       }
                     case _ => errors += 1
                   }

@@ -29,6 +29,7 @@ object Extractor {
     case object Svg extends Dialect
     case object Html extends Dialect
     case object Pdf extends Dialect
+    case object PdfFile extends Dialect
     case object Plain extends Dialect
   }
 
@@ -38,7 +39,8 @@ object Extractor {
     val n = payload.length
     while (i < n && Character.isWhitespace(payload.charAt(i))) i += 1
     def at(prefix: String): Boolean = payload.startsWith(prefix, i)
-    if (at("<svg:svg") || at("<svg ") || payload.indexOf("<svg:tspan", i) >= 0) Dialect.Svg
+    if (at("%PDF-")) Dialect.PdfFile // whole file: header magic (S2 sniff)
+    else if (at("<svg:svg") || at("<svg ") || payload.indexOf("<svg:tspan", i) >= 0) Dialect.Svg
     else if (at("<!") || at("<html") || at("<HTML") ||
              (i + 1 < n && payload.charAt(i) == '<' && payload.charAt(i + 1).isLetter)) Dialect.Html
     else if (hasContentStreamShape(payload, i)) Dialect.Pdf
@@ -87,6 +89,23 @@ object Extractor {
           val res = ContentEvaluator.evaluate(payload.getBytes(StandardCharsets.ISO_8859_1))
           val asm = LineAssembler.assemble(res.runs)
           Result(asm.text, asm.spans, TurnMetrics(res.runs.length, asm.text.length, res.errors))
+        case Dialect.PdfFile =>
+          // a whole PDF file as the turn payload (latin-1-preserved bytes):
+          // full xref → page tree → fonts → evaluator → line assembly per page
+          val doc = graft.pdf.PdfDocument.open(payload.getBytes(StandardCharsets.ISO_8859_1))
+          val sb = new StringBuilder
+          val spans = Seq.newBuilder[Span]
+          var runsTotal = 0
+          doc.pages.indices.foreach { p =>
+            val r = doc.evalPage(p)
+            val asm = LineAssembler.assemble(r.runs)
+            if (p > 0 && sb.nonEmpty) sb.append('\n')
+            val start = sb.length
+            sb.append(asm.text)
+            spans += Span(start, sb.length, s"pdf>page${p + 1}")
+            runsTotal += r.runs.length
+          }
+          Result(sb.toString, spans.result(), TurnMetrics(runsTotal, sb.length, 0))
         case Dialect.Plain =>
           Result(payload, Seq(Span(0, payload.length, "text")), TurnMetrics(0, payload.length, 0))
       }

@@ -123,6 +123,14 @@ final class PdfDocument private (val file: PdfFile) {
         case None => FontMetrics.resolve(name)
       }
 
+    override def isImage(name: String): Boolean =
+      xobjDict.get(name).exists { ref =>
+        file.resolve(ref) match {
+          case s: PStream => file.dictGet(s.dict, "Subtype").contains(PName("Image"))
+          case _ => false
+        }
+      }
+
     override def form(name: String): Option[FormXObject] =
       xobjDict.get(name).flatMap { ref =>
         val key = ref match {

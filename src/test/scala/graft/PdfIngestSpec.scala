@@ -69,6 +69,17 @@ class PdfIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("Extractor sniffs and extracts a whole PDF file payload (turn pipeline)") {
+    val pdfPath = inputDir.resolve("1301.4293.pdf")
+    if (!Files.exists(pdfPath)) cancel("reference inputs not present")
+    val payload = new String(Files.readAllBytes(pdfPath), StandardCharsets.ISO_8859_1)
+    assert(graft.extract.Extractor.sniff(payload) == graft.extract.Extractor.Dialect.PdfFile)
+    val res = graft.extract.Extractor.extract(payload)
+    assert(res.text.contains("Latent Relation Representations for Universal"))
+    assert(res.spans.count(_.label.startsWith("pdf>page")) == 4)
+    res.spans.foreach(sp => assert(res.text.substring(sp.start, sp.end).nonEmpty))
+  }
+
   test("whole-document text extraction: reading order through the line assembler") {
     val pdfPath = inputDir.resolve("1301.4293.pdf")
     if (!Files.exists(pdfPath)) cancel("reference inputs not present")
