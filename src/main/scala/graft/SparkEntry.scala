@@ -231,7 +231,13 @@ object SparkEntry {
 
     "q46_clean_pipeline" -> ((s, dir) => {
       // the composed training-data cleaning flow: exact dedup -> quality gate
-      // -> language filter -> PII redaction -> token-window chunking
+      // -> language filter -> PII redaction -> token-window chunking.
+      // Dedup note: groupBy(text) is kept deliberately. A hash-first variant
+      // (group xxhash64 only) shuffles narrow rows but must either re-join the
+      // text (second full scan) or accept silent collision merges (~27 expected
+      // at 10^12 rows); a one-pass byte-exact groupBy already map-side-combines
+      // duplicate texts before the exchange, so at dedup-heavy corpus scale the
+      // shuffled bytes are bounded by DISTINCT text volume either way.
       val docs = t(s, dir, "documents")
       val deduped = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       val len = length(col("text"))

@@ -21,6 +21,9 @@ trait PageResources {
     * (SURVEY.md §2.2 E9: image markers feed the boilerplate heuristics,
     * pixels are never decoded). */
   def isImage(name: String): Boolean = false
+  /** ExtGState /Font entry: (font, size) when the graphics-state dict sets one
+    * (SURVEY.md §2.2 E6 — gs expansion, pdf.combined.js:45123-45180). */
+  def gsFont(name: String): Option[(FontSpec, Double)] = None
 }
 
 /** A Form XObject ready to execute: decoded content, its own resource context,
@@ -394,6 +397,17 @@ object ContentEvaluator {
                 case "re" =>
                   val (rx, ry) = NumFmt.apply(st.ctm, numArg(0), numArg(1))
                   boxes += PageBox(rx, ry, numArg(2), numArg(3))
+                case "gs" =>
+                  args(0) match {
+                    case Tok.Name(n) =>
+                      res.gsFont(n).foreach { case (f, size) =>
+                        flush()
+                        st.font = f
+                        if (size < 0) { st.fontSize = -size; st.fontDirection = -1 }
+                        else { st.fontSize = size; st.fontDirection = 1 }
+                      }
+                    case _ => ()
+                  }
                 case "ID" => lexer.seekAfterEI()
                 case "Do" =>
                   args(0) match {

@@ -123,6 +123,19 @@ final class PdfDocument private (val file: PdfFile) {
         case None => FontMetrics.resolve(name)
       }
 
+    override def gsFont(name: String): Option[(FontSpec, Double)] =
+      file.dictGet(resDict, "ExtGState").collect { case d: PDict => d }
+        .flatMap(gsd => file.dictGet(gsd, name)).collect { case d: PDict => d }
+        .flatMap(gs => file.dictGet(gs, "Font")).collect {
+          case PArr(Vector(fref, sz)) =>
+            val spec = file.resolve(fref) match {
+              case d: PDict => FontLoader.load(d, file)
+              case _ => FontMetrics.Helvetica
+            }
+            val size = file.resolve(sz) match { case PNum(v) => v; case _ => 0.0 }
+            (spec, size)
+        }
+
     override def isImage(name: String): Boolean =
       xobjDict.get(name).exists { ref =>
         file.resolve(ref) match {

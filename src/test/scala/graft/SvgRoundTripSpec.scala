@@ -33,6 +33,16 @@ class SvgRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-page document stitch round-trips page indices (C2)") {
+    def run(t: String) = GlyphRun(t, Array.tabulate(t.length)(_.toDouble), 0.0,
+      "f", 10, "normal", "normal", "rgb(0,0,0)", Array(1, 0, 0, 1, 0, 0))
+    val doc = SvgEmitter.document(Seq(Seq(run("page one")), Seq(run("page two"), run("more"))))
+    val parsed = GlyphRunParser.parse(doc)
+    assert(parsed.errors == 0)
+    assert(parsed.runs.map(r => (r.text, r.page)) ==
+      Vector(("page one", 0), ("page two", 1), ("more", 1)))
+  }
+
   test("xml escaping round-trips the reference's exact encode set") {
     val text = "a&b <tag> \"q\" \n\r\t '>' stays"
     val run = GlyphRun(text, Array.tabulate(text.length)(_.toDouble), 0,
