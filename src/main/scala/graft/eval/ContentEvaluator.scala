@@ -204,31 +204,47 @@ object ContentEvaluator {
         // compared x only (column jumps with Δy also get exactly one space)
         if (sameFrame && sw > 0 && (curX - lastEndX) >= 0.3 * sw) appendSpaces(1, lastEndX)
       }
-      // composite fonts consume 2 bytes per charcode (Identity CMaps); word
-      // spacing only ever applies to the 1-byte 0x20 charcode
-      // (charsToGlyphs, pdf.combined.js:36697-36714)
-      val wide = st.font.wideChars
-      val step = if (wide) 2 else 1
-      var i = 0
-      while (i < str.length) {
-        val c: Int =
-          if (wide) {
-            val hi = str.charAt(i).toInt & 0xff
-            val lo = if (i + 1 < str.length) str.charAt(i + 1).toInt & 0xff else 0
-            (hi << 8) | lo
-          } else str.charAt(i).toInt
-        // glyph text may expand to several chars (ligature /ToUnicode targets);
-        // keep one xcoord per emitted char so xs.length == text.length holds
-        val g = glyphText(c)
-        val gx = st.x + showX * textHScale
-        glyphStartTmp = gx
-        var k = 0
-        while (k < g.length) { xcoords += gx; k += 1 }
-        // `(glyph.isSpace ? wordSpacing : 0) + charSpacing`, pdf.combined.js:29772
-        val spacing = st.charSpacing + (if (!wide && c == ' ') st.wordSpacing else 0.0)
-        showX += widths(c) * widthAdvanceScale + spacing * st.fontDirection
-        sb.append(g)
-        i += step
+      if (glyphText eq FontSpec.IdentityChar) {
+        // identity hot path (synthetic dialect payloads): char-level appends,
+        // zero per-glyph allocation — this loop dominates extraction throughput
+        var i = 0
+        while (i < str.length) {
+          val c = str.charAt(i)
+          val gx = st.x + showX * textHScale
+          glyphStartTmp = gx
+          xcoords += gx
+          // `(glyph.isSpace ? wordSpacing : 0) + charSpacing`, pdf.combined.js:29772
+          val spacing = st.charSpacing + (if (c == ' ') st.wordSpacing else 0.0)
+          showX += widths(c.toInt) * widthAdvanceScale + spacing * st.fontDirection
+          sb.append(c)
+          i += 1
+        }
+      } else {
+        // mapped fonts: composite fonts consume 2 bytes per charcode (Identity
+        // CMaps); word spacing only ever applies to the 1-byte 0x20 charcode
+        // (charsToGlyphs, pdf.combined.js:36697-36714)
+        val wide = st.font.wideChars
+        val step = if (wide) 2 else 1
+        var i = 0
+        while (i < str.length) {
+          val c: Int =
+            if (wide) {
+              val hi = str.charAt(i).toInt & 0xff
+              val lo = if (i + 1 < str.length) str.charAt(i + 1).toInt & 0xff else 0
+              (hi << 8) | lo
+            } else str.charAt(i).toInt
+          // glyph text may expand to several chars (ligature /ToUnicode targets);
+          // keep one xcoord per emitted char so xs.length == text.length holds
+          val g = glyphText(c)
+          val gx = st.x + showX * textHScale
+          glyphStartTmp = gx
+          var k = 0
+          while (k < g.length) { xcoords += gx; k += 1 }
+          val spacing = st.charSpacing + (if (!wide && c == ' ') st.wordSpacing else 0.0)
+          showX += widths(c) * widthAdvanceScale + spacing * st.fontDirection
+          sb.append(g)
+          i += step
+        }
       }
     }
     def showKern(n: Double): Unit =

@@ -167,11 +167,16 @@ final class PdfDocument private (val file: PdfFile) {
     * `fakeSpaces` reconstructs inter-word spaces inside run texts (the golden
     * tspan surface wants them; the line assembler derives spacing from the
     * x-coordinates instead and must not get them twice). */
-  def evalPage(i: Int, fakeSpaces: Boolean = true): EvalResult = {
-    val p = pages(i)
-    val r = ContentEvaluator.evaluatePage(p.content, p.resources, fakeSpaces)
-    r.copy(runs = r.runs.map(_.copy(page = i)))
-  }
+  def evalPage(i: Int, fakeSpaces: Boolean = true): EvalResult =
+    try {
+      val p = pages(i)
+      val r = ContentEvaluator.evaluatePage(p.content, p.resources, fakeSpaces)
+      r.copy(runs = r.runs.map(_.copy(page = i)))
+    } catch {
+      // corrupt page: salvage nothing from it but never fail the document —
+      // at 10^12 rows a single malformed file must not kill the job (S6)
+      case scala.util.control.NonFatal(_) => EvalResult(Vector.empty, Vector.empty, 1)
+    }
 
   /** All pages' runs in document order. */
   def allRuns: Vector[GlyphRun] =
