@@ -273,16 +273,22 @@ final class PdfFile(val bytes: Array[Byte]) {
 
   def decodeStream(s: PStream): Array[Byte] = Filters.decode(s, resolve)
 
-  def fetch(num: Int): PObj = cache.getOrElseUpdate(num, {
-    entries.get(num) match {
-      case Some(Right(offset)) if offset >= 0 && offset < bytes.length =>
-        parseObjectAt(offset, num)
-      case Some(Left((stmNum, idx))) => fetchFromObjStm(stmNum, idx)
-      case _ =>
-        if (!recovered) { recoverScan(); cache.remove(num); fetch(num) }
-        else PNull
-    }
-  })
+  def fetch(num: Int): PObj = cache.get(num) match {
+    case Some(v) => v
+    case None =>
+      // no getOrElseUpdate: the recovery retry re-enters this key, and
+      // re-entrant getOrElseUpdate on a mutable map is undefined
+      val v = entries.get(num) match {
+        case Some(Right(offset)) if offset >= 0 && offset < bytes.length =>
+          parseObjectAt(offset, num)
+        case Some(Left((stmNum, idx))) => fetchFromObjStm(stmNum, idx)
+        case _ =>
+          if (!recovered) { recoverScan(); fetchNoCache(num) }
+          else PNull
+      }
+      cache(num) = v
+      v
+  }
 
   private def parseObjectAt(offset: Int, expectNum: Int): PObj = {
     val p = new ObjParser(bytes, offset)
