@@ -201,8 +201,11 @@ object ContentEvaluator {
         }
         // single leading space on a new tspan after a positive x-gap within the
         // same (ctm, textMatrix) frame — the golden corpus shows the generator
-        // compared x only (column jumps with Δy also get exactly one space)
-        if (sameFrame && sw > 0 && (curX - lastEndX) >= 0.3 * sw) appendSpaces(1, lastEndX)
+        // compared x only (column jumps with Δy also get exactly one space).
+        // Fonts with no estimable space width (symbol subsets) fall back to the
+        // previous show's space width, same baseline only.
+        val swEff = if (sw > 0) sw else if (st.y == lastEndY) prevSw else 0.0
+        if (sameFrame && swEff > 0 && (curX - lastEndX) >= 0.3 * swEff) appendSpaces(1, lastEndX)
       }
       if (glyphText eq FontSpec.IdentityChar) {
         // identity hot path (synthetic dialect payloads): char-level appends,

@@ -26,14 +26,14 @@ class PdfIngestSpec extends AnyFunSuite {
     }
   }
 
-  /** Exact-match floors (measured: 98.8 / 99.5 / 94.5 / 97.3%). The gap to
+  /** Exact-match floors (measured: 98.8 / 99.5 / 96.8 / 97.5%). The gap to
     * 100% is confined to single leading/intra fake spaces at sub/superscript
     * boundaries — the reference CLI build that generated the goldens predates
     * the vendored pdf.combined.js and its precise space heuristic is not
     * recoverable from the repo; glyph content, order and entry segmentation
     * are asserted exactly. */
   private val papers = Seq(
-    ("1301.4293", 0.98), ("C04-1204", 0.99), ("test24", 0.94), ("test25", 0.97))
+    ("1301.4293", 0.98), ("C04-1204", 0.99), ("test24", 0.96), ("test25", 0.97))
 
   papers.foreach { case (paper, exactFloor) =>
     test(s"pdf ingestion golden: $paper") {
