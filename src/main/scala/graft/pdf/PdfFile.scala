@@ -261,8 +261,43 @@ final class PdfFile(val bytes: Array[Byte]) {
   private val cache = mutable.Map.empty[Int, PObj]
   var trailer: PDict = PDict(Map.empty)
   private var recovered = false
+  private var decryptor: Option[Decryptor] = None
+  private var encryptNum: Int = -1
 
   parseXRef()
+  initDecryptor()
+
+  /** Standard security handler (empty user password). The /Encrypt dict object
+    * itself is never encrypted; it is fetched before the decryptor exists. */
+  private def initDecryptor(): Unit =
+    try {
+      trailer.get("Encrypt").foreach { encObj =>
+        encryptNum = encObj match { case PRef(n, _) => n; case _ => -1 }
+        resolve(encObj) match {
+          case d: PDict =>
+            val docId = trailer.get("ID").map(resolve) match {
+              case Some(PArr(items)) if items.nonEmpty =>
+                resolve(items.head) match { case PStr(b) => b; case _ => Array.emptyByteArray }
+              case _ => Array.emptyByteArray
+            }
+            decryptor = Decryptor.fromEncryptDict(d, docId, resolve)
+          case _ => ()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Recursively decrypt strings and stream bytes of a fetched object
+    * (xref streams are never encrypted; stream /Length stays plaintext). */
+  private def decryptObj(o: PObj, dec: Decryptor, num: Int, gen: Int): PObj = o match {
+    case PStream(d, raw) =>
+      val isXref = d.get("Type").contains(PName("XRef"))
+      val dd = decryptObj(d, dec, num, gen).asInstanceOf[PDict]
+      if (isXref) PStream(dd, raw) else PStream(dd, dec.decrypt(raw, num, gen))
+    case PStr(b) => PStr(dec.decrypt(b, num, gen))
+    case PArr(items) => PArr(items.map(decryptObj(_, dec, num, gen)))
+    case PDict(e) => PDict(e.map { case (k, v) => k -> decryptObj(v, dec, num, gen) })
+    case other => other
+  }
 
   def resolve(o: PObj): PObj = o match {
     case PRef(num, _) => resolve(fetch(num))
@@ -295,7 +330,7 @@ final class PdfFile(val bytes: Array[Byte]) {
     p.skipWs()
     val n = p.parseNumber()
     p.skipWs()
-    p.parseNumber() // gen
+    val gen = p.parseNumber().value.toInt
     if (!p.consumeKeyword("obj")) {
       if (!recovered && n.value.toInt != expectNum) { recoverScan(); return fetchNoCache(expectNum) }
       return PNull
@@ -314,6 +349,10 @@ final class PdfFile(val bytes: Array[Byte]) {
             }
           case _ => ()
         }
+      case _ => ()
+    }
+    decryptor match {
+      case Some(dec) if expectNum != encryptNum => obj = decryptObj(obj, dec, expectNum, gen)
       case _ => ()
     }
     obj
