@@ -110,8 +110,10 @@ object ContentEvaluator {
     * dialect payloads carry real space glyphs, and the line assembler derives
     * spacing from x-coordinates instead. */
   def evaluatePage(content: Array[Byte], pageResources: PageResources,
-      fakeSpaces: Boolean = false): EvalResult = {
+      fakeSpaces: Boolean = false,
+      initialCtm: Array[Double] = NumFmt.Identity): EvalResult = {
     val st = new State
+    st.ctm = initialCtm
     val stack = ArrayBuffer.empty[State]
     val runs = Vector.newBuilder[GlyphRun]
     val boxes = Vector.newBuilder[PageBox]

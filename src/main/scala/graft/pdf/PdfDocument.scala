@@ -91,6 +91,23 @@ final class PdfDocument private (val file: PdfFile) {
     }
 
     def resources: PageResources = mkResources(attr("Resources"))
+
+    /** Initial CTM compensating /Rotate (SURVEY.md §2.7 G23): maps rotated
+      * content into upright y-up page space so reading-order assembly is
+      * orientation-independent. Identity for the normal /Rotate 0 case. */
+    def rotationCtm: Array[Double] = {
+      val rot = attr("Rotate") match {
+        case Some(PNum(v)) => ((v.toInt % 360) + 360) % 360
+        case _ => 0
+      }
+      val mb = mediaBox
+      rot match {
+        case 90 => Array(0, -1, 1, 0, 0, mb(2)) // (x,y) -> (y, x1 - x)
+        case 180 => Array(-1, 0, 0, -1, mb(2), mb(3)) // -> (x1 - x, y1 - y)
+        case 270 => Array(0, 1, -1, 0, mb(3), 0) // -> (y1 - y, x)
+        case _ => graft.core.NumFmt.Identity
+      }
+    }
   }
 
   private def mkResources(resObj: Option[PObj]): PageResources = new PageResources {
@@ -170,7 +187,8 @@ final class PdfDocument private (val file: PdfFile) {
   def evalPage(i: Int, fakeSpaces: Boolean = true): EvalResult =
     try {
       val p = pages(i)
-      val r = ContentEvaluator.evaluatePage(p.content, p.resources, fakeSpaces)
+      val r = ContentEvaluator.evaluatePage(p.content, p.resources, fakeSpaces,
+        initialCtm = p.rotationCtm)
       r.copy(runs = r.runs.map(_.copy(page = i)))
     } catch {
       // corrupt page: salvage nothing from it but never fail the document —
