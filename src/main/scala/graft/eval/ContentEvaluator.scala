@@ -429,6 +429,11 @@ object ContentEvaluator {
                       }
                     case _ => ()
                   }
+                case "BI" =>
+                  // inline image: record the CTM unit square as a layout box
+                  // (the reference's 1x1 image-mask solid-rule case feeds the
+                  // same heuristics, pdf.combined.js:47464-47483)
+                  boxes += PageBox(st.ctm(4), st.ctm(5), st.ctm(0), st.ctm(3))
                 case "ID" => lexer.seekAfterEI()
                 case "Do" =>
                   args(0) match {
