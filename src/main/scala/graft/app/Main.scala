@@ -66,6 +66,18 @@ object Main {
         .drop("__bucket").as[graft.core.Turn]
       val extracted = Pipeline.extractTurns(turns, partitions)
         .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(buckets)).cast("string"))
+      // Dynamic partition overwrite only replaces partitions present in the NEW
+      // data: a pending bucket whose extraction now yields zero rows would keep
+      // its stale files and the metrics pass below would record stale counts.
+      // Pending buckets carry no manifest entry yet (they'd be re-extracted on
+      // any resume), so clearing them up front is safe and makes the post-write
+      // read reflect exactly this run's output.
+      val outPath = new org.apache.hadoop.fs.Path(output)
+      val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(outPath)) pending.foreach { b =>
+        val p = new org.apache.hadoop.fs.Path(outPath, s"bucket=$b")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try extracted.write.mode("overwrite").partitionBy("bucket").parquet(output)
@@ -75,15 +87,23 @@ object Main {
       }
       // per-bucket metrics from the just-written files — never re-run extraction
       val ts = new java.sql.Timestamp(System.currentTimeMillis())
-      val rows = spark.read.parquet(output)
-        .filter(col("bucket").isin(pending: _*))
-        .groupBy(col("bucket").cast("string").as("part"))
-        .agg(count(lit(1)).as("rows"), sum(length(col("extracted_text"))).as("chars"))
-        .collect()
+      val anyData = fs.exists(outPath) &&
+        fs.listStatus(outPath).exists(_.getPath.getName.startsWith("bucket="))
+      val counted: Map[String, (Long, Long)] =
+        if (!anyData) Map.empty
+        else spark.read.parquet(output)
+          .filter(col("bucket").isin(pending: _*))
+          .groupBy(col("bucket").cast("string").as("part"))
+          .agg(count(lit(1)).as("rows"), coalesce(sum(length(col("extracted_text"))), lit(0L)).as("chars"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getAs[Long]("rows"), r.getAs[Long]("chars"))).toMap
+      // every pending bucket gets a 'done' row — zero-yield buckets included,
+      // else they are re-extracted on every subsequent resume
       Manifest.append(
-        rows.toSeq.map(r => (r.getString(0), snapshotId, r.getAs[Long]("rows"),
-            r.getAs[Long]("chars"), "done", ts))
-          .toDF("part", "snapshot_id", "rows", "chars", "status", "run_ts"),
+        pending.map { b =>
+          val (n, c) = counted.getOrElse(b, (0L, 0L))
+          (b, snapshotId, n, c, "done", ts)
+        }.toDF("part", "snapshot_id", "rows", "chars", "status", "run_ts"),
         manifestPath)
     }
   }

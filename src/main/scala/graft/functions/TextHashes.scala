@@ -27,17 +27,35 @@ object TextSketch {
     z ^ (z >>> 31)
   }
 
+  /** Codepoints of `s`. The hash kernels fold Unicode codepoints — not UTF-16
+    * code units — so the DuckDB oracle mirrors (which use `unicode()`, `len()`
+    * and codepoint indexing) agree on supplementary-plane input (emoji, rare
+    * CJK) too, not just BMP test data.
+    */
+  private[functions] def codePoints(s: String): Array[Int] = {
+    val n = s.length
+    var i = 0
+    var bmp = true
+    while (i < n) { if (Character.isHighSurrogate(s.charAt(i))) { bmp = false; i = n } else i += 1 }
+    if (bmp) {
+      val a = new Array[Int](n)
+      var j = 0
+      while (j < n) { a(j) = s.charAt(j); j += 1 }
+      a
+    } else s.codePoints().toArray
+  }
+
   /** Rolling hash of word k-shingles; calls `onShingle` once per shingle. */
   private[functions] def foreachShingleHash(text: UTF8String, k: Int)(onShingle: Long => Unit): Unit = {
-    val s = text.toString
-    val n = s.length
+    val cp = codePoints(text.toString)
+    val n = cp.length
     // word start offsets
     var wordCount = 0
     var i = 0
     val starts = new java.util.ArrayList[Integer]()
     var inWord = false
     while (i <= n) {
-      val isSpace = i == n || s.charAt(i) == ' '
+      val isSpace = i == n || cp(i) == ' '
       if (!isSpace && !inWord) { starts.add(i); inWord = true; wordCount += 1 }
       if (isSpace) inWord = false
       i += 1
@@ -46,7 +64,7 @@ object TextSketch {
       if (wordCount > 0) { // short doc: single shingle of everything
         var h = 1125899906842597L
         var j = 0
-        while (j < n) { h = 31 * h + s.charAt(j); j += 1 }
+        while (j < n) { h = 31 * h + cp(j); j += 1 }
         onShingle(mix64(h))
       }
       return
@@ -57,10 +75,10 @@ object TextSketch {
     while (w < wordCount) {
       val from = starts.get(w)
       var to = from
-      while (to < n && s.charAt(to) != ' ') to += 1
+      while (to < n && cp(to) != ' ') to += 1
       var h = 1125899906842597L
       var j = from
-      while (j < to) { h = 31 * h + s.charAt(j); j += 1 }
+      while (j < to) { h = 31 * h + cp(j); j += 1 }
       wordHashes(w) = mix64(h)
       w += 1
     }
@@ -110,15 +128,15 @@ object TextSketch {
     fp
   }
 
-  /** Winnowing fingerprint: min rolling hash over char windows. */
+  /** Winnowing fingerprint: min rolling hash over codepoint windows. */
   def fingerprint(text: UTF8String, window: Int): Long = {
-    val s = text.toString
-    val n = s.length
+    val cp = codePoints(text.toString)
+    val n = cp.length
     if (n == 0) return 0L
     if (n <= window) {
       var h = 1125899906842597L
       var i = 0
-      while (i < n) { h = 31 * h + s.charAt(i); i += 1 }
+      while (i < n) { h = 31 * h + cp(i); i += 1 }
       return mix64(h)
     }
     // polynomial rolling hash with precomputed 31^(window-1)
@@ -127,11 +145,11 @@ object TextSketch {
     while (i < window - 1) { pow *= 31; i += 1 }
     var h = 0L
     i = 0
-    while (i < window) { h = 31 * h + s.charAt(i); i += 1 }
+    while (i < window) { h = 31 * h + cp(i); i += 1 }
     var min = mix64(h)
     i = window
     while (i < n) {
-      h = 31 * (h - s.charAt(i - window) * pow) + s.charAt(i)
+      h = 31 * (h - cp(i - window) * pow) + cp(i)
       val m = mix64(h)
       if (m < min) min = m
       i += 1

@@ -124,13 +124,13 @@ final class CffParser(data: Array[Byte]) {
             while (names.length < nGlyphs) {
               var id = u16(p); val count = u8(p + 2); p += 3
               var i = 0
-              while (i <= count && names.length <= nGlyphs) { names += (if (cid) id.toString else sid(id)); id += 1; i += 1 }
+              while (i <= count && names.length < nGlyphs) { names += (if (cid) id.toString else sid(id)); id += 1; i += 1 }
             }
           case 2 =>
             while (names.length < nGlyphs) {
               var id = u16(p); val count = u16(p + 2); p += 4
               var i = 0
-              while (i <= count && names.length <= nGlyphs) { names += (if (cid) id.toString else sid(id)); id += 1; i += 1 }
+              while (i <= count && names.length < nGlyphs) { names += (if (cid) id.toString else sid(id)); id += 1; i += 1 }
             }
           case _ => ()
         }

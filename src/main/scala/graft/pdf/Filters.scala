@@ -268,7 +268,10 @@ object Filters {
           next += 1
         }
         prev = entry
-        if (next + earlyChange - 1 >= (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        // EarlyChange=1 bumps the code width one entry early: the switch happens
+        // when next+earlyChange reaches a power of two (next==511 for 9->10), per
+        // the reference decoder (pdf.combined.js:23928).
+        if (next + earlyChange >= (1 << codeWidth) && codeWidth < 12) codeWidth += 1
       }
     }
     out.toByteArray

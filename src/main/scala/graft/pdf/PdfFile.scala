@@ -263,6 +263,9 @@ final class PdfFile(val bytes: Array[Byte]) {
   private var recovered = false
   private var decryptor: Option[Decryptor] = None
   private var encryptNum: Int = -1
+  // declared before the parseXRef()/initDecryptor() constructor statements —
+  // fetch runs during construction, so this must already be initialized
+  private val inFlight = mutable.Set.empty[Int]
 
   parseXRef()
   initDecryptor()
@@ -311,16 +314,21 @@ final class PdfFile(val bytes: Array[Byte]) {
   def fetch(num: Int): PObj = cache.get(num) match {
     case Some(v) => v
     case None =>
+      // A corrupt xref can claim an ObjStm lives inside itself (or a mutual
+      // A-in-B/B-in-A cycle); fetchFromObjStm -> fetch would then recurse
+      // unboundedly and StackOverflowError escapes every never-fail catch.
+      if (!inFlight.add(num)) return PNull
       // no getOrElseUpdate: the recovery retry re-enters this key, and
       // re-entrant getOrElseUpdate on a mutable map is undefined
-      val v = entries.get(num) match {
-        case Some(Right(offset)) if offset >= 0 && offset < bytes.length =>
-          parseObjectAt(offset, num)
-        case Some(Left((stmNum, idx))) => fetchFromObjStm(stmNum, idx)
-        case _ =>
-          if (!recovered) { recoverScan(); fetchNoCache(num) }
-          else PNull
-      }
+      val v =
+        try entries.get(num) match {
+          case Some(Right(offset)) if offset >= 0 && offset < bytes.length =>
+            parseObjectAt(offset, num)
+          case Some(Left((stmNum, idx))) => fetchFromObjStm(stmNum, idx)
+          case _ =>
+            if (!recovered) { recoverScan(); fetchNoCache(num) }
+            else PNull
+        } finally inFlight.remove(num)
       cache(num) = v
       v
   }

@@ -35,6 +35,30 @@ class OpsSpec extends AnyFunSuite {
     assert(byHash == byBytes)
   }
 
+  test("sketch kernels fold codepoints, not UTF-16 units (oracle parity off the BMP)") {
+    import graft.functions.TextSketch
+    import org.apache.spark.unsafe.types.UTF8String
+    // U+1D11E (musical G clef) is a surrogate pair in UTF-16 but one codepoint;
+    // the DuckDB oracles (unicode()/len()) see codepoints, so the kernels must too.
+    val s = "a𝄞b" // "a𝄞b"
+    def mix64(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // whole string is one word -> single-shingle path = mix64(fold over codepoints)
+    var h = 1125899906842597L
+    for (c <- Seq(0x61, 0x1D11E, 0x62)) h = 31 * h + c
+    val expected = mix64(h)
+    // wordCount=1 < k=2 -> whole-string single shingle; minhash slot 0 applies
+    // the per-slot universal hash mix64(h + 0) = mix64(h), so sig(0) exposes it
+    val sig = TextSketch.minhash(UTF8String.fromString(s), 2, 1)
+    assert(sig.toSeq == Seq(mix64(expected + 0L)))
+    // fingerprint window counts codepoints: n=3 <= window=3 -> same fold
+    assert(TextSketch.fingerprint(UTF8String.fromString(s), 3) == expected)
+  }
+
   test("minhash LSH finds near-dups, skips unrelated") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -65,4 +65,33 @@ class XrefStreamSpec extends AnyFunSuite {
     assert(runs.map(_.text) == Vector("xref stream works"))
     assert(doc.extractPageText(0) == "xref stream works")
   }
+
+  test("self/mutual ObjStm cycles degrade to PNull instead of StackOverflowError") {
+    val out = new ByteArrayOutputStream()
+    def write(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    write("%PDF-1.5\n")
+    val offX = out.size
+    def row(t: Int, a: Int, b: Int): Array[Byte] =
+      Array(t.toByte,
+        ((a >> 24) & 0xff).toByte, ((a >> 16) & 0xff).toByte, ((a >> 8) & 0xff).toByte, (a & 0xff).toByte,
+        ((b >> 8) & 0xff).toByte, (b & 0xff).toByte)
+    // 1: claims to live in ObjStm 1 (itself); 2 in 3 and 3 in 2 (mutual cycle)
+    val rows = Array(
+      row(0, 0, 0xffff),
+      row(2, 1, 0), // 1 "inside" stream 1
+      row(2, 3, 0), // 2 inside stream 3
+      row(2, 2, 0), // 3 inside stream 2
+      row(1, offX, 0) // 4: this xref stream
+    ).flatten
+    write(s"4 0 obj\n<< /Type /XRef /Size 5 /W [1 4 2] /Index [0 5] /Root 1 0 R " +
+      s"/Length ${rows.length} >>\nstream\n")
+    out.write(rows)
+    write("\nendstream\nendobj\n")
+    write(s"startxref\n$offX\n%%EOF\n")
+
+    // never-fail: open must not throw (a StackOverflowError is not NonFatal
+    // and would escape every salvage catch)
+    val doc = PdfDocument.open(out.toByteArray)
+    assert(doc.pages.isEmpty)
+  }
 }
