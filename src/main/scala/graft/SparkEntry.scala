@@ -164,6 +164,75 @@ object SparkEntry {
         }
         .toDF("paper", "entry_idx", "entry_nospace")
     }),
+    "q19_pdf_metadata" -> ((s, dir) => {
+      // getMetadata parity (reference getinfo.js:33-43): trailer /Info entries
+      // (spec-validated keys, PDFDocEncoding/UTF-16BE decoding) plus the
+      // catalog /Metadata XMP packet, fingerprinted as length + md5 so the
+      // oracle stays a reviewable literal. Expected values below were verified
+      // against the raw PDF bytes by inspection (incl. test24's incremental
+      // update, whose newer /Info generation supersedes the original).
+      import s.implicits._
+      val _ = dir
+      s.read.format("binaryFile")
+        .load("/root/reference/src/test/resources/input/*.pdf")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          val doc = graft.pdf.PdfDocument.open(bytes)
+          val infoRows = doc.info.toSeq.map { case (k, v) => (paper, k, v) }
+          val xmpRows = doc.xmp.toSeq.flatMap { x =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            Seq((paper, "__xmp_chars", x.length.toString), (paper, "__xmp_md5", md))
+          }
+          infoRows ++ xmpRows
+        }
+        .toDF("paper", "meta_key", "meta_value")
+    }),
+    "q19b_pdf_exact_floor" -> ((s, dir) => {
+      // Driver-visible exact-WITH-spaces gate (pattern: q33's in-query recall
+      // gate). q18 compares space-normalized because the goldens embed a lost
+      // generator's fake-space rule; the measured exact ratios (~0.99/1.0/
+      // 0.97/0.98) live in PdfIngestSpec as floors. This query recomputes the
+      // per-paper exact ratio in-query and gates it against the same floors,
+      // so a regression in fake-space reconstruction breaks a CORRECTNESS row,
+      // not just a unit test.
+      import s.implicits._
+      val _ = dir
+      val floors = Map(
+        "1301.4293" -> 0.98, "C04-1204" -> 0.99, "test24" -> 0.96, "test25" -> 0.97)
+      val got = s.read.format("binaryFile")
+        .load("/root/reference/src/test/resources/input/*.pdf")
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          graft.pdf.PdfDocument.open(bytes).tspanTexts.zipWithIndex.map {
+            case (t, i) => (paper, i.toLong, t)
+          }
+        }.toDF("paper", "idx", "got_entry")
+      val exp = s.read.format("binaryFile")
+        .load("/root/reference/src/test/resources/output/*.pdf.expected/tspan-texts.txt")
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val paper = path.split('/').dropRight(1).last.stripSuffix(".pdf.expected")
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            .stripSuffix("\n").split("\n\n", -1).toVector.zipWithIndex.map {
+              case (t, i) => (paper, i.toLong, t)
+            }
+        }.toDF("paper", "idx", "exp_entry")
+      val floorExpr = floors.foldLeft(lit(1.1)) { // unknown paper never passes
+        case (acc, (k, v)) => when(col("paper") === k, lit(v)).otherwise(acc)
+      }
+      got.join(exp, Seq("paper", "idx"), "full_outer") // count mismatches surface as nulls
+        .groupBy("paper")
+        .agg(
+          sum(when(col("got_entry") === col("exp_entry"), 1L).otherwise(0L)).as("exact"),
+          count(lit(1)).as("total"))
+        .select(col("paper"),
+          ((col("exact") / col("total")) >= floorExpr).cast("long").as("exact_floor_ok"))
+    }),
     "q16_sql_extract" -> ((s, dir) => {
       graft.functions.TextHashes.register(s)
       import s.implicits._
@@ -453,6 +522,38 @@ object SparkEntry {
         |SELECT paper, CAST(idx - 1 AS BIGINT) AS entry_idx,
         |  replace(entry, ' ', '') AS entry_nospace
         |FROM entries""".stripMargin,
+    "q19_pdf_metadata" ->
+      """SELECT * FROM (VALUES
+        | ('1301.4293', 'Author', ''),
+        | ('1301.4293', 'CreationDate', 'D:20130128202022-05''00'''),
+        | ('1301.4293', 'Creator', 'LaTeX with hyperref package'),
+        | ('1301.4293', 'Keywords', ''),
+        | ('1301.4293', 'ModDate', 'D:20130128202022-05''00'''),
+        | ('1301.4293', 'Producer', 'dvips + GPL Ghostscript GIT PRERELEASE 9.05'),
+        | ('1301.4293', 'Subject', ''),
+        | ('1301.4293', 'Title', ''),
+        | ('1301.4293', '__xmp_chars', '1565'),
+        | ('1301.4293', '__xmp_md5', 'a5f92bc33ead122e33ccc3a2f43ebf1f'),
+        | ('C04-1204', 'Producer', 'GNU Ghostscript 6.51'),
+        | ('test24', 'CreationDate', 'D:20140326144630-04''00'''),
+        | ('test24', 'Creator', 'PDFplus'),
+        | ('test24', 'ModDate', 'D:20140402001426-05''00'''),
+        | ('test24', 'Producer', 'Atypon Systems, Inc.'),
+        | ('test24', 'Title', 'Synthesis, Structures, Polymorphism, and Magnetic Properties of Transition Metal Thiocyanato Coordination Compounds'),
+        | ('test24', '__xmp_chars', '3197'),
+        | ('test24', '__xmp_md5', '8388ab2298d27a33b29712663fdbbf4b'),
+        | ('test25', 'CreationDate', 'D:20140319044808+08''00'''),
+        | ('test25', 'Creator', '3B2 Total Publishing System 8.07e/W Unicode '),
+        | ('test25', 'ModDate', 'D:20140319094533+08''00'''),
+        | ('test25', 'Producer', 'Acrobat Distiller 9.5.0 (Windows)'),
+        | ('test25', 'Title', ''),
+        | ('test25', '__xmp_chars', '8998'),
+        | ('test25', '__xmp_md5', '19c1a0c1815bb4f3384b8ecf07855aa8')
+        |) AS t(paper, meta_key, meta_value)""".stripMargin,
+    "q19b_pdf_exact_floor" ->
+      """SELECT * FROM (VALUES
+        | ('1301.4293', 1), ('C04-1204', 1), ('test24', 1), ('test25', 1)
+        |) AS t(paper, exact_floor_ok)""".stripMargin,
     "q20_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
     "q17_conv_rollup" ->

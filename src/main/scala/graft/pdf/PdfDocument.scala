@@ -223,8 +223,88 @@ final class PdfDocument private (val file: PdfFile) {
     allRuns.map(_.text)
       .filter(t => t.forall(_ >= 0x20))
       .filter(t => t.exists(_ != ' '))
+
+  /** Document information dictionary — the `getMetadata` entry-point surface
+    * (SURVEY.md §3.3; reference documentInfo, pdf.combined.js:49241-49269).
+    * Only the spec-validated keys are kept (validators at :49086-49101):
+    * the eight string entries decoded per stringToPDFString (UTF-16BE BOM or
+    * PDFDocEncoding, :3277-3292) plus /Trapped as a name. Never throws.
+    */
+  lazy val info: Map[String, String] =
+    try file.dictGet(file.trailer, "Info") match {
+      case Some(d: PDict) =>
+        val b = Map.newBuilder[String, String]
+        PdfDocument.InfoStringKeys.foreach { k =>
+          file.dictGet(d, k) match {
+            case Some(PStr(bs)) => b += k -> PdfDocument.decodePdfString(bs)
+            case _ => () // non-string value for a string key: dropped, like the reference
+          }
+        }
+        file.dictGet(d, "Trapped") match {
+          case Some(PName(n)) => b += "Trapped" -> n
+          case _ => ()
+        }
+        b.result()
+      case _ => Map.empty
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Catalog /Metadata XMP packet as UTF-8 text, when /Type /Metadata
+    * /Subtype /XML (reference Catalog.metadata, pdf.combined.js:42556-42587).
+    */
+  lazy val xmp: Option[String] =
+    try {
+      for {
+        root <- file.dictGet(file.trailer, "Root").collect { case d: PDict => d }
+        s <- file.dictGet(root, "Metadata").collect { case s: PStream => s }
+        if file.dictGet(s.dict, "Type").contains(PName("Metadata"))
+        if file.dictGet(s.dict, "Subtype").contains(PName("XML"))
+      } yield new String(file.decodeStream(s), java.nio.charset.StandardCharsets.UTF_8)
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 object PdfDocument {
   def open(bytes: Array[Byte]): PdfDocument = new PdfDocument(new PdfFile(bytes))
+
+  private[pdf] val InfoStringKeys = Seq(
+    "Title", "Author", "Subject", "Keywords", "Creator", "Producer",
+    "CreationDate", "ModDate")
+
+  /** PDFDocEncoding → Unicode overrides (identity elsewhere); mirrors
+    * PDFStringTranslateTable, pdf.combined.js:3265-3275. */
+  private val PdfDocOverrides: Map[Int, Int] = Map(
+    0x18 -> 0x2D8, 0x19 -> 0x2C7, 0x1A -> 0x2C6, 0x1B -> 0x2D9,
+    0x1C -> 0x2DD, 0x1D -> 0x2DB, 0x1E -> 0x2DA, 0x1F -> 0x2DC,
+    0x80 -> 0x2022, 0x81 -> 0x2020, 0x82 -> 0x2021, 0x83 -> 0x2026,
+    0x84 -> 0x2014, 0x85 -> 0x2013, 0x86 -> 0x192, 0x87 -> 0x2044,
+    0x88 -> 0x2039, 0x89 -> 0x203A, 0x8A -> 0x2212, 0x8B -> 0x2030,
+    0x8C -> 0x201E, 0x8D -> 0x201C, 0x8E -> 0x201D, 0x8F -> 0x2018,
+    0x90 -> 0x2019, 0x91 -> 0x201A, 0x92 -> 0x2122, 0x93 -> 0xFB01,
+    0x94 -> 0xFB02, 0x95 -> 0x141, 0x96 -> 0x152, 0x97 -> 0x160,
+    0x98 -> 0x178, 0x99 -> 0x17D, 0x9A -> 0x131, 0x9B -> 0x142,
+    0x9C -> 0x153, 0x9D -> 0x161, 0x9E -> 0x17E, 0xA0 -> 0x20AC)
+
+  /** stringToPDFString semantics (pdf.combined.js:3277-3292): a UTF-16BE BOM
+    * selects big-endian 16-bit decoding, otherwise bytes map through
+    * PDFDocEncoding. */
+  private[pdf] def decodePdfString(bytes: Array[Byte]): String = {
+    val n = bytes.length
+    if (n >= 2 && (bytes(0) & 0xff) == 0xFE && (bytes(1) & 0xff) == 0xFF) {
+      val sb = new java.lang.StringBuilder(n / 2)
+      var i = 2
+      while (i + 1 < n) {
+        sb.append((((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)).toChar)
+        i += 2
+      }
+      sb.toString
+    } else {
+      val sb = new java.lang.StringBuilder(n)
+      var i = 0
+      while (i < n) {
+        val c = bytes(i) & 0xff
+        sb.append(PdfDocOverrides.getOrElse(c, c).toChar)
+        i += 1
+      }
+      sb.toString
+    }
+  }
 }
