@@ -82,7 +82,13 @@ object Bench {
       "q43_fingerprint", "q44_chunking", "q46_clean_pipeline", "q50_events_window", "q53_rollup", "q59_asof_join")
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      val sec = try time(fn(spark, sfDir).count()) catch {
+        case e: Throwable =>
+          // -1.0 marks the failure in the JSON; say WHY on stderr instead of
+          // swallowing it (a transient failure was invisible before)
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          -1.0
+      }
       name -> sec
     }
 
@@ -91,21 +97,30 @@ object Bench {
     // reported as tspan runs/sec (BASELINE.md: the reference CLI manages
     // ~260 runs/s on C04-1204 p.1 before aborting) ──
     val pdfRunsPerSec: Double = try {
+      import org.apache.spark.sql.functions._
       import spark.implicits._
       val refDir = "/root/reference/src/test/resources/input"
       if (!new java.io.File(refDir).isDirectory) -1.0
       else {
-        val pdfs = spark.read.format("binaryFile").load(s"$refDir/*.pdf")
-          .select("content").as[Array[Byte]].collect()
-        val reps = spark.sparkContext.parallelize(
-          Seq.fill(32)(pdfs).flatten, math.min(cpus, 32))
-        def job() = reps.map(b => graft.pdf.PdfDocument.open(b).allRuns.length).reduce(_ + _)
+        // replicate via a repeat column over the binaryFile scan — the bytes
+        // stay executor-side (no driver-shipped task payloads / task-size
+        // warnings from collect()+parallelize)
+        val reps = spark.read.format("binaryFile").load(s"$refDir/*.pdf")
+          .select(col("content"), explode(sequence(lit(1), lit(32))).as("__rep"))
+          .repartition(math.min(cpus, 32))
+          .select("content").as[Array[Byte]]
+        def job() = reps.map(b => graft.pdf.PdfDocument.open(b).allRuns.length)
+          .reduce(_ + _)
         job() // warm
         val runs = job()
         val sec = time(job())
         runs / sec
       }
-    } catch { case _: Throwable => -1.0 }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] pdf_ingest FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        -1.0
+    }
 
     // ── scaling evidence: identical extraction job at two parallelism levels ──
     val nTurns = materializeCorpus(spark, sfDir, target = 800000L, corpusPath)

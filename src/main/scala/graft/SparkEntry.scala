@@ -301,14 +301,14 @@ object SparkEntry {
     "q46_clean_pipeline" -> ((s, dir) => {
       // the composed training-data cleaning flow: exact dedup -> quality gate
       // -> language filter -> PII redaction -> token-window chunking.
-      // Dedup note: groupBy(text) is kept deliberately. A hash-first variant
-      // (group xxhash64 only) shuffles narrow rows but must either re-join the
-      // text (second full scan) or accept silent collision merges (~27 expected
-      // at 10^12 rows); a one-pass byte-exact groupBy already map-side-combines
-      // duplicate texts before the exchange, so at dedup-heavy corpus scale the
-      // shuffled bytes are bounded by DISTINCT text volume either way.
+      // Dedup is the 128-bit hash-first path (Dedup.exact128): winner election
+      // shuffles only (hash128, id) — 24-byte rows instead of full documents —
+      // and the text rides a single id-keyed semi-join afterwards. The 128-bit
+      // key (xxhash64 of text and of reverse(text)) makes silent collision
+      // merges ~10^-15 at 10^12 rows, so the byte-exact oracle holds.
       val docs = t(s, dir, "documents")
-      val deduped = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val deduped = graft.ops.Dedup.exact128(docs, "doc_id", "text")
+        .select(col("text"), col("doc_id"))
       val len = length(col("text"))
       val nWords = TextStats.wsTokenCount(col("text"))
       val nStop = size(filter(split(lower(col("text")), " "),

@@ -31,6 +31,35 @@ object Dedup {
         .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
         .select(idCol, textCol)
 
+  /** Scale-default exact dedupe: 128-bit hash-first, narrow shuffles only.
+    *
+    * `exact(verifyBytes=true)`'s groupBy(text) exchange carries the corpus
+    * text as both key and payload — at 100 TB the sort keys are the documents
+    * themselves and the aggregation hash map holds full texts. Here the
+    * winner election shuffles 24-byte rows: a 128-bit content key built from
+    * two independent xxhash64 variants (plain text and text reversed — a
+    * collision must defeat both simultaneously; expected collisions at 10^12
+    * rows ≈ (10^12)²/2^129 ≈ 10^-15, vs ~27 for a single 64-bit hash). The
+    * text is then recovered by a left-semi join of the column-pruned source
+    * against the winner ids — that exchange moves the surviving corpus once,
+    * keyed by an 8-byte id instead of the text, and Catalyst prunes the scan
+    * to exactly the output columns.
+    *
+    * Same result as `exact(verifyBytes=true)` (min id per byte-identical
+    * text) modulo the ~2^-64-per-pair collision odds; q46 runs this path and
+    * its byte-exact oracle stays green.
+    */
+  def exact128(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val winners = df
+      .select(col(idCol),
+        xxhash64(col(textCol)).as("__h1"),
+        xxhash64(reverse(col(textCol))).as("__h2"))
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Word k-shingles as an array column (codegen'd split + transform). */
   def shingles(textCol: Column, k: Int): Column = {
     val words = split(textCol, " ")

@@ -103,10 +103,13 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // the index build makes two passes (seed + Lloyd refinement) and the final
-    // assignment a third: cache the narrow (id, vec) projection across them.
-    // At 100 TB the corpus is instead written partitioned by __list at index
-    // build time, so probes prune files and no repeated full scan happens.
+    // the index build makes two eager passes (seed + Lloyd refinement): cache
+    // the narrow (id, vec) projection across them and release it once the
+    // centroids are collected — the lazy final assignment re-reads the
+    // column-pruned scan once, instead of leaking a cached projection for the
+    // session lifetime. At 100 TB the corpus is instead written partitioned
+    // by __list at index build time, so probes prune files and no repeated
+    // full scan happens.
     val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv")).cache()
 
     // deterministic seed centroids: nlist lowest xxhash64(id) vectors
@@ -128,6 +131,7 @@ object Similarity {
       sums.foreach { case (l, d, m) => if (l < out.length && d < dims) out(l)(d) = m }
       out
     }
+    base.unpersist() // both eager index passes done; don't leak the cache
 
     val c = base.withColumn("__list", assignList(refined, col("__cv")))
     // queries probe their nprobe highest-scoring lists — scored identically to

@@ -17,6 +17,8 @@ import scala.collection.mutable
 final class PdfDocument private (val file: PdfFile) {
 
   private val fontCache = mutable.Map.empty[AnyRef, FontSpec]
+  private val formCache = mutable.Map.empty[String, Option[graft.eval.FormXObject]]
+  private[pdf] var formDecodeCount = 0 // observability hook for the memo test
 
   /** Page dicts in document order (depth-first /Kids walk, cycle-guarded). */
   val pages: Vector[PageInfo] = {
@@ -145,10 +147,18 @@ final class PdfDocument private (val file: PdfFile) {
         .flatMap(gsd => file.dictGet(gsd, name)).collect { case d: PDict => d }
         .flatMap(gs => file.dictGet(gs, "Font")).collect {
           case PArr(Vector(fref, sz)) =>
-            val spec = file.resolve(fref) match {
-              case d: PDict => FontLoader.load(d, file)
-              case _ => FontMetrics.Helvetica
+            // same ref-keyed cache as font(): a gs op repeated per page must
+            // not re-run the font loader (embedded program parse included)
+            val key: AnyRef = fref match {
+              case PRef(n, g) => (n, g)
+              case other => other
             }
+            val spec = fontCache.getOrElseUpdate(key, {
+              file.resolve(fref) match {
+                case d: PDict => FontLoader.load(d, file)
+                case _ => FontMetrics.Helvetica
+              }
+            })
             val size = file.resolve(sz) match { case PNum(v) => v; case _ => 0.0 }
             (spec, size)
         }
@@ -163,12 +173,9 @@ final class PdfDocument private (val file: PdfFile) {
 
     override def form(name: String): Option[FormXObject] =
       xobjDict.get(name).flatMap { ref =>
-        val key = ref match {
-          case PRef(n, g) => s"xobj:$n:$g"
-          case _ => s"xobj:inline:$name"
-        }
-        file.resolve(ref) match {
+        def build(key: String): Option[FormXObject] = file.resolve(ref) match {
           case s: PStream if file.dictGet(s.dict, "Subtype").contains(PName("Form")) =>
+            formDecodeCount += 1
             val matrix = file.dictGet(s.dict, "Matrix") match {
               case Some(PArr(items)) if items.length == 6 =>
                 items.map(file.resolve).map { case PNum(v) => v; case _ => 0.0 }.toArray
@@ -176,6 +183,17 @@ final class PdfDocument private (val file: PdfFile) {
             }
             Some(FormXObject(file.decodeStream(s), mkResources(file.dictGet(s.dict, "Resources")), matrix, key))
           case _ => None
+        }
+        ref match {
+          // memoize per indirect object (reference memoizes per name,
+          // pdf.combined.js:46329-46335): a page stamping the same form
+          // hundreds of times (headers, watermarks) decodes it once
+          case PRef(n, g) =>
+            val key = s"xobj:$n:$g"
+            formCache.getOrElseUpdate(key, build(key))
+          // a direct (inline) stream has no stable identity across resource
+          // dicts that may reuse the name — rebuild rather than risk aliasing
+          case _ => build(s"xobj:inline:$name")
         }
       }
   }

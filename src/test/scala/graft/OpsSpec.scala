@@ -27,6 +27,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set(0L, 2L, 3L, 4L, 5L))
   }
 
+  test("exact128 hash-first path keeps the same survivors as the byte-exact path") {
+    val by128 = Dedup.exact128(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byBytes = Dedup.exact(docs, "doc_id", "text", verifyBytes = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(by128 == byBytes)
+    // all original columns survive the semi-join
+    assert(Dedup.exact128(docs, "doc_id", "text").columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("exact dedup hash path (verifyBytes=false) matches the byte-exact path") {
     val byHash = Dedup.exact(docs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet

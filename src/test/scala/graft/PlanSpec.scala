@@ -83,4 +83,25 @@ class PlanSpec extends AnyFunSuite {
     // a HashAggregate (partial) must appear below (after, in printed order) the exchange
     assert(p.indexOf("HashAggregate", idx) > idx, p)
   }
+
+  test("exact128: winner-election exchange carries only (hash, id), never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.ops.Dedup.exact128(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    val planned = df.queryExecution.executedPlan
+    val root = planned match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, planned.toString)
+    // the hash-partitioned winner election must not move the text column; only
+    // the id-keyed semi-join side may carry it
+    val hashed = exchanges.filter(_.outputPartitioning.toString.contains("__h1"))
+    assert(hashed.nonEmpty, planned.toString)
+    hashed.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"), e.child.output.mkString(","))
+    }
+  }
 }
