@@ -446,9 +446,18 @@ object SparkEntry {
 
     // ───────────── multimodal plumbing (stubbed codec; real Spark structure) ─────────────
     "q60_multimodal" -> ((s, dir) => {
-      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, s"$dir/documents.parquet"))
+      // the image lane decodes for REAL: a deterministic JPEG is synthesized
+      // per image row, decoded back via javax.imageio inside extractFeatures,
+      // and the decoded dimensions (features 0/1) must equal the metadata the
+      // oracle recomputes from doc_id. audio/video lanes remain stubbed
+      // byte payloads (disclosed in Multimodal's Scaladoc).
+      Multimodal.extractFeatures(Multimodal.syntheticMediaReal(s, s"$dir/documents.parquet"))
         .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"))
+        .select(col("media_id"), col("kind"),
+          when(col("kind") === "image", element_at(col("features"), 1).cast("long"))
+            .otherwise(lit(-1L)).as("decoded_w"),
+          when(col("kind") === "image", element_at(col("features"), 2).cast("long"))
+            .otherwise(lit(-1L)).as("decoded_h"))
     })
   )
 
@@ -741,7 +750,8 @@ object SparkEntry {
     "q60_multimodal" ->
       """SELECT doc_id AS media_id,
         | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        | CASE WHEN doc_id % 3 = 0 THEN (doc_id % 64) * 16 + 16 ELSE -1 END AS decoded_w,
+        | CASE WHEN doc_id % 3 = 0 THEN (doc_id % 48) * 16 + 16 ELSE -1 END AS decoded_h
         |FROM documents""".stripMargin
   )
 }

@@ -24,6 +24,9 @@ trait PageResources {
   /** ExtGState /Font entry: (font, size) when the graphics-state dict sets one
     * (SURVEY.md §2.2 E6 — gs expansion, pdf.combined.js:45123-45180). */
   def gsFont(name: String): Option[(FontSpec, Double)] = None
+  /** Named color space from the resource dict's /ColorSpace entry
+    * (SURVEY.md §2.2 E5 — ColorSpace.parse, pdf.combined.js:40554+). */
+  def colorSpace(name: String): Option[ColorSpaceModel] = None
 }
 
 /** A Form XObject ready to execute: decoded content, its own resource context,
@@ -53,6 +56,81 @@ object PageResources {
   */
 object ContentEvaluator {
 
+  /** Streaming replica of the reference QueueOptimizer's text-block fusion
+    * (pdf.combined.js:47757-47825): ≥3 (max 1000) consecutive
+    * `(BT, Tf, Tm, Tj, ET)` quintets with the same font collapse to
+    * `(BT, Tf, (Tm, Tj)+, ET)`. The vendored SVG backend creates a fresh
+    * tspan AND text element on every setTextMatrix (pdf.combined.js:
+    * 20268-20283), so for the tspan-texts surface the fusion is
+    * output-neutral — it is replicated here for op-stream parity with the
+    * reference pipeline, and because dropping the per-quintet BT/ET/Tf
+    * removes two state resets and a font re-resolve per stamp from the hot
+    * loop. Lookahead fills stop at the first non-matching token, so a `BI`
+    * inline image is never tokenized past (its binary payload stays
+    * untouched for seekAfterEI).
+    */
+  private final class FusingTokens(lexer: graft.lex.ContentLexer) {
+    private val buf = scala.collection.mutable.ArrayDeque.empty[Tok]
+    private var sawEof = false
+    private def fill(n: Int): Boolean = {
+      while (buf.size <= n && !sawEof) {
+        val t = lexer.getObj()
+        if (t == Tok.EOF) sawEof = true else buf.append(t)
+      }
+      buf.size > n
+    }
+    private def at(i: Int): Tok = if (fill(i)) buf(i) else Tok.EOF
+
+    def seekAfterEI(): Unit = { buf.clear(); sawEof = false; lexer.seekAfterEI() }
+
+    // quintet body once its BT is consumed:
+    // [Name, Num, Tf, n1..n6, Tm, Str, Tj, ET] = 13 tokens
+    private def quintetFont(base: Int): (String, Double) =
+      (at(base), at(base + 1), at(base + 2)) match {
+        case (Tok.Name(f), Tok.Num(s), Tok.Cmd("Tf")) =>
+          var i = base + 3
+          var nums = true
+          while (i < base + 9) { if (!at(i).isInstanceOf[Tok.Num]) { nums = false; i = base + 9 } else i += 1 }
+          if (nums && at(base + 9) == Tok.Cmd("Tm") && at(base + 10).isInstanceOf[Tok.Str] &&
+            at(base + 11) == Tok.Cmd("Tj") && at(base + 12) == Tok.Cmd("ET")) (f, s)
+          else null
+        case _ => null
+      }
+
+    /** Called after a BT was consumed; rewrites the buffered quintets. */
+    private def tryFuse(): Unit = {
+      val key = quintetFont(0)
+      if (key == null) return
+      var count = 1
+      // MIN 3 / MAX 1000 quintets — reference thresholds (47763-47764)
+      while (count < 1000 && at(13 + 14 * (count - 1)) == Tok.Cmd("BT") &&
+        quintetFont(14 * count) == key) count += 1
+      if (count < 3) return
+      val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+      out += buf(0) += buf(1) += buf(2) // Name Num Tf, once
+      var q = 0
+      while (q < count) {
+        val b = if (q == 0) 0 else 14 * q
+        var i = b + 3
+        while (i <= b + 11) { out += buf(i); i += 1 } // n1..n6 Tm Str Tj
+        q += 1
+      }
+      out += Tok.Cmd("ET")
+      val consumed = 14 * (count - 1) + 13
+      val rest = buf.drop(consumed)
+      buf.clear()
+      buf ++= out
+      buf ++= rest
+    }
+
+    def next(): Tok = {
+      if (!fill(0)) return Tok.EOF
+      val t = buf.removeHead()
+      if (t == Tok.Cmd("BT")) tryFuse()
+      t
+    }
+  }
+
   /** Test-only boundary trace: when `sink` is non-null the evaluator appends
     * one TSV row per tspan boundary with the geometric features the fake-space
     * decision sees. Used to fit the golden generator's rule empirically. */
@@ -75,6 +153,7 @@ object ContentEvaluator {
     var fontDirection = 1.0
     var font: FontSpec = FontMetrics.Helvetica
     var fillColor = "rgb(0,0,0)"
+    var fillCS: ColorSpaceModel = null // null = component-count heuristic
     /** Full clone — the reference save/restore clones the entire extra state
       * (SVGGraphics save/restore, pdf.combined.js:20015-20029), including text
       * position, matrices, fontDirection and rise. */
@@ -85,7 +164,7 @@ object ContentEvaluator {
       c.charSpacing = charSpacing; c.wordSpacing = wordSpacing
       c.textHScale = textHScale; c.leading = leading; c.textRise = textRise
       c.fontSize = fontSize; c.fontDirection = fontDirection; c.font = font
-      c.fillColor = fillColor
+      c.fillColor = fillColor; c.fillCS = fillCS
       c
     }
     def restoreFrom(c: State): Unit = {
@@ -94,7 +173,7 @@ object ContentEvaluator {
       charSpacing = c.charSpacing; wordSpacing = c.wordSpacing
       textHScale = c.textHScale; leading = c.leading; textRise = c.textRise
       fontSize = c.fontSize; fontDirection = c.fontDirection; font = c.font
-      fillColor = c.fillColor
+      fillColor = c.fillColor; fillCS = c.fillCS
     }
   }
 
@@ -153,7 +232,8 @@ object ContentEvaluator {
     // Glyph iteration is allocation-free: widths looked up per char, no glyph
     // objects (the metrics-only model makes GlyphM redundant on this path).
     var showX = 0.0
-    def showBegin(): Unit = showX = 0.0
+    var showY = 0.0 // vertical-mode advance accumulator (WMode 1)
+    def showBegin(): Unit = { showX = 0.0; showY = 0.0 }
 
     // fake-space state: text-space pen position after the previous show, valid
     // only within an unchanged (ctm, textMatrix) frame
@@ -173,8 +253,43 @@ object ContentEvaluator {
       while (k < n) { xcoords += atX; sb.append(' '); k += 1 }
     }
 
+    /** Vertical-writing show (WMode 1): the pen advances down by the /W2
+      * vmetric w1 (default DW2) and the glyph is shifted left by vx — the
+      * canvas showText vertical branch (pdf.combined.js:29776-29786); the
+      * fake-space heuristic is horizontal-only and does not apply. */
+    def showVertical(str: String): Unit = {
+      val widthAdvanceScale = st.fontSize * st.font.fontMatrix0
+      val widths = st.font.widths
+      val glyphText = st.font.glyphText
+      val vms = st.font.vmetrics
+      val wide = st.font.wideChars
+      val step = if (wide) 2 else 1
+      var i = 0
+      while (i < str.length) {
+        val c: Int =
+          if (wide) {
+            val hi = str.charAt(i).toInt & 0xff
+            val lo = if (i + 1 < str.length) str.charAt(i + 1).toInt & 0xff else 0
+            (hi << 8) | lo
+          } else str.charAt(i).toInt
+        val g = glyphText(c)
+        val vm = if (vms ne null) vms(c) else Array(-1000.0, widths(c) * 0.5, 880.0)
+        // glyph x = pen x − vx (canvas: scaledX = −vmetric[1]·scale)
+        val gx = st.x - vm(1) * widthAdvanceScale
+        glyphStartTmp = gx
+        var k = 0
+        while (k < g.length) { xcoords += gx; k += 1 }
+        sb.append(g)
+        val spacing = st.charSpacing + (if (!wide && c == ' ') st.wordSpacing else 0.0)
+        // text-space Δy: w1 is negative (down); spacing also advances down
+        showY += vm(0) * widthAdvanceScale - spacing
+        i += step
+      }
+    }
+
     def showString(str: String): Unit = {
       if (st.fontSize == 0) return // early skip (pdf.combined.js:20315-20317)
+      if (st.font.vertical) { showVertical(str); return }
       val textHScale = st.textHScale * st.fontDirection
       val widthAdvanceScale = st.fontSize * st.font.fontMatrix0
       val widths = st.font.widths
@@ -255,6 +370,7 @@ object ContentEvaluator {
     def showKern(n: Double): Unit =
       if (st.fontSize != 0) {
         val adv = -n * st.fontSize * 0.001
+        if (st.font.vertical) { showY += adv; return }
         showX += adv
         if (fakeSpaces && sb.nonEmpty && sb.charAt(sb.length - 1) != ' ' && adv > 0) {
           val sw = spaceWidthUnits
@@ -264,7 +380,9 @@ object ContentEvaluator {
       }
     def showEnd(): Unit = {
       if (st.fontSize == 0) return
+      val yStart = st.y // a vertical run's y attribute is its start position
       st.x += showX * (st.textHScale * st.fontDirection)
+      if (st.font.vertical) st.y += showY // vertical pen advance (no hscale)
       if (fakeSpaces) {
         lastEndX = st.x; lastEndY = st.y
         lastCtm = st.ctm; lastTm = st.textMatrix
@@ -273,7 +391,7 @@ object ContentEvaluator {
         cBT = 0; cET = 0; cTf = 0; cTm = 0; cTd = 0; cTc = 0; cOther = 0
       }
       // tspan attrs are (re)set at every showText; record state of last one
-      tspanY = -st.y
+      tspanY = -yStart
       tspanMatrix = NumFmt.mul(st.ctm, st.textMatrix)
       tspanFont = st.font
       tspanSize = st.fontSize
@@ -296,13 +414,14 @@ object ContentEvaluator {
       * against reference cycles and `depth` bounds pathological nesting. */
     def exec(bytes: Array[Byte], res: PageResources, depth: Int, active: Set[String]): Int = {
     val lexer = new ContentLexer(bytes, OpTable.knownCommands)
+    val toks = new FusingTokens(lexer) // reference QueueOptimizer text-block fusion
     var errors = 0
     val args = ArrayBuffer.empty[Tok]
     def numArg(i: Int): Double = args(i) match {
       case Tok.Num(v) => v
       case _ => errors += 1; 0.0
     }
-    var tok = lexer.getObj()
+    var tok = toks.next()
     while (tok != Tok.EOF) {
       tok match {
         case Tok.Cmd(cmd) =>
@@ -399,13 +518,33 @@ object ContentEvaluator {
                   flush()
                   val (c, m, yy, kk) = (numArg(0), numArg(1), numArg(2), numArg(3))
                   st.fillColor = rgb((1 - c) * (1 - kk), (1 - m) * (1 - kk), (1 - yy) * (1 - kk))
+                case "cs" =>
+                  // select the fill color space: device names inline, anything
+                  // else resolved from the resource dict (E5; the reference
+                  // keeps a ColorSpace object on the graphics state)
+                  args(0) match {
+                    case Tok.Name(n) =>
+                      st.fillCS = n match {
+                        case "DeviceGray" | "G" | "CalGray" => ColorSpaceModel.Gray
+                        case "DeviceRGB" | "RGB" | "CalRGB" | "Lab" => ColorSpaceModel.RGB
+                        case "DeviceCMYK" | "CMYK" => ColorSpaceModel.CMYK
+                        case "Pattern" => null
+                        case other => res.colorSpace(other).orNull
+                      }
+                    case _ => errors += 1
+                  }
                 case "sc" | "scn" =>
-                  // component-count heuristic for the current color space
-                  // (SURVEY.md §2.2 E5): 1 → gray, 3 → RGB, 4 → CMYK; name
-                  // operands (pattern fills) leave the color unchanged
+                  // resolved color space when cs named one; otherwise the
+                  // component-count heuristic (SURVEY.md §2.2 E5): 1 → gray,
+                  // 3 → RGB, 4 → CMYK; name operands (pattern fills) leave the
+                  // color unchanged
                   val nums = args.collect { case Tok.Num(v) => v }
-                  if (nums.length == args.length) {
-                    nums.length match {
+                  if (nums.length == args.length && nums.nonEmpty) {
+                    if (st.fillCS != null) {
+                      ColorSpaceModel.toRgb(st.fillCS, nums.toArray).foreach { case (r, g, b) =>
+                        flush(); st.fillColor = rgb(r, g, b)
+                      }
+                    } else nums.length match {
                       case 1 => flush(); st.fillColor = rgb(nums(0), nums(0), nums(0))
                       case 3 => flush(); st.fillColor = rgb(nums(0), nums(1), nums(2))
                       case 4 =>
@@ -434,7 +573,7 @@ object ContentEvaluator {
                   // (the reference's 1x1 image-mask solid-rule case feeds the
                   // same heuristics, pdf.combined.js:47464-47483)
                   boxes += PageBox(st.ctm(4), st.ctm(5), st.ctm(0), st.ctm(3))
-                case "ID" => lexer.seekAfterEI()
+                case "ID" => toks.seekAfterEI()
                 case "Do" =>
                   args(0) match {
                     case Tok.Name(n) =>
@@ -467,7 +606,7 @@ object ContentEvaluator {
         case Tok.EOF => ()
         case t => args += t
       }
-      tok = lexer.getObj()
+      tok = toks.next()
     }
     errors
     }

@@ -26,7 +26,14 @@ final case class FontSpec(
     spaceWidthEst: Double = Double.NaN,
     /** Composite (Type0) fonts consume two bytes per charcode (Identity-H/V
       * CMaps — charsToGlyphs multi-byte path, pdf.combined.js:36697-36708). */
-    wideChars: Boolean = false) {
+    wideChars: Boolean = false,
+    /** Vertical writing (Type0 with a -V CMap / embedded /WMode 1): shows
+      * advance the pen in y using /W2 vmetrics (pdf.combined.js:34294-34297,
+      * 46585-46605). */
+    vertical: Boolean = false,
+    /** code → [w1, vx, vy] from /W2, or null when the code has no entry
+      * (fall back to the horizontal width, reference 46068-46077). */
+    vmetrics: Int => Array[Double] = null) {
 
   /** string → glyphs; 1-byte charcodes through the font mapping (charsToGlyphs,
     * pdf.combined.js:36674-36719, simple-font path). */

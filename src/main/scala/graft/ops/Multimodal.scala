@@ -32,6 +32,83 @@ object Multimodal {
     out
   }
 
+  // ── real image lane (JDK javax.imageio — no external dependency) ──────────
+
+  final case class ImageInfo(width: Int, height: Int, channels: Int, mean: Array[Double])
+
+  /** Real JPEG/PNG decode: dimensions, channel count, and per-channel means
+    * sampled over a bounded ≤64×64 tap grid (so a huge image costs the same
+    * as a thumbnail). Returns None for undecodable bytes — callers fall back
+    * to the stub lane. */
+  def decodeImage(bytes: Array[Byte]): Option[ImageInfo] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr, sg, sb = 0.0
+        var n = 0
+        val stepX = math.max(1, w / 64)
+        val stepY = math.max(1, h / 64)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            n += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        Some(ImageInfo(w, h, img.getColorModel.getNumComponents,
+          Array(sr / n / 255.0, sg / n / 255.0, sb / n / 255.0)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real resize through Graphics2D bilinear scaling, re-encoded as PNG
+    * (deterministic, lossless — JPEG re-encode bytes vary by encoder). */
+  def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || outW <= 0 || outH <= 0) None
+      else {
+        val dst = new java.awt.image.BufferedImage(outW, outH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, outW, outH, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Some(out.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic w×h JPEG (smooth gradient keyed by `seed`) — the synthetic
+    * corpus generator for the real image lane. */
+  def encodeTestJpeg(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 255 / math.max(1, w - 1)) + seed) % 256
+        val g = ((y * 255 / math.max(1, h - 1)) + seed * 7) % 256
+        val b = (seed * 31) % 256
+        img.setRGB(x, y, ((r.toInt & 0xff) << 16) | ((g.toInt & 0xff) << 8) | (b.toInt & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
   /** Media table → feature table. Structure for scale:
     *  - repartitionByRange on byte size so one task never gets all the 4K videos
     *    while another gets thumbnails (size skew is the dominant skew axis for
@@ -48,8 +125,20 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { it =>
         // per-partition decoder init would go here (native context, model load)
-        it.map(r => MediaFeatures(r.media_id, r.kind, r.media.length.toLong,
-          decodeStub(r.media, dims)))
+        it.map { r =>
+          // image rows decode for real (javax.imageio); audio/video and
+          // undecodable bytes fall back to the disclosed stub
+          val feats = if (r.kind == "image") decodeImage(r.media) match {
+            case Some(info) =>
+              val out = new Array[Float](dims)
+              val real = Array[Double](info.width, info.height, info.channels) ++ info.mean
+              var i = 0
+              while (i < math.min(dims, real.length)) { out(i) = real(i).toFloat; i += 1 }
+              out
+            case None => decodeStub(r.media, dims)
+          } else decodeStub(r.media, dims)
+          MediaFeatures(r.media_id, r.kind, r.media.length.toLong, feats)
+        }
       }
   }
 
@@ -99,5 +188,15 @@ object Multimodal {
         (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("height"),
         (pmod(col("doc_id"), lit(1000)) * 40).as("duration_ms"))
       .as[MediaRow]
+  }
+
+  /** Synthetic media with a REAL image lane: image rows carry an actual JPEG
+    * of the advertised (width, height); audio/video keep byte-payload stubs. */
+  def syntheticMediaReal(spark: SparkSession, documentsPath: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    syntheticMedia(spark, documentsPath).map { r =>
+      if (r.kind == "image") r.copy(media = encodeTestJpeg(r.width, r.height, r.media_id))
+      else r
+    }
   }
 }

@@ -40,7 +40,16 @@ object FontLoader {
     val baseDict = fontDict
     var tpe = dictGet(dict, "Subtype").collect { case PName(n) => n }.getOrElse("Type1")
     var composite = false
+    var vertical = false
     if (tpe == "Type0") {
+      // vertical writing: a predefined -V CMap name or an embedded CMap
+      // stream with /WMode 1 (parseWMode, pdf.combined.js:31395-31420)
+      vertical = dictGet(dict, "Encoding") match {
+        case Some(PName(n)) => n.endsWith("-V") || n == "V"
+        case Some(s: PStream) =>
+          dictGet(s.dict, "WMode").collect { case PNum(v) => v.toInt }.contains(1)
+        case _ => false
+      }
       dictGet(dict, "DescendantFonts") match {
         case Some(PArr(items)) if items.nonEmpty =>
           resolve(items.head) match {
@@ -96,9 +105,10 @@ object FontLoader {
 
     val ds = extractDataStructures(dict, baseDict, file, tpe, flags, hasFile = fontFile.nonEmpty, name = fontName)
     val (widths, defaultWidth) = extractWidths(dict, descriptor, file, ds, fontName, composite)
+    val vmet = if (vertical) Some(extractVMetrics(dict, file, defaultWidth)) else None
 
     buildFont(fontName, fontFile.map(s => file.decodeStream(s)), subtype, tpe, composite, ds,
-      widths, defaultWidth, fontMatrix0, file)
+      widths, defaultWidth, fontMatrix0, file, vmet)
   }
 
   // ── extractDataStructures (pdf.combined.js:46408-46501) ────────────────────
@@ -167,6 +177,54 @@ object FontLoader {
   }
 
   // ── extractWidths (pdf.combined.js:46557-46655), simple fonts ─────────────
+
+  /** /DW2 + /W2 vertical metrics for a vertical CIDFont: code → [w1, vx, vy]
+    * runs ("start [w1 vx vy ...]" or "start end w1 vx vy"), plus the default
+    * [DW2[1], DW/2, DW2[0]] (extractWidths vertical branch,
+    * pdf.combined.js:46585-46605). */
+  private def extractVMetrics(
+      dict: PDict, file: PdfFile, defaultWidth: Double): (Map[Int, Array[Double]], Array[Double]) = {
+    import file.dictGet
+    val dw2: Array[Double] = dictGet(dict, "DW2") match {
+      case Some(PArr(items)) if items.length >= 2 =>
+        items.take(2).map(file.resolve).map { case PNum(v) => v; case _ => 0.0 }.toArray
+      case _ => Array(880.0, -1000.0)
+    }
+    val default = Array(dw2(1), defaultWidth * 0.5, dw2(0))
+    val out = Map.newBuilder[Int, Array[Double]]
+    dictGet(dict, "W2") match {
+      case Some(PArr(items)) =>
+        val rs = items.map(file.resolve)
+        var i = 0
+        while (i < rs.length) {
+          (rs(i), if (i + 1 < rs.length) rs(i + 1) else PNull) match {
+            case (PNum(start), PArr(triples)) =>
+              val ts = triples.map(file.resolve)
+              var j = 0
+              var code = start.toInt
+              while (j + 2 < ts.length) {
+                (ts(j), ts(j + 1), ts(j + 2)) match {
+                  case (PNum(a), PNum(b), PNum(c)) => out += code -> Array(a, b, c)
+                  case _ => ()
+                }
+                code += 1; j += 3
+              }
+              i += 2
+            case (PNum(start), PNum(end)) if i + 4 < rs.length =>
+              (rs(i + 2), rs(i + 3), rs(i + 4)) match {
+                case (PNum(a), PNum(b), PNum(c)) =>
+                  var code = start.toInt
+                  while (code <= end.toInt) { out += code -> Array(a, b, c); code += 1 }
+                case _ => ()
+              }
+              i += 5
+            case _ => i += 1
+          }
+        }
+      case _ => ()
+    }
+    (out.result(), default)
+  }
 
   private def extractWidths(
       dict: PDict, descriptor: Option[PDict], file: PdfFile,
@@ -271,7 +329,7 @@ object FontLoader {
       name: String, fileBytes: Option[Array[Byte]], subtype: Option[String],
       tpe: String, composite: Boolean, ds: DataStructs,
       widths: Map[Int, Double], defaultWidth: Double, fontMatrix0: Double,
-      pdf: PdfFile): FontSpec = {
+      pdf: PdfFile, vmet: Option[(Map[Int, Array[Double]], Array[Double])] = None): FontSpec = {
 
     val toUnicode: Map[Int, String] = ds.toUnicodeStream.getOrElse(buildToUnicode(ds))
 
@@ -292,7 +350,14 @@ object FontLoader {
         },
         fontMatrix0 = fontMatrix0,
         spaceWidthEst = estimateSpaceWidth(widths, defaultWidth, toUnicode),
-        wideChars = true)
+        wideChars = true,
+        vertical = vmet.isDefined,
+        vmetrics = vmet.map { case (m, default) =>
+          // codes without a /W2 entry advance by the horizontal width with
+          // the default vy (reference charToGlyph + textContent fallback,
+          // 36630, 46071-46077); w1 comes from the default DW2 pair
+          (c: Int) => m.getOrElse(c, Array(default(0), widths.getOrElse(c, defaultWidth) * 0.5, default(2)))
+        }.orNull)
     }
 
     fileBytes match {

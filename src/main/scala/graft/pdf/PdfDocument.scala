@@ -112,6 +112,61 @@ final class PdfDocument private (val file: PdfFile) {
     }
   }
 
+  /** /ColorSpace resource entry → resolved fill model (SURVEY.md §2.2 E5;
+    * ColorSpace.parse, pdf.combined.js:40554+). Families:
+    * device/CIE names, [/ICCBased stream] by /N, [/Indexed base hival lookup]
+    * with the lookup dereferenced (string or stream), [/Separation ...] and
+    * [/DeviceN names ...] as tint→gray. Unknown families → None (the
+    * evaluator falls back to the component-count heuristic). */
+  private def parseColorSpace(o: PObj, depth: Int): Option[graft.eval.ColorSpaceModel] = {
+    import graft.eval.ColorSpaceModel
+    if (depth > 4) return None
+    file.resolve(o) match {
+      case PName(n) => n match {
+        case "DeviceGray" | "G" | "CalGray" => Some(ColorSpaceModel.Gray)
+        case "DeviceRGB" | "RGB" | "CalRGB" | "Lab" => Some(ColorSpaceModel.RGB)
+        case "DeviceCMYK" | "CMYK" => Some(ColorSpaceModel.CMYK)
+        case _ => None
+      }
+      case PArr(items) if items.nonEmpty =>
+        file.resolve(items.head) match {
+          case PName("ICCBased") if items.length >= 2 =>
+            file.resolve(items(1)) match {
+              case s: PStream => file.dictGet(s.dict, "N") match {
+                case Some(PNum(n)) => n.toInt match {
+                  case 1 => Some(ColorSpaceModel.Gray)
+                  case 3 => Some(ColorSpaceModel.RGB)
+                  case 4 => Some(ColorSpaceModel.CMYK)
+                  case _ => None
+                }
+                case _ => None
+              }
+              case _ => None
+            }
+          case PName("CalGray") => Some(ColorSpaceModel.Gray)
+          case PName("CalRGB") | PName("Lab") => Some(ColorSpaceModel.RGB)
+          case PName("Indexed") | PName("I") if items.length >= 4 =>
+            parseColorSpace(items(1), depth + 1).flatMap { base =>
+              val lookup: Option[Array[Byte]] = file.resolve(items(3)) match {
+                case PStr(b) => Some(b)
+                case s: PStream => Some(file.decodeStream(s))
+                case _ => None
+              }
+              lookup.map(lk => ColorSpaceModel.Indexed(base, lk))
+            }
+          case PName("Separation") => Some(ColorSpaceModel.Tint(1))
+          case PName("DeviceN") if items.length >= 2 =>
+            file.resolve(items(1)) match {
+              case PArr(names) => Some(ColorSpaceModel.Tint(math.max(1, names.length)))
+              case _ => Some(ColorSpaceModel.Tint(1))
+            }
+          case PName(n) if items.length == 1 => parseColorSpace(PName(n), depth + 1)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   private def mkResources(resObj: Option[PObj]): PageResources = new PageResources {
     private val resDict: PDict = resObj match {
       case Some(d: PDict) => d
@@ -162,6 +217,12 @@ final class PdfDocument private (val file: PdfFile) {
             val size = file.resolve(sz) match { case PNum(v) => v; case _ => 0.0 }
             (spec, size)
         }
+
+    override def colorSpace(name: String): Option[graft.eval.ColorSpaceModel] =
+      try file.dictGet(resDict, "ColorSpace").collect { case d: PDict => d }
+        .flatMap(csd => csd.get(name))
+        .flatMap(parseColorSpace(_, 0))
+      catch { case scala.util.control.NonFatal(_) => None }
 
     override def isImage(name: String): Boolean =
       xobjDict.get(name).exists { ref =>

@@ -80,4 +80,35 @@ class CompositeFontSpec extends AnyFunSuite {
     val r = doc.evalPage(0).runs.head
     assert(math.abs(r.xs(1) - (r.xs(0) + 12.0)) < 1e-9) // 1000 * 12 / 1000
   }
+
+  test("Identity-V vertical writing: /W2 vmetrics advance the pen in y") {
+    // same document, but the CMap is vertical and the descendant carries
+    // /DW2 [880 -1000] (default) + /W2 [1 [-800 250 880]]:
+    //   cid 1 -> w1=-800 (advance), vx=250 (x shift), vy=880
+    //   cid 2 -> no /W2 entry -> default w1=-1000, vx = width/2 = 300
+    val vert = new String(pdfBytes, ISO_8859_1)
+      .replace("/Encoding /Identity-H", "/Encoding /Identity-V")
+      .replace("/DW 1000 /W [1 [500 600] 10 12 750] >>",
+        "/DW 1000 /W [1 [500 600] 10 12 750] /DW2 [880 -1000] /W2 [1 [-800 250 880]] >>")
+      .replace("<000A000B000C> Tj ET", "<000A000B000C> Tj 0.5 g <0001> Tj ET")
+    val doc = PdfDocument.open(vert.getBytes(ISO_8859_1))
+    val runs = doc.evalPage(0).runs
+    assert(runs.map(_.text) == Vector("你好你", "ABC", "你"))
+    val r0 = runs(0)
+    // glyph x = pen x − vx·scale: cid1 at 72 − 250·0.012, cid2 at 72 − (600/2)·0.012
+    assert(math.abs(r0.xs(0) - (72 - 250 * 12 / 1000.0)) < 1e-9, r0.xs.toSeq)
+    assert(math.abs(r0.xs(1) - (72 - 600 * 0.5 * 12 / 1000.0)) < 1e-9, r0.xs.toSeq)
+    assert(math.abs(r0.xs(2) - (72 - 250 * 12 / 1000.0)) < 1e-9) // cid1 again
+    // run y attribute is the show's START baseline: -720 in tspan space
+    assert(math.abs(r0.y - -720.0) < 1e-9)
+    // Td is relative to the LINE matrix (translateTextMatrix's intra-line
+    // advance is discarded by moveText, reference semantics): 720-20 = 700
+    val r1 = runs(1)
+    assert(math.abs(r1.y - -700.0) < 1e-9, s"r1.y=${r1.y}")
+    // a show with NO intervening Td continues from the advanced pen (the
+    // fill change only breaks the tspan): ABC are cids 10..12 without /W2 →
+    // default w1 = −1000 each → 3·12pt = 36 down
+    val r2 = runs(2)
+    assert(math.abs(r2.y - -(700 - 36)) < 1e-9, s"r2.y=${r2.y}")
+  }
 }

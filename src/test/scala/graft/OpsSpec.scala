@@ -273,6 +273,37 @@ class OpsSpec extends AnyFunSuite {
     assert(f1.values.forall(_.length == 8))
   }
 
+  test("multimodal real image lane: JPEG decode, features carry true dims, resize") {
+    import spark.implicits._
+    // real JPEG round trip without Spark first
+    val jpg = Multimodal.encodeTestJpeg(48, 32, seed = 7L)
+    val info = Multimodal.decodeImage(jpg).get
+    assert((info.width, info.height) == (48, 32))
+    assert(info.channels >= 3)
+    assert(info.mean.forall(m => m >= 0.0 && m <= 1.0))
+    // resize re-decodes at the target size
+    val resized = Multimodal.resizeImage(jpg, 12, 8).get
+    val rInfo = Multimodal.decodeImage(resized).get
+    assert((rInfo.width, rInfo.height) == (12, 8))
+    // through the Spark pipeline: image rows report decoded dimensions
+    val media = docs.limit(3).select(
+      col("doc_id").as("media_id"), lit("image").as("kind"),
+      lit(jpg).as("media"),
+      lit(48).as("width"), lit(32).as("height"), lit(0L).as("duration_ms"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media).collect()
+    feats.foreach { f =>
+      assert(f.features(0) == 48.0f && f.features(1) == 32.0f, f.features.toSeq)
+    }
+    // garbage bytes in an image row fall back to the stub, never throw
+    val junk = docs.limit(1).select(
+      col("doc_id").as("media_id"), lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit(1).as("width"), lit(1).as("height"), lit(0L).as("duration_ms"))
+      .as[Multimodal.MediaRow]
+    assert(Multimodal.extractFeatures(junk).collect().length == 1)
+  }
+
   test("multimodal frame sampling + resize plumbing") {
     import spark.implicits._
     val media = docs.select(

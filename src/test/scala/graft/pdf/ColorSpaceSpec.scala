@@ -1,0 +1,76 @@
+package graft.pdf
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Named color spaces for text fill (SURVEY.md §2.2 E5): /Indexed,
+  * /Separation, /ICCBased, /DeviceN resolved from the page's /ColorSpace
+  * resources; fill changes are run breaks (G10), so wrong fills merge or
+  * split tspans.
+  */
+class ColorSpaceSpec extends AnyFunSuite {
+
+  /** One-page doc whose /ColorSpace dict maps /CS0 to `csBody` (plus any
+    * `extraObjs`), content exercising `cs`/`scn`. */
+  private def doc(csBody: String, content: String, extraObjs: String = ""): PdfDocument = {
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String) = sb.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /ColorSpace << /CS0 $csBody >> >> /Contents 4 0 R >>\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    w(extraObjs)
+    w("trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    PdfDocument.open(sb.toByteArray)
+  }
+
+  test("Indexed over DeviceRGB: scn index dereferences the lookup table") {
+    // lookup: idx0 = red (ff 00 00), idx1 = blue (00 00 ff)
+    val cs = "[/Indexed /DeviceRGB 1 <FF0000 0000FF>]"
+    val content = "BT /F1 10 Tf /CS0 cs 0 scn 10 700 Td (red) Tj 1 scn (blue) Tj ET"
+    val runs = doc(cs, content).evalPage(0).runs
+    assert(runs.map(r => (r.text, r.fill)) ==
+      Vector(("red", "rgb(255,0,0)"), ("blue", "rgb(0,0,255)")))
+  }
+
+  test("Separation: tint → gray (1−t); distinct tints stay distinct runs") {
+    val cs = "[/Separation /PANTONE /DeviceRGB 8 0 R]"
+    val content = "BT /F1 10 Tf /CS0 cs 0.25 scn 10 700 Td (a) Tj 1 scn (b) Tj ET"
+    val d = doc(cs, content, "8 0 obj\n<< /FunctionType 2 /Domain [0 1] >>\nendobj\n")
+    val runs = d.evalPage(0).runs
+    assert(runs.map(_.fill) == Vector("rgb(191,191,191)", "rgb(0,0,0)"))
+    assert(runs.length == 2) // fill change broke the run
+  }
+
+  test("ICCBased: /N selects gray / RGB / CMYK semantics") {
+    val cs = "[/ICCBased 8 0 R]"
+    val icc = "8 0 obj\n<< /N 3 /Length 0 >>\nstream\n\nendstream\nendobj\n"
+    val content = "BT /F1 10 Tf /CS0 cs 1 0 0 scn 10 700 Td (r) Tj ET"
+    val runs = doc(cs, content, icc).evalPage(0).runs
+    assert(runs.map(_.fill) == Vector("rgb(255,0,0)"))
+  }
+
+  test("DeviceN: mean tint → gray") {
+    val cs = "[/DeviceN [/Cyan /Magenta] /DeviceCMYK 8 0 R]"
+    val content = "BT /F1 10 Tf /CS0 cs 1 1 scn 10 700 Td (x) Tj ET"
+    val d = doc(cs, content, "8 0 obj\n<< /FunctionType 2 >>\nendobj\n")
+    assert(d.evalPage(0).runs.map(_.fill) == Vector("rgb(0,0,0)"))
+  }
+
+  test("cs with a device name needs no resource lookup; heuristic still covers bare sc") {
+    val content = "BT /F1 10 Tf /DeviceRGB cs 0 1 0 scn 10 700 Td (g) Tj " +
+      "0.5 0.5 0.5 sc (h) Tj ET"
+    // note: after `cs /DeviceRGB`, the 3-component sc also goes through RGB
+    val runs = doc("/DeviceGray", content).evalPage(0).runs
+    assert(runs.map(_.fill) == Vector("rgb(0,255,0)", "rgb(128,128,128)"))
+  }
+
+  test("unknown space name: scn falls back to the component-count heuristic") {
+    val content = "BT /F1 10 Tf /NoSuch cs 1 0 0 scn 10 700 Td (t) Tj ET"
+    val runs = doc("/DeviceGray", content).evalPage(0).runs
+    assert(runs.map(_.fill) == Vector("rgb(255,0,0)"))
+  }
+}
