@@ -105,7 +105,7 @@ object Bench {
         // replicate via a repeat column over the binaryFile scan — the bytes
         // stay executor-side (no driver-shipped task payloads / task-size
         // warnings from collect()+parallelize)
-        val reps = spark.read.format("binaryFile").load(s"$refDir/*.pdf")
+        val reps = spark.read.format("binaryFile").option("pathGlobFilter", "*.pdf").load(refDir)
           .select(col("content"), explode(sequence(lit(1), lit(32))).as("__rep"))
           .repartition(math.min(cpus, 32))
           .select("content").as[Array[Byte]]

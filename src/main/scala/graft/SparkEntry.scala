@@ -152,8 +152,8 @@ object SparkEntry {
       // for the exact-with-spaces floors).
       import s.implicits._
       val _ = dir // inputs are the reference corpus PDFs, not the sf tables
-      s.read.format("binaryFile")
-        .load("/root/reference/src/test/resources/input/*.pdf")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input")
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
         .flatMap { case (path, bytes) =>
@@ -173,8 +173,8 @@ object SparkEntry {
       // update, whose newer /Info generation supersedes the original).
       import s.implicits._
       val _ = dir
-      s.read.format("binaryFile")
-        .load("/root/reference/src/test/resources/input/*.pdf")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input")
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
         .flatMap { case (path, bytes) =>
@@ -203,8 +203,8 @@ object SparkEntry {
       val _ = dir
       val floors = Map(
         "1301.4293" -> 0.98, "C04-1204" -> 0.99, "test24" -> 0.96, "test25" -> 0.97)
-      val got = s.read.format("binaryFile")
-        .load("/root/reference/src/test/resources/input/*.pdf")
+      val got = s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input")
         .select(col("path"), col("content")).as[(String, Array[Byte])]
         .flatMap { case (path, bytes) =>
           val paper = path.split('/').last.stripSuffix(".pdf")
@@ -212,8 +212,9 @@ object SparkEntry {
             case (t, i) => (paper, i.toLong, t)
           }
         }.toDF("paper", "idx", "got_entry")
-      val exp = s.read.format("binaryFile")
-        .load("/root/reference/src/test/resources/output/*.pdf.expected/tspan-texts.txt")
+      val exp = s.read.format("binaryFile").option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "tspan-texts.txt")
+        .load("/root/reference/src/test/resources/output")
         .select(col("path"), col("content")).as[(String, Array[Byte])]
         .flatMap { case (path, bytes) =>
           val paper = path.split('/').dropRight(1).last.stripSuffix(".pdf.expected")
