@@ -135,7 +135,9 @@ object Bench {
       try {
         def job() = Pipeline.extractTurns(Pipeline.readTurns(s, corpusPath)).count()
         job(); job() // warm: JIT tail + page cache for this corpus at this level
-        val sec = Seq(time(job()), time(job()), time(job())).min
+        // best-of-4: the scaling-efficiency gate is a ratio of two noisy
+        // minima — a fourth sample meaningfully narrows the downside tail
+        val sec = Seq(time(job()), time(job()), time(job()), time(job())).min
         nTurns / sec
       } finally {
         s.stop()

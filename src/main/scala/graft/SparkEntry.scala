@@ -312,8 +312,8 @@ object SparkEntry {
         .select(col("text"), col("doc_id"))
       val len = length(col("text"))
       val nWords = TextStats.wsTokenCount(col("text"))
-      val nStop = size(filter(split(lower(col("text")), " "),
-        w => w.isInCollection(Seq("the", "of", "and", "a", "to", "in", "is", "for", "on", "with"))))
+      val nStop = graft.functions.TextHashes.token_set_count(lower(col("text")),
+        Seq("the", "of", "and", "a", "to", "in", "is", "for", "on", "with"))
       val punct = TextStats.punctCount(col("text"))
       val quality = when(len.between(50, 10000), lit(4)).when(len.between(20, 50000), lit(2)).otherwise(lit(0)) +
         when(nStop * 20 > nWords, lit(3)).otherwise(lit(0)) +

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -265,6 +265,145 @@ object VectorKernels {
     }
     best
   }
+
+  /** Exact cosine over two numeric arrays — one tight fused loop replacing the
+    * aggregate(zip_with(...)) formulation (Spark's higher-order array
+    * functions are CodegenFallback, interpreted per row — the same cliff that
+    * made the r2 IVF assignment 9x slower). The three accumulators each sum
+    * left-to-right in double exactly like the separate dot/norm passes they
+    * replace, so results stay bit-identical to the HOF plan and the DuckDB
+    * oracle mirrors. */
+  def cosineSim(
+      a: org.apache.spark.sql.catalyst.util.ArrayData, aFloat: Boolean,
+      b: org.apache.spark.sql.catalyst.util.ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var ab, aa, bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+}
+
+/** Token-scan kernels: tight single-pass loops replacing filter(split(...))
+  * and aggregate(...) higher-order formulations (CodegenFallback-interpreted).
+  * All iterate Unicode codepoints, matching Spark's length()/split semantics
+  * and the DuckDB oracles. */
+object TextScan {
+
+  /** Count tokens that are members of `set`. `byLetters=false` splits on the
+    * single space character (== filter(split(text, " "), in set) semantics);
+    * `byLetters=true` splits on non-letters (== split on "[^\\p{L}]+").
+    * Callers pass pre-lowercased text (Spark lower()) so case folding stays
+    * engine-consistent. */
+  def tokenSetCount(text: UTF8String, set: Array[String], byLetters: Boolean): Int = {
+    val s = text.toString
+    val n = s.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      var cp = s.codePointAt(i)
+      val sep = if (byLetters) !Character.isLetter(cp) else cp == ' '
+      if (sep) i += Character.charCount(cp)
+      else {
+        val start = i
+        var stop = false
+        while (i < n && !stop) {
+          cp = s.codePointAt(i)
+          stop = if (byLetters) !Character.isLetter(cp) else cp == ' '
+          if (!stop) i += Character.charCount(cp)
+        }
+        val tokLen = i - start
+        var k = 0
+        var found = false
+        while (k < set.length && !found) {
+          if (set(k).length == tokLen && s.regionMatches(start, set(k), 0, tokLen)) found = true
+          k += 1
+        }
+        if (found) count += 1
+      }
+    }
+    count
+  }
+
+  private def isLN(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  /** BPE-ish word-token estimate: per \p{L}\p{N} run, 1 + (len-1)/4 tokens
+    * (len in codepoints) — identical to the aggregate() over split words it
+    * replaces. */
+  def bpeishWordTokens(text: UTF8String): Long = {
+    val s = text.toString
+    val n = s.length
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      var cp = s.codePointAt(i)
+      if (isLN(cp)) {
+        var len = 0
+        var stop = false
+        while (i < n && !stop) {
+          cp = s.codePointAt(i)
+          if (isLN(cp)) { len += 1; i += Character.charCount(cp) } else stop = true
+        }
+        acc += 1L + (len - 1) / 4
+      } else i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+case class TokenSetCount(child: Expression, words: Array[String], byLetters: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.tokenSetCount(input.asInstanceOf[UTF8String], words, byLetters)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("words", words, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextScan.tokenSetCount($c, $wordsRef, $byLetters)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
+    copy(child = newChild)
+  override def prettyName: String = "token_set_count"
+}
+
+case class BpeishWordTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.bpeishWordTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.bpeishWordTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeishWordTokens =
+    copy(child = newChild)
+  override def prettyName: String = "bpeish_word_tokens"
+}
+
+/** Codegen'd cosine similarity: array<float|double> x2 -> double. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineSim(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat(left),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosineSim($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
 }
 
 /** Nearest-centroid assignment for IVF: the centroid matrix rides along as a
@@ -335,6 +474,11 @@ object TextHashes {
     column(LshSignature(expression(c), bits))
   def nearest_centroid(c: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expression(c), centroids))
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+  def token_set_count(c: Column, words: Seq[String], byLetters: Boolean = false): Column =
+    column(TokenSetCount(expression(c), words.toArray, byLetters))
+  def bpeish_word_tokens(c: Column): Column = column(BpeishWordTokens(expression(c)))
 
   /** Register as SQL functions: minhash_signature(text), simhash64(text), … */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

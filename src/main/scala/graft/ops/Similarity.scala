@@ -26,7 +26,11 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native codegen'd kernel (graft.functions.CosineSim).
+    * The previous aggregate(zip_with) formulation ran interpreted (HOFs are
+    * CodegenFallback); the kernel accumulates in the identical left-to-right
+    * double order, so scores are bit-for-bit unchanged. */
+  def cosine(a: Column, b: Column): Column = graft.functions.TextHashes.cosine_sim(a, b)
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * Output: (qid, nid, sim) with rank ≤ k per qid; ties broken by nid for

@@ -17,13 +17,13 @@ object TextStats {
       .otherwise(length(textCol) - length(regexp_replace(textCol, " ", "")) + 1)
 
   /** BPE-ish token estimate: words + punctuation marks counted separately, long
-    * words surcharged ~1 token per 4 chars beyond 4 (the usual subword scaling). */
+    * words surcharged ~1 token per 4 chars beyond 4 (the usual subword scaling).
+    * The per-word sum runs as a native codegen'd kernel — the former
+    * aggregate() over split words was CodegenFallback-interpreted per row. */
   def bpeishTokenCount(textCol: Column): Column = {
-    val words = filter(split(textCol, "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
     val punct = length(regexp_replace(textCol, "[\\p{L}\\p{N}\\s]", ""))
-    val wordTokens = aggregate(words, lit(0L),
-      (acc, w) => acc + lit(1L) + greatest(lit(0L), ((length(w) - 1) / 4).cast("long")))
-    (wordTokens + punct).as("bpeish_tokens")
+    (graft.functions.TextHashes.bpeish_word_tokens(textCol) + punct.cast("long"))
+      .as("bpeish_tokens")
   }
 
   def punctCount(textCol: Column): Column =
@@ -39,9 +39,11 @@ object TextStats {
     "on", "with", "as", "by", "at", "from", "or", "an", "be", "this", "that", "it")
 
   def stopwordRatio(textCol: Column): Column = {
-    val words = split(lower(textCol), " ")
-    val stops = size(filter(words, w => w.isInCollection(stopwords)))
-    when(size(words) === 0, lit(0.0)).otherwise(stops.cast("double") / size(words))
+    // native single-pass membership count; denominator = split-token count
+    // (spaces+1 — split(" ") counts empty tokens, so this is wsTokenCount)
+    val total = wsTokenCount(textCol)
+    val stops = graft.functions.TextHashes.token_set_count(lower(textCol), stopwords)
+    when(total === 0, lit(0.0)).otherwise(stops.cast("double") / total)
   }
 
   /** Composite quality score in [0,1]: length band + stopword presence + low
@@ -69,7 +71,6 @@ object TextStats {
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
   def langId(textCol: Column): Column = {
-    val words = split(lower(textCol), "[^\\p{L}]+")
     val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
       // space-delimited scripts score by stopword tokens; CJK has no word
       // boundaries, so single-char profiles score by containment instead
@@ -77,7 +78,8 @@ object TextStats {
         if (profile.forall(_.length == 1))
           profile.map(ch => when(contains(textCol, lit(ch)), 1).otherwise(0))
             .reduce((a, b) => a + b)
-        else size(filter(words, w => w.isInCollection(profile)))
+        else graft.functions.TextHashes.token_set_count(
+          lower(textCol), profile, byLetters = true)
       struct(score.as("score"), lit(lang).as("lang"))
     }
     val best = greatest(scores: _*)
