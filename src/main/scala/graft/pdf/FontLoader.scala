@@ -435,16 +435,22 @@ object FontLoader {
           bold = bold, italic = italic, toUnicode)
 
       case Some(bytes) =>
-        // embedded path: parse the CFF (Type1C) for its builtin encoding and
-        // charset names; Type1/TrueType programs are not parsed (none in the
-        // reference corpus), leaving the PDF-side toUnicode as-is.
+        // embedded path: parse the CFF (Type1C) charset + builtin encoding,
+        // or a Type1 (PFA/PFB) program's cleartext /Encoding header (round 3
+        // — the reference corpus is CFF-only but wild symbolic Type1 fonts
+        // carry their mapping here); TrueType programs are not parsed.
         val (charset, builtinEnc) =
           if (subtype.contains("Type1C") || subtype.contains("CIDFontType0C") || isCffBytes(bytes))
             CffParser.tryParse(bytes) match {
               case Some(c) if !c.isCid => (c.charsetNames, c.builtinEncoding)
               case _ => (Array.empty[String], Map.empty[Int, Int])
             }
-          else (Array.empty[String], Map.empty[Int, Int])
+          else if (Type1Parser.isType1Bytes(bytes)) {
+            val enc = Type1Parser.builtinEncoding(bytes)
+            val names = enc.values.toArray.distinct
+            val idx = names.zipWithIndex.toMap
+            (names, enc.map { case (c, n) => c -> idx(n) })
+          } else (Array.empty[String], Map.empty[Int, Int])
         // adjustToUnicode: the font program's own encoding (charcode → glyph
         // name → AGL unicode) amends the PDF-side toUnicode wherever the PDF
         // dict didn't speak (an explicit /ToUnicode stream wins outright;

@@ -100,6 +100,21 @@ object StreamingPipeline {
         })
   }
 
+  /** Streaming exact dedup: drop replayed/duplicated turns inside the
+    * watermark horizon, keyed by identity + a 64-bit content hash — the
+    * streaming face of `Dedup.exact` (state stays bounded: rows older than
+    * the watermark age out of the dedup state automatically, which is the
+    * only state policy that survives 10^12 turns). */
+  def dedupeStream(turns: Dataset[Turn], lateness: String = "10 minutes"): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    turns
+      .withWatermark("ts", lateness)
+      .withColumn("__h", xxhash64(col("text")))
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx", "__h")
+      .drop("__h")
+      .as[Turn]
+  }
+
   /** Sink: append to parquet/Iceberg with checkpointed exactly-once offsets. */
   def writer(extracted: Dataset[ExtractedTurn], outPath: String, checkpoint: String): DataStreamWriter[ExtractedTurn] =
     extracted.writeStream

@@ -33,6 +33,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming dedup drops replayed turns within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-02-01 00:00:00").getTime
+    def turn(conv: String, idx: Int, text: String, offsetSec: Int) =
+      Turn(conv, idx, "user", text, "", new java.sql.Timestamp(base + offsetSec * 1000L))
+
+    val stream = MemoryStream[Turn]
+    val q = StreamingPipeline.dedupeStream(stream.toDS())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    // original batch + an exact replay (at-least-once source) + one turn whose
+    // content changed (same key, different hash — must survive)
+    stream.addData(Seq(
+      turn("c1", 0, "hello", 0), turn("c1", 1, "world", 1), turn("c2", 0, "x", 2)))
+    q.processAllAvailable()
+    stream.addData(Seq(
+      turn("c1", 0, "hello", 0), // replayed duplicate
+      turn("c1", 1, "world!", 1), // same (conv, idx), new content
+      turn("c2", 1, "y", 3)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_out")
+      .select("conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("c1", 0, "hello"), ("c1", 1, "world"), ("c2", 0, "x"),
+      ("c1", 1, "world!"), ("c2", 1, "y")))
+  }
+
   test("stateful sessionizer closes conversations after event-time silence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
