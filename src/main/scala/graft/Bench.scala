@@ -69,6 +69,44 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val corpusPath = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString
 
+    // ── scaling evidence FIRST: the headline queries at sf0.1 leave a large
+    // old-gen footprint in this shared JVM, and measuring the N→4N ratio
+    // afterwards reads 15-20% low at the higher levels (observed repeatedly);
+    // a fresh heap keeps the efficiency gate measuring extraction, not GC ──
+    val prep = session(cpus)
+    val nTurns = materializeCorpus(prep, sfDir, target = 800000L, corpusPath)
+    prep.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    def extractionSamples(c: Int, warm: Int, n: Int): Seq[Double] = {
+      val s = session(c)
+      try {
+        def job() = Pipeline.extractTurns(Pipeline.readTurns(s, corpusPath)).count()
+        (0 until warm).foreach(_ => job()) // JIT tail + page cache at this level
+        Seq.fill(n)(time(job()))
+      } finally {
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    // N vs 4N evidence at two pairs: 2→8 stays inside this VM's memory
+    // bandwidth (extraction is bandwidth-bound past ~16 threads); 8→32
+    // reported too for transparency. The gate pair is measured A-B-A (p2,
+    // then p8, then p2 again) with the per-level minimum across both A
+    // blocks: this VM's throughput drifts ±20% over minutes, and disjoint
+    // measurement windows turned that drift into efficiency-ratio noise.
+    val s2a = extractionSamples(2, warm = 2, n = 2)
+    val s8 = extractionSamples(8, warm = 2, n = 4)
+    val s2b = extractionSamples(2, warm = 1, n = 2)
+    val s32 = extractionSamples(32, warm = 2, n = 4)
+    val tp2 = nTurns / (s2a ++ s2b).min
+    val tp8 = nTurns / s8.min
+    val tp32 = nTurns / s32.min
+    val eff2to8 = (tp8 / tp2) / 4.0
+    val eff8to32 = (tp32 / tp8) / 4.0
+
     // ── headline queries at the driver-provided parallelism ──
     val spark = session(cpus)
     // warm-up: JIT the extraction + relational paths once before timing
@@ -122,37 +160,15 @@ object Bench {
         -1.0
     }
 
-    // ── scaling evidence: identical extraction job at two parallelism levels ──
-    val nTurns = materializeCorpus(spark, sfDir, target = 800000L, corpusPath)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-
-    // best-of-2 after one warm-up: JIT is shared across sessions in this JVM,
-    // but GC/page-cache noise makes single samples unreliable
-    def extractionThroughput(c: Int): Double = {
-      val s = session(c)
-      try {
-        def job() = Pipeline.extractTurns(Pipeline.readTurns(s, corpusPath)).count()
-        job(); job() // warm: JIT tail + page cache for this corpus at this level
-        // best-of-4: the scaling-efficiency gate is a ratio of two noisy
-        // minima — a fourth sample meaningfully narrows the downside tail
-        val sec = Seq(time(job()), time(job()), time(job()), time(job())).min
-        nTurns / sec
-      } finally {
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-      }
-    }
-    // N vs 4N evidence at two pairs: 2→8 stays inside this VM's memory
-    // bandwidth (extraction is bandwidth-bound past ~16 threads); 8→32
-    // reported too for transparency
-    val tp2 = extractionThroughput(2)
-    val tp8 = extractionThroughput(8)
-    val tp32 = extractionThroughput(32)
-    val eff2to8 = (tp8 / tp2) / 4.0
-    val eff8to32 = (tp32 / tp8) / 4.0
+    // the materialized corpus is ~20 MB/run; don't accumulate under /tmp
+    try {
+      val dir = java.nio.file.Paths.get(corpusPath)
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
