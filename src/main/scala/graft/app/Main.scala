@@ -66,24 +66,43 @@ object Main {
         .drop("__bucket").as[graft.core.Turn]
       val extracted = Pipeline.extractTurns(turns, partitions)
         .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(buckets)).cast("string"))
-      // Dynamic partition overwrite only replaces partitions present in the NEW
-      // data: a pending bucket whose extraction now yields zero rows would keep
-      // its stale files and the metrics pass below would record stale counts.
-      // Pending buckets carry no manifest entry yet (they'd be re-extracted on
-      // any resume), so clearing them up front is safe and makes the post-write
-      // read reflect exactly this run's output.
       val outPath = new org.apache.hadoop.fs.Path(output)
       val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(outPath)) pending.foreach { b =>
-        val p = new org.apache.hadoop.fs.Path(outPath, s"bucket=$b")
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try extracted.write.mode("overwrite").partitionBy("bucket").parquet(output)
-      finally prevMode match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      // Write discipline per mode:
+      //  - full: plain (static) overwrite replaces the whole dataset, which
+      //    also clears any stale partitions (the Iceberg deployment does an
+      //    atomic snapshot replace; vanilla Spark overwrite carries the
+      //    standard replace window). Crucially there is NO pre-delete pass
+      //    here: in full mode completed buckets DO have durable manifest
+      //    entries, so deleting them up front would open an unrecoverable
+      //    window — a crash mid-extraction would leave the data gone while
+      //    resume considers every bucket done.
+      //  - resume: dynamic overwrite only replaces partitions present in the
+      //    new data, so a pending bucket whose extraction now yields zero
+      //    rows would keep its stale files (and the metrics read below would
+      //    count them). Pending buckets carry no manifest entry by
+      //    definition, so pre-clearing exactly those is crash-safe: a rerun
+      //    re-extracts them.
+      if (mode == "resume") {
+        if (fs.exists(outPath)) pending.foreach { b =>
+          val p = new org.apache.hadoop.fs.Path(outPath, s"bucket=$b")
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try extracted.write.mode("overwrite").partitionBy("bucket").parquet(output)
+        finally prevMode match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      } else {
+        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        try extracted.write.mode("overwrite").partitionBy("bucket").parquet(output)
+        finally prevMode match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
       // per-bucket metrics from the just-written files — never re-run extraction
       val ts = new java.sql.Timestamp(System.currentTimeMillis())

@@ -23,6 +23,16 @@ object ColorSpaceModel {
   case object Gray extends ColorSpaceModel { val numComps = 1 }
   case object RGB extends ColorSpaceModel { val numComps = 3 }
   case object CMYK extends ColorSpaceModel { val numComps = 4 }
+
+  /** Device / CIE name → model; the single name table shared by the `cs`
+    * operand handler and the resource-dict parser (array families like
+    * /Indexed live in the parser only). */
+  def fromName(name: String): Option[ColorSpaceModel] = name match {
+    case "DeviceGray" | "G" | "CalGray" => Some(Gray)
+    case "DeviceRGB" | "RGB" | "CalRGB" | "Lab" => Some(RGB)
+    case "DeviceCMYK" | "CMYK" => Some(CMYK)
+    case _ => None
+  }
   /** tint components → gray 1−mean(t) (Separation: one component). */
   final case class Tint(numComps: Int) extends ColorSpaceModel
   final case class Indexed(base: ColorSpaceModel, lookup: Array[Byte]) extends ColorSpaceModel {

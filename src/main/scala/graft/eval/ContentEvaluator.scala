@@ -232,8 +232,7 @@ object ContentEvaluator {
     // Glyph iteration is allocation-free: widths looked up per char, no glyph
     // objects (the metrics-only model makes GlyphM redundant on this path).
     var showX = 0.0
-    var showY = 0.0 // vertical-mode advance accumulator (WMode 1)
-    def showBegin(): Unit = { showX = 0.0; showY = 0.0 }
+    def showBegin(): Unit = showX = 0.0
 
     // fake-space state: text-space pen position after the previous show, valid
     // only within an unchanged (ctm, textMatrix) frame
@@ -253,43 +252,8 @@ object ContentEvaluator {
       while (k < n) { xcoords += atX; sb.append(' '); k += 1 }
     }
 
-    /** Vertical-writing show (WMode 1): the pen advances down by the /W2
-      * vmetric w1 (default DW2) and the glyph is shifted left by vx — the
-      * canvas showText vertical branch (pdf.combined.js:29776-29786); the
-      * fake-space heuristic is horizontal-only and does not apply. */
-    def showVertical(str: String): Unit = {
-      val widthAdvanceScale = st.fontSize * st.font.fontMatrix0
-      val widths = st.font.widths
-      val glyphText = st.font.glyphText
-      val vms = st.font.vmetrics
-      val wide = st.font.wideChars
-      val step = if (wide) 2 else 1
-      var i = 0
-      while (i < str.length) {
-        val c: Int =
-          if (wide) {
-            val hi = str.charAt(i).toInt & 0xff
-            val lo = if (i + 1 < str.length) str.charAt(i + 1).toInt & 0xff else 0
-            (hi << 8) | lo
-          } else str.charAt(i).toInt
-        val g = glyphText(c)
-        val vm = if (vms ne null) vms(c) else Array(-1000.0, widths(c) * 0.5, 880.0)
-        // glyph x = pen x − vx (canvas: scaledX = −vmetric[1]·scale)
-        val gx = st.x - vm(1) * widthAdvanceScale
-        glyphStartTmp = gx
-        var k = 0
-        while (k < g.length) { xcoords += gx; k += 1 }
-        sb.append(g)
-        val spacing = st.charSpacing + (if (!wide && c == ' ') st.wordSpacing else 0.0)
-        // text-space Δy: w1 is negative (down); spacing also advances down
-        showY += vm(0) * widthAdvanceScale - spacing
-        i += step
-      }
-    }
-
     def showString(str: String): Unit = {
       if (st.fontSize == 0) return // early skip (pdf.combined.js:20315-20317)
-      if (st.font.vertical) { showVertical(str); return }
       val textHScale = st.textHScale * st.fontDirection
       val widthAdvanceScale = st.fontSize * st.font.fontMatrix0
       val widths = st.font.widths
@@ -370,7 +334,6 @@ object ContentEvaluator {
     def showKern(n: Double): Unit =
       if (st.fontSize != 0) {
         val adv = -n * st.fontSize * 0.001
-        if (st.font.vertical) { showY += adv; return }
         showX += adv
         if (fakeSpaces && sb.nonEmpty && sb.charAt(sb.length - 1) != ' ' && adv > 0) {
           val sw = spaceWidthUnits
@@ -380,9 +343,14 @@ object ContentEvaluator {
       }
     def showEnd(): Unit = {
       if (st.fontSize == 0) return
-      val yStart = st.y // a vertical run's y attribute is its start position
-      st.x += showX * (st.textHScale * st.fontDirection)
-      if (st.font.vertical) st.y += showY // vertical pen advance (no hscale)
+      // vertical writing advances the pen in y, horizontal in x — the SVG
+      // backend exactly (pdf.combined.js:20347-20351): the per-glyph loop is
+      // identical (glyph widths, advancing xcoords, same TJ sign), only the
+      // end-of-show pen update differs, and the tspan y attribute is set
+      // AFTER the update (20355). The /W2 vmetric override is a canvas/
+      // text-content-path behavior the tspan surface never sees.
+      val adv = showX * (st.textHScale * st.fontDirection)
+      if (st.font.vertical) st.y -= adv else st.x += adv
       if (fakeSpaces) {
         lastEndX = st.x; lastEndY = st.y
         lastCtm = st.ctm; lastTm = st.textMatrix
@@ -391,7 +359,7 @@ object ContentEvaluator {
         cBT = 0; cET = 0; cTf = 0; cTm = 0; cTd = 0; cTc = 0; cOther = 0
       }
       // tspan attrs are (re)set at every showText; record state of last one
-      tspanY = -yStart
+      tspanY = -st.y
       tspanMatrix = NumFmt.mul(st.ctm, st.textMatrix)
       tspanFont = st.font
       tspanSize = st.fontSize
@@ -512,10 +480,18 @@ object ContentEvaluator {
                     case _ => ()
                   }
                   showEnd()
-                case "rg" => flush(); st.fillColor = rgb(numArg(0), numArg(1), numArg(2))
-                case "g" => flush(); val v = numArg(0); st.fillColor = rgb(v, v, v)
+                // rg/g/k also SELECT the device space (the reference sets
+                // fillColorSpace on these ops, pdf.combined.js:45762-45785) —
+                // without the reset a stale resolved /Indexed or /Separation
+                // from an earlier cs would misread later sc operands
+                case "rg" =>
+                  flush(); st.fillCS = ColorSpaceModel.RGB
+                  st.fillColor = rgb(numArg(0), numArg(1), numArg(2))
+                case "g" =>
+                  flush(); st.fillCS = ColorSpaceModel.Gray
+                  val v = numArg(0); st.fillColor = rgb(v, v, v)
                 case "k" =>
-                  flush()
+                  flush(); st.fillCS = ColorSpaceModel.CMYK
                   val (c, m, yy, kk) = (numArg(0), numArg(1), numArg(2), numArg(3))
                   st.fillColor = rgb((1 - c) * (1 - kk), (1 - m) * (1 - kk), (1 - yy) * (1 - kk))
                 case "cs" =>
@@ -524,13 +500,9 @@ object ContentEvaluator {
                   // keeps a ColorSpace object on the graphics state)
                   args(0) match {
                     case Tok.Name(n) =>
-                      st.fillCS = n match {
-                        case "DeviceGray" | "G" | "CalGray" => ColorSpaceModel.Gray
-                        case "DeviceRGB" | "RGB" | "CalRGB" | "Lab" => ColorSpaceModel.RGB
-                        case "DeviceCMYK" | "CMYK" => ColorSpaceModel.CMYK
-                        case "Pattern" => null
-                        case other => res.colorSpace(other).orNull
-                      }
+                      st.fillCS =
+                        if (n == "Pattern") null
+                        else ColorSpaceModel.fromName(n).orElse(res.colorSpace(n)).orNull
                     case _ => errors += 1
                   }
                 case "sc" | "scn" =>

@@ -14,7 +14,11 @@ import java.security.MessageDigest
   */
 final class Decryptor(
     key: Array[Byte],
-    val isAes: Boolean) {
+    val isAes: Boolean,
+    /** /EncryptMetadata false ⇒ the catalog /Metadata stream is plaintext and
+      * must not be "decrypted" (reference: xref.fetch(streamRef,
+      * !encryptMetadata), pdf.combined.js:42562-42565). */
+    val encryptMetadata: Boolean = true) {
 
   /** Per-object key: MD5(key + objNum[0..2] + gen[0..1] (+ "sAlT" for AES)),
     * truncated to min(key.length + 5, 16). */
@@ -115,12 +119,10 @@ object Decryptor {
     md.update(Array[Byte](
       (p & 0xff).toByte, ((p >> 8) & 0xff).toByte, ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte))
     md.update(docId)
-    if (r >= 4) {
-      val encryptMetadata = resolve(enc.entries.getOrElse("EncryptMetadata", PBool(true))) match {
-        case PBool(b) => b; case _ => true
-      }
-      if (!encryptMetadata) md.update(Array[Byte](-1, -1, -1, -1))
+    val encryptMetadata = resolve(enc.entries.getOrElse("EncryptMetadata", PBool(true))) match {
+      case PBool(b) => b; case _ => true
     }
+    if (r >= 4 && !encryptMetadata) md.update(Array[Byte](-1, -1, -1, -1))
     var key = java.util.Arrays.copyOf(md.digest(), keyBits / 8)
     if (r >= 3) {
       var i = 0
@@ -130,6 +132,6 @@ object Decryptor {
         i += 1
       }
     }
-    Some(new Decryptor(key, isAes))
+    Some(new Decryptor(key, isAes, encryptMetadata))
   }
 }

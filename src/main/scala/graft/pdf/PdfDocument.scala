@@ -122,12 +122,7 @@ final class PdfDocument private (val file: PdfFile) {
     import graft.eval.ColorSpaceModel
     if (depth > 4) return None
     file.resolve(o) match {
-      case PName(n) => n match {
-        case "DeviceGray" | "G" | "CalGray" => Some(ColorSpaceModel.Gray)
-        case "DeviceRGB" | "RGB" | "CalRGB" | "Lab" => Some(ColorSpaceModel.RGB)
-        case "DeviceCMYK" | "CMYK" => Some(ColorSpaceModel.CMYK)
-        case _ => None
-      }
+      case PName(n) => ColorSpaceModel.fromName(n)
       case PArr(items) if items.nonEmpty =>
         file.resolve(items.head) match {
           case PName("ICCBased") if items.length >= 2 =>
@@ -370,8 +365,12 @@ object PdfDocument {
     if (n >= 2 && (bytes(0) & 0xff) == 0xFE && (bytes(1) & 0xff) == 0xFF) {
       val sb = new java.lang.StringBuilder(n / 2)
       var i = 2
-      while (i + 1 < n) {
-        sb.append((((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)).toChar)
+      while (i < n) {
+        // an odd-length string keeps its final byte as the char's high half —
+        // the reference reads charCodeAt past the end, which coerces to 0
+        // (stringToPDFString, pdf.combined.js:3280-3285)
+        val lo = if (i + 1 < n) bytes(i + 1) & 0xff else 0
+        sb.append((((bytes(i) & 0xff) << 8) | lo).toChar)
         i += 2
       }
       sb.toString

@@ -294,8 +294,13 @@ final class PdfFile(val bytes: Array[Byte]) {
   private def decryptObj(o: PObj, dec: Decryptor, num: Int, gen: Int): PObj = o match {
     case PStream(d, raw) =>
       val isXref = d.get("Type").contains(PName("XRef"))
+      // /EncryptMetadata false: the XMP metadata stream is stored plaintext —
+      // running the cipher over it would garble it (reference fetches it with
+      // suppressEncryption, pdf.combined.js:42562-42565)
+      val isPlainMeta = !dec.encryptMetadata &&
+        d.get("Type").contains(PName("Metadata"))
       val dd = decryptObj(d, dec, num, gen).asInstanceOf[PDict]
-      if (isXref) PStream(dd, raw) else PStream(dd, dec.decrypt(raw, num, gen))
+      if (isXref || isPlainMeta) PStream(dd, raw) else PStream(dd, dec.decrypt(raw, num, gen))
     case PStr(b) => PStr(dec.decrypt(b, num, gen))
     case PArr(items) => PArr(items.map(decryptObj(_, dec, num, gen)))
     case PDict(e) => PDict(e.map { case (k, v) => k -> decryptObj(v, dec, num, gen) })

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pdf.PdfDocument
+import graft.pdf.{FontLoader, PdfDocument, PdfFile}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.charset.StandardCharsets.ISO_8859_1
@@ -81,11 +81,13 @@ class CompositeFontSpec extends AnyFunSuite {
     assert(math.abs(r.xs(1) - (r.xs(0) + 12.0)) < 1e-9) // 1000 * 12 / 1000
   }
 
-  test("Identity-V vertical writing: /W2 vmetrics advance the pen in y") {
-    // same document, but the CMap is vertical and the descendant carries
-    // /DW2 [880 -1000] (default) + /W2 [1 [-800 250 880]]:
-    //   cid 1 -> w1=-800 (advance), vx=250 (x shift), vy=880
-    //   cid 2 -> no /W2 entry -> default w1=-1000, vx = width/2 = 300
+  test("Identity-V vertical writing: pen advances down, SVG-backend semantics") {
+    // The tspan surface follows the vendored SVG backend exactly
+    // (pdf.combined.js:20324-20356): the per-glyph loop is the same as
+    // horizontal (glyph widths from /W, advancing xcoords), and at the end of
+    // the show the pen moves in y instead of x: current.y -= x*textHScale.
+    // /W2 vmetrics are parsed (FontLoader) but the SVG path never reads them —
+    // they are a canvas/text-content behavior.
     val vert = new String(pdfBytes, ISO_8859_1)
       .replace("/Encoding /Identity-H", "/Encoding /Identity-V")
       .replace("/DW 1000 /W [1 [500 600] 10 12 750] >>",
@@ -95,20 +97,35 @@ class CompositeFontSpec extends AnyFunSuite {
     val runs = doc.evalPage(0).runs
     assert(runs.map(_.text) == Vector("你好你", "ABC", "你"))
     val r0 = runs(0)
-    // glyph x = pen x − vx·scale: cid1 at 72 − 250·0.012, cid2 at 72 − (600/2)·0.012
-    assert(math.abs(r0.xs(0) - (72 - 250 * 12 / 1000.0)) < 1e-9, r0.xs.toSeq)
-    assert(math.abs(r0.xs(1) - (72 - 600 * 0.5 * 12 / 1000.0)) < 1e-9, r0.xs.toSeq)
-    assert(math.abs(r0.xs(2) - (72 - 250 * 12 / 1000.0)) < 1e-9) // cid1 again
-    // run y attribute is the show's START baseline: -720 in tspan space
-    assert(math.abs(r0.y - -720.0) < 1e-9)
-    // Td is relative to the LINE matrix (translateTextMatrix's intra-line
-    // advance is discarded by moveText, reference semantics): 720-20 = 700
+    // xcoords advance horizontally exactly as in the Identity-H case
+    assert(r0.xs.toSeq == Seq(72.0, 78.0, 85.2).map(v => math.round(v * 1e9) / 1e9)
+      || (math.abs(r0.xs(0) - 72) < 1e-9 && math.abs(r0.xs(1) - 78) < 1e-9 && math.abs(r0.xs(2) - 85.2) < 1e-9))
+    // pen: y -= (500+600+500)*0.012 = 19.2; tspan y is set AFTER the advance
+    assert(math.abs(r0.y - -(720 - 19.2)) < 1e-9, s"r0.y=${r0.y}")
+    // x never advances across shows in vertical mode
     val r1 = runs(1)
-    assert(math.abs(r1.y - -700.0) < 1e-9, s"r1.y=${r1.y}")
-    // a show with NO intervening Td continues from the advanced pen (the
-    // fill change only breaks the tspan): ABC are cids 10..12 without /W2 →
-    // default w1 = −1000 each → 3·12pt = 36 down
+    assert(math.abs(r1.xs(0) - 72.0) < 1e-9)
+    // Td is line-relative: 720-20 = 700; ABC advance 3*750*0.012 = 27 down
+    assert(math.abs(r1.y - -(700 - 27)) < 1e-9, s"r1.y=${r1.y}")
+    // a show after a fill-only break continues from the advanced pen
     val r2 = runs(2)
-    assert(math.abs(r2.y - -(700 - 36)) < 1e-9, s"r2.y=${r2.y}")
+    assert(math.abs(r2.xs(0) - 72.0) < 1e-9)
+    assert(math.abs(r2.y - -(700 - 27 - 6)) < 1e-9, s"r2.y=${r2.y}")
+  }
+
+  test("/W2 vmetrics parse onto FontSpec (canvas/text-content consumers)") {
+    val vert = new String(pdfBytes, ISO_8859_1)
+      .replace("/Encoding /Identity-H", "/Encoding /Identity-V")
+      .replace("/DW 1000 /W [1 [500 600] 10 12 750] >>",
+        "/DW 1000 /W [1 [500 600] 10 12 750] /DW2 [880 -1000] /W2 [1 [-800 250 880] 5 9 -900 300 880] >>")
+    val doc = PdfDocument.open(vert.getBytes(ISO_8859_1))
+    val font = doc.evalPage(0).runs.headOption.map(_ => ()) // force eval
+    val _ = font
+    val f = new PdfFile(vert.getBytes(ISO_8859_1))
+    val spec = FontLoader.load(f.resolve(graft.pdf.PObj.PRef(4, 0)).asInstanceOf[graft.pdf.PObj.PDict], f)
+    assert(spec.vertical)
+    assert(spec.vmetrics(1).toSeq == Seq(-800.0, 250.0, 880.0)) // explicit triple
+    assert(spec.vmetrics(7).toSeq == Seq(-900.0, 300.0, 880.0)) // range form
+    assert(spec.vmetrics(2).toSeq == Seq(-1000.0, 300.0, 880.0)) // DW2 default, vx = width/2
   }
 }

@@ -68,6 +68,18 @@ class ColorSpaceSpec extends AnyFunSuite {
     assert(runs.map(_.fill) == Vector("rgb(0,255,0)", "rgb(128,128,128)"))
   }
 
+  test("g/rg/k reset the fill color space (stale /Indexed must not misread sc)") {
+    // reference sets fillColorSpace on the device color ops
+    // (pdf.combined.js:45762-45785): after '0 g' the space is DeviceGray, so
+    // '1 sc' means white — not index 1 of the earlier /Indexed palette
+    val cs = "[/Indexed /DeviceRGB 1 <FF0000 0000FF>]"
+    val content = "BT /F1 10 Tf /CS0 cs 0 scn 10 700 Td (red) Tj " +
+      "0 g (black) Tj 1 sc (white) Tj ET"
+    val runs = doc(cs, content).evalPage(0).runs
+    assert(runs.map(_.fill) ==
+      Vector("rgb(255,0,0)", "rgb(0,0,0)", "rgb(255,255,255)"), runs.map(_.fill))
+  }
+
   test("unknown space name: scn falls back to the component-count heuristic") {
     val content = "BT /F1 10 Tf /NoSuch cs 1 0 0 scn 10 700 Td (t) Tj ET"
     val runs = doc("/DeviceGray", content).evalPage(0).runs

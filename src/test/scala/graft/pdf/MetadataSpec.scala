@@ -40,6 +40,49 @@ class MetadataSpec extends AnyFunSuite {
     assert(doc.xmp.contains(xml))
   }
 
+  test("decodePdfString: odd-length UTF-16BE keeps the final high byte") {
+    // reference reads charCodeAt past the end, which coerces to 0:
+    // FE FF 00 41 42 -> "A" + U+4200 (stringToPDFString, 3280-3285)
+    val bytes = Array[Byte](0xFE.toByte, 0xFF.toByte, 0x00, 0x41, 0x42)
+    assert(PdfDocument.decodePdfString(bytes) == "A䈀")
+  }
+
+  test("/EncryptMetadata false: the XMP stream is plaintext and stays intact") {
+    // RC4-encrypted document whose metadata is NOT encrypted — running the
+    // cipher over it would garble the packet (reference fetches it with
+    // suppressEncryption, pdf.combined.js:42562-42565)
+    val docId = "0123456789abcdef".getBytes(ISO_8859_1)
+    val encBody = "<< /Filter /Standard /V 4 /R 4 /Length 128 /P -3904 " +
+      "/EncryptMetadata false " +
+      "/CF << /StdCF << /CFM /V2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+      "/O <" + "41" * 32 + "> /U <" + "42" * 32 + "> >>"
+    val parsed = new ObjParser(encBody.getBytes(ISO_8859_1), 0)
+      .parseValue().asInstanceOf[PObj.PDict]
+    val dec = Decryptor.fromEncryptDict(parsed, docId, identity).get
+    assert(!dec.encryptMetadata)
+    val content = "BT /F1 12 Tf 72 720 Td (s) Tj ET"
+    val encStream = dec.decrypt(content.getBytes(ISO_8859_1), 4, 0) // RC4 involution
+    val xml = "<?xpacket?><x:xmpmeta>plain</x:xmpmeta>"
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String) = sb.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Metadata 6 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${encStream.length} >>\nstream\n")
+    sb.write(encStream)
+    w("\nendstream\nendobj\n")
+    w(s"5 0 obj\n$encBody\nendobj\n")
+    // metadata stream stored PLAINTEXT (EncryptMetadata false)
+    w(s"6 0 obj\n<< /Type /Metadata /Subtype /XML /Length ${xml.length} >>\nstream\n$xml\nendstream\nendobj\n")
+    w("trailer\n<< /Size 7 /Root 1 0 R /Encrypt 5 0 R " +
+      "/ID [<30313233343536373839616263646566> <30313233343536373839616263646566>] >>\n" +
+      "startxref\n0\n%%EOF\n")
+    val doc = PdfDocument.open(sb.toByteArray)
+    assert(doc.xmp.contains(xml), doc.xmp)
+    assert(doc.evalPage(0).runs.map(_.text) == Vector("s")) // content still decrypts
+  }
+
   test("reference corpus metadata (skips when checkout absent)") {
     val p = Paths.get("/root/reference/src/test/resources/input/test24.pdf")
     if (!Files.exists(p)) cancel("reference inputs not present")
