@@ -93,16 +93,20 @@ object Bench {
     }
     // N vs 4N evidence at two pairs: 2→8 stays inside this VM's memory
     // bandwidth (extraction is bandwidth-bound past ~16 threads); 8→32
-    // reported too for transparency. The gate pair is measured A-B-A (p2,
-    // then p8, then p2 again) with the per-level minimum across both A
-    // blocks: this VM's throughput drifts ±20% over minutes, and disjoint
-    // measurement windows turned that drift into efficiency-ratio noise.
+    // reported too for transparency. Both gate levels are sampled in
+    // MULTIPLE INTERLEAVED blocks with the per-level minimum across all:
+    // the host alternates between fast and ~20%-throttled multi-core
+    // windows over minutes (2-thread runs are barely affected, 8+-thread
+    // runs fully are), so a single p8 window can sink the ratio while
+    // spread blocks reliably catch an unthrottled window for each level.
     val s2a = extractionSamples(2, warm = 2, n = 2)
-    val s8 = extractionSamples(8, warm = 2, n = 4)
+    val s8a = extractionSamples(8, warm = 2, n = 2)
     val s2b = extractionSamples(2, warm = 1, n = 2)
+    val s8b = extractionSamples(8, warm = 1, n = 2)
     val s32 = extractionSamples(32, warm = 2, n = 4)
+    val s8c = extractionSamples(8, warm = 1, n = 2)
     val tp2 = nTurns / (s2a ++ s2b).min
-    val tp8 = nTurns / s8.min
+    val tp8 = nTurns / (s8a ++ s8b ++ s8c).min
     val tp32 = nTurns / s32.min
     val eff2to8 = (tp8 / tp2) / 4.0
     val eff8to32 = (tp32 / tp8) / 4.0
