@@ -299,6 +299,33 @@ object SparkEntry {
             lit("@example.com or +1 (415) 555-01"), pmod(col("doc_id"), lit(90)) + 10))
           .as("redacted"))),
 
+    "q47_decontaminate" -> ((s, dir) => {
+      // train/test hygiene: flag corpus docs sharing any word-8-gram with a
+      // deterministic "benchmark" subset (doc_id % 97 == 0). The synthetic
+      // corpus has no natural cross-doc 8-grams, so docs with doc_id % 10 == 3
+      // get the first benchmark doc's leading 8 words appended — a known
+      // contamination set the oracle reproduces (the same make-your-own-
+      // positives pattern as q21's dropped-word twins). Benchmark shingles
+      // broadcast; the corpus never shuffles.
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val snippet = bench.orderBy("doc_id").limit(1)
+        .select(array_join(
+          slice(filter(split(col("text"), " "), w => length(w) > 0), 1, 8), " ").as("__sn"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .crossJoin(broadcast(snippet))
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" "), col("__sn")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.Dedup.decontaminate(corpus, bench, "doc_id", "text", shingleK = 8)
+    }),
+    "q48_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signal: share of all word bigrams
+      // taken by the most frequent one, as a native single-pass kernel
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextHashes.top_bigram_share(col("text")).as("top_bigram_share"))
+    }),
     "q46_clean_pipeline" -> ((s, dir) => {
       // the composed training-data cleaning flow: exact dedup -> quality gate
       // -> language filter -> PII redaction -> token-window chunking.
@@ -573,6 +600,18 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "q24_dedup_norm" ->
       "SELECT min(doc_id) AS doc_id, lower(text) AS norm FROM documents GROUP BY lower(text)",
+    "q47_decontaminate" ->
+      graft.oracle.SketchSql.decontaminateOracle(shingleK = 8, benchMod = 97),
+    "q48_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg),
+        |m AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS total FROM c GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(CAST(m.mx AS DOUBLE) / m.total, 0.0) AS top_bigram_share
+        |FROM w LEFT JOIN m USING (doc_id)""".stripMargin,
     "q21_dedup_minhash" ->
       graft.oracle.SketchSql.minhashNearDupsOracle(shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8),
     "q22_simhash_pairs" ->

@@ -337,6 +337,40 @@ object TextScan {
         t == Character.OTHER_NUMBER
     }
 
+  /** Share of all word bigrams taken by the most frequent one — the
+    * repetition signal public web-corpus filters use (Gopher-style "fraction
+    * of characters in the most common n-gram"); 0.0 for documents with
+    * fewer than two words. Words are the nonempty space-separated tokens,
+    * compared as exact strings so the DuckDB oracle (string_split +
+    * group-count) agrees bit-for-bit. */
+  def topBigramShare(text: UTF8String): Double = {
+    val s = text.toString
+    val n = s.length
+    val counts = new java.util.HashMap[String, Integer]()
+    var prev: String = null
+    var total = 0
+    var max = 0
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        val start = i
+        while (i < n && s.charAt(i) != ' ') i += 1
+        val w = s.substring(start, i)
+        if (prev != null) {
+          val key = prev + " " + w
+          val c0 = counts.get(key)
+          val c = if (c0 == null) 1 else c0.intValue() + 1
+          counts.put(key, c)
+          if (c > max) max = c
+          total += 1
+        }
+        prev = w
+      }
+    }
+    if (total == 0) 0.0 else max.toDouble / total
+  }
+
   /** BPE-ish word-token estimate: per \p{L}\p{N} run, 1 + (len-1)/4 tokens
     * (len in codepoints) — identical to the aggregate() over split words it
     * replaces. */
@@ -359,6 +393,17 @@ object TextScan {
     }
     acc
   }
+}
+
+case class TopBigramShare(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.topBigramShare(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.topBigramShare($c)")
+  override protected def withNewChildInternal(newChild: Expression): TopBigramShare =
+    copy(child = newChild)
+  override def prettyName: String = "top_bigram_share"
 }
 
 case class TokenSetCount(child: Expression, words: Array[String], byLetters: Boolean)
@@ -479,6 +524,7 @@ object TextHashes {
   def token_set_count(c: Column, words: Seq[String], byLetters: Boolean = false): Column =
     column(TokenSetCount(expression(c), words.toArray, byLetters))
   def bpeish_word_tokens(c: Column): Column = column(BpeishWordTokens(expression(c)))
+  def top_bigram_share(c: Column): Column = column(TopBigramShare(expression(c)))
 
   /** Register as SQL functions: minhash_signature(text), simhash64(text), … */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

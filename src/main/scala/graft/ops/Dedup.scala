@@ -60,6 +60,29 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * k-shingle with an evaluation/benchmark set — the n-gram-collision rule
+    * public LLM pipelines use for train/test hygiene (8-13 gram overlap).
+    * Scale shape: eval sets are tiny, so their distinct shingle hashes
+    * broadcast; the corpus side is a broadcast semi-join on 8-byte hashes —
+    * the corpus never shuffles and the scan prunes to (id, text). */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 8): DataFrame = {
+    import graft.functions.TextHashes.shingle_hashes
+    val bh = benchmark
+      .select(explode(shingle_hashes(col(textCol), shingleK)).as("__h"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(shingle_hashes(col(textCol), shingleK)).as("__h"))
+      .join(broadcast(bh), Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(1L))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__hit"), lit(0L)).as("contaminated"))
+  }
+
   /** Word k-shingles as an array column (codegen'd split + transform). */
   def shingles(textCol: Column, k: Int): Column = {
     val words = split(textCol, " ")

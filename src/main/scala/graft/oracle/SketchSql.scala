@@ -83,6 +83,29 @@ object SketchSql {
        |  FROM whash)""".stripMargin
   }
 
+  /** q47 oracle: corpus docs (id % benchMod != 0) sharing any word-k-shingle
+    * hash with the benchmark subset (id % benchMod == 0), where docs with
+    * id % 10 == 3 carry the first benchmark doc\u0027s leading 8 words appended
+    * (the query\u0027s deterministic contamination set) — the decontaminate
+    * semi-join mirrored over the same shingle kernel CTE. */
+  def decontaminateOracle(shingleK: Int, benchMod: Int): String =
+    s"""WITH sn AS (
+       |  SELECT array_to_string((list_filter(string_split(text, ' '), w -> len(w) > 0))[1:8], ' ') AS sn
+       |  FROM documents WHERE doc_id % $benchMod = 0 ORDER BY doc_id LIMIT 1),
+       |src AS (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN doc_id % $benchMod <> 0 AND doc_id % 10 = 3
+       |         THEN text || ' ' || sn.sn ELSE text END AS text
+       |  FROM documents, sn),
+       |${shingleCte(shingleK)},
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM shing WHERE id % $benchMod = 0),
+       |corp AS (SELECT id, unnest(hs) AS h FROM shing WHERE id % $benchMod <> 0),
+       |hit AS (SELECT DISTINCT corp.id FROM corp JOIN bench USING (h))
+       |SELECT s.id AS doc_id,
+       |  CAST(CASE WHEN hit.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM (SELECT id FROM src WHERE id % $benchMod <> 0) s
+       |LEFT JOIN hit ON s.id = hit.id""".stripMargin
+
   /** q21 oracle: MinHash(k-shingles)+LSH banding candidates verified by exact
     * shingle-set Jaccard — mirrors Dedup.minhashNearDups over the union of
     * documents and their last-word-dropped twins. Band keys join on band

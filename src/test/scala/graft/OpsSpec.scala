@@ -69,6 +69,32 @@ class OpsSpec extends AnyFunSuite {
     assert(TextSketch.fingerprint(UTF8String.fromString(s), 3) == expected)
   }
 
+  test("decontaminate flags corpus docs sharing an 8-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "prefix words alpha beta gamma delta epsilon zeta eta theta tail"), // shares an 8-gram
+      (1L, "completely different words with no overlap at all whatsoever here"),
+      (2L, "alpha beta gamma") // shares words but no full 8-gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", shingleK = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("top_bigram_share: repetition signal, hand-computed") {
+    import graft.functions.TextScan
+    import org.apache.spark.unsafe.types.UTF8String
+    def share(s: String) = TextScan.topBigramShare(UTF8String.fromString(s))
+    assert(share("") == 0.0)
+    assert(share("one") == 0.0)
+    assert(share("a b") == 1.0) // single bigram
+    // "a b" x3 among 5 bigrams: a b, b a, a b, b a, a b -> 3/5
+    assert(share("a b a b a b") == 3.0 / 5.0)
+    assert(share("w x y z") == 1.0 / 3.0) // all distinct
+    assert(share("a  b") == 1.0) // double space: empty tokens skipped
+  }
+
   test("minhash LSH finds near-dups, skips unrelated") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
