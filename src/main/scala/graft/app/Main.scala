@@ -83,26 +83,17 @@ object Main {
       //    count them). Pending buckets carry no manifest entry by
       //    definition, so pre-clearing exactly those is crash-safe: a rerun
       //    re-extracts them.
-      if (mode == "resume") {
-        if (fs.exists(outPath)) pending.foreach { b =>
-          val p = new org.apache.hadoop.fs.Path(outPath, s"bucket=$b")
-          if (fs.exists(p)) fs.delete(p, true)
-        }
-        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try extracted.write.mode("overwrite").partitionBy("bucket").parquet(output)
-        finally prevMode match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
-      } else {
-        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        try extracted.write.mode("overwrite").partitionBy("bucket").parquet(output)
-        finally prevMode match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+      if (mode == "resume" && fs.exists(outPath)) pending.foreach { b =>
+        val p = new org.apache.hadoop.fs.Path(outPath, s"bucket=$b")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val overwriteMode = if (mode == "resume") "dynamic" else "static"
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwriteMode)
+      try extracted.write.mode("overwrite").partitionBy("bucket").parquet(output)
+      finally prevMode match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
       // per-bucket metrics from the just-written files — never re-run extraction
       val ts = new java.sql.Timestamp(System.currentTimeMillis())

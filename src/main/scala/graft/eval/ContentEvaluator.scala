@@ -258,7 +258,9 @@ object ContentEvaluator {
       val widthAdvanceScale = st.fontSize * st.font.fontMatrix0
       val widths = st.font.widths
       val glyphText = st.font.glyphText
-      if (fakeSpaces && sb.isEmpty && str.nonEmpty && lastCtm != null) {
+      // fake spaces are a horizontal-writing reconstruction (the golden
+      // generator's rule); vertical runs never receive them
+      if (fakeSpaces && !st.font.vertical && sb.isEmpty && str.nonEmpty && lastCtm != null) {
         val sameFrame = java.util.Arrays.equals(lastCtm, st.ctm) &&
           java.util.Arrays.equals(lastTm, st.textMatrix)
         val curX = st.x + showX * textHScale
@@ -335,7 +337,7 @@ object ContentEvaluator {
       if (st.fontSize != 0) {
         val adv = -n * st.fontSize * 0.001
         showX += adv
-        if (fakeSpaces && sb.nonEmpty && sb.charAt(sb.length - 1) != ' ' && adv > 0) {
+        if (fakeSpaces && !st.font.vertical && sb.nonEmpty && sb.charAt(sb.length - 1) != ' ' && adv > 0) {
           val sw = spaceWidthUnits
           if (sw > 0 && adv >= 0.3 * sw)
             appendSpaces(1, st.x + showX * (st.textHScale * st.fontDirection))

@@ -119,9 +119,13 @@ object Decryptor {
     md.update(Array[Byte](
       (p & 0xff).toByte, ((p >> 8) & 0xff).toByte, ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte))
     md.update(docId)
-    val encryptMetadata = resolve(enc.entries.getOrElse("EncryptMetadata", PBool(true))) match {
-      case PBool(b) => b; case _ => true
-    }
+    // the reference gates this on the algorithm: encryptMetadata is true only
+    // for V=4/5 with the dict flag not false (pdf.combined.js:26356-26358) —
+    // V1/V2 documents fetch the catalog metadata with suppressEncryption
+    val encryptMetadata = (v == 4 || v == 5) &&
+      (resolve(enc.entries.getOrElse("EncryptMetadata", PBool(true))) match {
+        case PBool(b) => b; case _ => true
+      })
     if (r >= 4 && !encryptMetadata) md.update(Array[Byte](-1, -1, -1, -1))
     var key = java.util.Arrays.copyOf(md.digest(), keyBits / 8)
     if (r >= 3) {
