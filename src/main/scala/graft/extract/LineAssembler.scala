@@ -20,6 +20,7 @@ object LineAssembler {
 
   private val SpaceFactor = 0.3
   private val MultiSpaceFactor = 1.5
+  private val MultiSpaceFactorMax = 4.0
 
   private final case class Placed(run: GlyphRun, x0: Double, x1: Double, y: Double)
 
@@ -81,8 +82,16 @@ object LineAssembler {
           val gap = p.x0 - prevEnd
           val spaceWidth = widthOf(p.run.fontFamily, ' ') * p.run.fontSize * p.run.scale / 1000.0
           if (spaceWidth > 0 && gap >= SpaceFactor * spaceWidth) {
+            // R1/R5 (reference 46008-46014, 46276-46299): a gap above
+            // 4×spaceWidth on a non-monospace font is a text-RUN BREAK (a
+            // separate item), not a stretch of fake spaces — and the
+            // reference's own flat-text rendering joins items with one space
+            // (getinfo.js:55). Monospace fonts "fake as much space as
+            // needed" (textRunBreakAllowed = !isMonospace).
+            val mono = isMonospace(p.run.fontFamily)
             val k =
               if (gap < MultiSpaceFactor * spaceWidth) 1
+              else if (!mono && gap > MultiSpaceFactorMax * spaceWidth) 1 // item break
               else math.max(1, math.round(gap / spaceWidth).toInt)
             out.append(" " * k)
           }
@@ -100,8 +109,11 @@ object LineAssembler {
   /** Glyph advance in 1/1000 em: Courier-family fonts are monospaced 600; all
     * others use the Helvetica core-metrics table (metrics-only model, §2.5 F2). */
   private def widthOf(family: String, c: Char): Double =
-    if (family.contains("Courier") || family.contains("Mono")) 600.0
+    if (isMonospace(family)) 600.0
     else graft.eval.FontMetrics.Helvetica.widths(c.toInt)
+
+  private def isMonospace(family: String): Boolean =
+    family.contains("Courier") || family.contains("Mono")
 
   private def pagePoint(r: GlyphRun, x: Double): (Double, Double) = {
     val m = r.matrix

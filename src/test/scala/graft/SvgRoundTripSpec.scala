@@ -100,6 +100,37 @@ class SvgRoundTripSpec extends AnyFunSuite {
     assert(LineAssembler.assemble(Vector(r1, r3)).text == "helloworld")
   }
 
+  test("R1/R5: >4x space gap breaks the run (one join-space); monospace fakes spaces") {
+    val fs = 10.0
+    def mk(x0: Double, text: String, family: String) = {
+      def w(c: Char) = if (family.contains("Courier")) 600.0
+        else graft.eval.FontMetrics.Helvetica.widths(c.toInt)
+      val xs = new Array[Double](text.length)
+      var x = x0
+      text.indices.foreach { i => xs(i) = x; x += w(text(i)) * fs / 1000.0 }
+      GlyphRun(text, xs, 0, family, fs, "normal", "normal", "rgb(0,0,0)",
+        Array(1, 0, 0, 1, 0, 500))
+    }
+    val helv = "g_font_1"
+    val swH = graft.eval.FontMetrics.Helvetica.widths(' ') * fs / 1000.0
+    val a = mk(0, "left", helv)
+    val aEnd = a.xs.last + graft.eval.FontMetrics.Helvetica.widths('t') * fs / 1000.0
+    // 2x spaceWidth: multi-space zone, round(2) = 2 spaces
+    assert(LineAssembler.assemble(Vector(a, mk(aEnd + 2 * swH, "right", helv))).text
+      == "left  right")
+    // 10x spaceWidth on a proportional font: run break -> ONE join space
+    // (the reference flushes the item; its CLI joins items with ' ')
+    assert(LineAssembler.assemble(Vector(a, mk(aEnd + 10 * swH, "right", helv))).text
+      == "left right")
+    // same 10x gap on Courier: monospace fakes as much space as needed
+    val cour = "g_Courier"
+    val swC = 600.0 * fs / 1000.0
+    val c1 = mk(0, "left", cour)
+    val c1End = c1.xs.last + swC
+    val asmC = LineAssembler.assemble(Vector(c1, mk(c1End + 10 * swC, "right", cour)))
+    assert(asmC.text == "left" + (" " * 10) + "right", asmC.text)
+  }
+
   test("multi-page payload keeps page order, restarts y per page") {
     def pageOf(texts: Seq[String]): Seq[GlyphRun] =
       texts.zipWithIndex.map { case (t, i) =>
