@@ -123,6 +123,14 @@ object SparkEntry {
         }
         .toDF("doc_id", "extracted_text")
     }),
+    "q49_extract_markdown" -> ((s, dir) => {
+      // dialect D: markdown turn payloads (front matter + inline decorations)
+      // round-trip to the original text, same contract as q10/q11/q12
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+        .map { case (id, txt) => (id, Extractor.extract(Synth.encodeMarkdown(txt)).text) }
+        .toDF("doc_id", "extracted_text")
+    }),
     "q13_pipeline_e2e" -> ((s, dir) =>
       Pipeline.extractTurns(docsAsTurns(s, dir))
         .select("conv_id", "turn_idx", "extracted_text")),
@@ -545,6 +553,8 @@ object SparkEntry {
         | CAST(doc_id // 50 AS INT) AS turn_idx,
         | row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id // 50) AS rn
         |FROM documents""".stripMargin,
+    "q49_extract_markdown" ->
+      "SELECT doc_id, text AS extracted_text FROM documents",
     "q16_sql_extract" ->
       "SELECT doc_id, text AS extracted_text FROM documents",
     "q18_pdf_file_ingest" ->

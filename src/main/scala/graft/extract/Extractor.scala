@@ -30,6 +30,7 @@ object Extractor {
     case object Html extends Dialect
     case object Pdf extends Dialect
     case object PdfFile extends Dialect
+    case object Markdown extends Dialect
     case object Plain extends Dialect
   }
 
@@ -40,6 +41,9 @@ object Extractor {
     while (i < n && Character.isWhitespace(payload.charAt(i))) i += 1
     def at(prefix: String): Boolean = payload.startsWith(prefix, i)
     if (at("%PDF-")) Dialect.PdfFile // whole file: header magic (S2 sniff)
+    else if (at("---") && { val j = i + 3; j >= n || payload.charAt(j) == '\n' || payload.charAt(j) == '\r' })
+      Dialect.Markdown // YAML front matter opener
+    else if (at("# ")) Dialect.Markdown // ATX heading opener
     else if (at("<svg:svg") || at("<svg ") || payload.indexOf("<svg:tspan", i) >= 0) Dialect.Svg
     else if (at("<!") || at("<html") || at("<HTML") ||
              (i + 1 < n && payload.charAt(i) == '<' && payload.charAt(i + 1).isLetter)) Dialect.Html
@@ -106,6 +110,10 @@ object Extractor {
             runsTotal += r.runs.length
           }
           Result(sb.toString, spans.result(), TurnMetrics(runsTotal, sb.length, 0))
+        case Dialect.Markdown =>
+          val ex = MarkdownLite.strip(payload)
+          Result(ex.text, Seq(Span(0, ex.text.length, "markdown")),
+            TurnMetrics(0, ex.text.length, ex.droppedLines))
         case Dialect.Plain =>
           Result(payload, Seq(Span(0, payload.length, "text")), TurnMetrics(0, payload.length, 0))
       }

@@ -70,6 +70,39 @@ object Synth {
        |</body></html>""".stripMargin
   }
 
+  /** Encode text as dialect-D Markdown: YAML front matter (dropped by the
+    * extractor) then one paragraph whose words carry deterministic inline
+    * decorations (bold / em / code / link on a fixed cycle); markdown
+    * specials in the content are backslash-escaped so stripping is lossless.
+    * Extraction returns exactly `text`. */
+  def encodeMarkdown(text: String): String = {
+    val words = text.split(" ", -1)
+    val decorated = words.zipWithIndex.map { case (w0, i) =>
+      val w = escapeMd(w0)
+      if (w0.isEmpty) w
+      else (i % 7) match {
+        case 1 => s"**$w**"
+        case 3 => s"*$w*"
+        // code spans show escapes literally (CommonMark), so only decorate
+        // words that need none; links need bracket/paren-free words
+        case 5 if w == w0 => s"`$w`"
+        case 6 if !w0.exists(c => c == '[' || c == ']' || c == '(' || c == ')') =>
+          s"[$w](https://example.invalid/$i)"
+        case _ => w
+      }
+    }
+    "---\ntitle: doc\nsource: synth\n---\n\n" + decorated.mkString(" ")
+  }
+
+  private def escapeMd(w: String): String = {
+    val sb = new StringBuilder(w.length + 4)
+    w.foreach { c =>
+      if ("\\`*_{}[]()#+-.!>".indexOf(c.toInt) >= 0) sb.append('\\')
+      sb.append(c)
+    }
+    sb.toString
+  }
+
   /** Encode text as dialect-C PDF content stream: one BT..ET per line group,
     * Tm for the first line, Td line advances, words joined in TJ arrays with
     * zero kerning. Evaluating with Helvetica metrics then reassembling lines

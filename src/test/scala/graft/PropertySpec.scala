@@ -77,6 +77,65 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("markdown dialect round-trip is identity (incl. markdown specials in content)") {
+    import graft.extract.Extractor
+    import graft.testgen.Synth
+    for (txt <- Seq(
+      "plain words with no markup at all in them",
+      "stars *like this* and **this** plus _under_ and `ticks`",
+      "brackets [x](y) and #hash - dash . dot ! bang > quote",
+      "backslash \\ and `mixed` *everything* [together](now)",
+      "a",
+      "")) {
+      val md = Synth.encodeMarkdown(txt)
+      assert(Extractor.sniff(md) == Extractor.Dialect.Markdown, md.take(20))
+      val got = Extractor.extract(md).text
+      assert(got == txt, s"md round trip failed:\n in: [$txt]\nout: [$got]")
+    }
+    // scalacheck-style sweep over printable-ish strings
+    val rnd = new scala.util.Random(11)
+    (0 until 200).foreach { _ =>
+      val txt = (0 until rnd.nextInt(60)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+        .replace("\u007f", " ")
+      val got = Extractor.extract(Synth.encodeMarkdown(txt)).text
+      assert(got == txt, s"[$txt] -> [$got]")
+    }
+  }
+
+  test("markdown stripper handles real-world constructs") {
+    import graft.extract.MarkdownLite
+    val md =
+      """---
+        |title: t
+        |---
+        |
+        |# Heading One
+        |
+        |Intro paragraph with [a link](https://x.y) and **bold** text.
+        |
+        |> quoted line
+        |
+        |- item one
+        |- item two
+        |
+        |```
+        |code *stays* [verbatim](x)
+        |```
+        |tail""".stripMargin
+    val ex = MarkdownLite.strip(md)
+    assert(ex.text ==
+      """Heading One
+        |Intro paragraph with a link and bold text.
+        |quoted line
+        |item one
+        |item two
+        |code *stays* [verbatim](x)
+        |tail""".stripMargin, ex.text)
+    assert(ex.droppedLines > 0)
+    // plain text that merely starts with --- degrades gracefully
+    assert(MarkdownLite.strip("--- not front matter\nrest").text == "--- not front matter\nrest")
+  }
+
   test("extractor never throws on arbitrary input") {
     check(Prop.forAll(Gen.asciiStr) { (junk: String) =>
       Extractor.extract(junk) != null
