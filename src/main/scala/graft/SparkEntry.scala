@@ -242,6 +242,31 @@ object SparkEntry {
         .select(col("paper"),
           ((col("exact") / col("total")) >= floorExpr).cast("long").as("exact_floor_ok"))
     }),
+    "q61_pdf_images" -> ((s, dir) => {
+      // real raster decode over the PDF corpus (S13 upgraded from bbox-only
+      // markers): DCTDecode via the JDK JPEG reader, CCITTFaxDecode G3/G4 via
+      // a minimal TIFF wrap around the JDK fax decompressor, raw Flate/LZW
+      // samples unpacked directly (gray/RGB/ICC-N/Indexed/mask). Expected
+      // values are committed literals: decoded dims equal the dict dims for
+      // all 36 images (independent cross-check — codec bitstream vs author
+      // dict), counts match the corpus object scan. test-papers/2839.pdf
+      // joins the corpus here for its 7 CCITT-G4 scans.
+      import s.implicits._
+      val _ = dir
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          graft.pdf.PdfImages.list(graft.pdf.PdfDocument.open(bytes)).map { i =>
+            (paper, i.page, i.name, i.width, i.height, i.bpc, i.colorSpace,
+              i.filter, i.decodedW, i.decodedH, i.decodedBands, i.grayMean)
+          }
+        }
+        .toDF("paper", "page", "name", "width", "height", "bpc", "color_space",
+          "filter", "dec_w", "dec_h", "dec_bands", "gray_mean")
+    }),
     "q16_sql_extract" -> ((s, dir) => {
       graft.functions.TextHashes.register(s)
       import s.implicits._
@@ -601,6 +626,46 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         | ('1301.4293', 1), ('C04-1204', 1), ('test24', 1), ('test25', 1)
         |) AS t(paper, exact_floor_ok)""".stripMargin,
+    "q61_pdf_images" ->
+      """SELECT * FROM (VALUES
+        | ('test24', 0, 'Im1', 353, 274, 8, 'DeviceRGB', 'DCTDecode', 353, 274, 3, 204),
+        | ('test24', 4, 'Im2', 497, 345, 8, 'DeviceRGB', 'DCTDecode', 497, 345, 3, 242),
+        | ('test24', 4, 'Im3', 496, 291, 8, 'DeviceRGB', 'DCTDecode', 496, 291, 3, 238),
+        | ('test24', 4, 'Im4', 447, 347, 8, 'DeviceRGB', 'DCTDecode', 447, 347, 3, 242),
+        | ('test24', 5, 'Im5', 644, 464, 8, 'DeviceRGB', 'DCTDecode', 644, 464, 3, 245),
+        | ('test24', 6, 'Im6', 429, 662, 8, 'DeviceRGB', 'DCTDecode', 429, 662, 3, 242),
+        | ('test24', 6, 'Im7', 415, 320, 8, 'DeviceRGB', 'DCTDecode', 415, 320, 3, 246),
+        | ('test24', 6, 'Im8', 421, 656, 8, 'DeviceRGB', 'DCTDecode', 421, 656, 3, 244),
+        | ('test24', 7, 'Im10', 416, 319, 8, 'DeviceRGB', 'DCTDecode', 416, 319, 3, 240),
+        | ('test24', 7, 'Im9', 422, 515, 8, 'DeviceRGB', 'DCTDecode', 422, 515, 3, 240),
+        | ('test24', 8, 'Im11', 622, 472, 8, 'DeviceRGB', 'DCTDecode', 622, 472, 3, 244),
+        | ('test24', 9, 'Im12', 460, 667, 8, 'DeviceRGB', 'DCTDecode', 460, 667, 3, 232),
+        | ('test24', 9, 'Im13', 453, 687, 8, 'DeviceRGB', 'DCTDecode', 453, 687, 3, 235),
+        | ('test24', 9, 'Im14', 347, 249, 8, 'DeviceRGB', 'DCTDecode', 347, 249, 3, 239),
+        | ('test24', 10, 'Im15', 442, 337, 8, 'DeviceRGB', 'DCTDecode', 442, 337, 3, 242),
+        | ('test25', 0, 'X1', 1100, 90, 1, '', 'FlateDecode', 1100, 90, 3, 217),
+        | ('test25', 1, 'Im2', 769, 842, 8, 'ICCBased', 'FlateDecode', 769, 842, 3, 233),
+        | ('test25', 2, 'Im3', 2056, 381, 8, 'DeviceGray', 'DCTDecode', 2056, 381, 1, 155),
+        | ('test25', 2, 'Im4', 1775, 586, 8, 'DeviceGray', 'DCTDecode', 1775, 586, 1, 179),
+        | ('test25', 3, 'Im5', 1539, 1141, 1, '', 'CCITTFaxDecode', 1539, 1141, 3, 232),
+        | ('test25', 3, 'Im6', 769, 512, 8, 'ICCBased', 'FlateDecode', 769, 512, 3, 232),
+        | ('test25', 3, 'Im7', 992, 574, 8, 'ICCBased', 'FlateDecode', 992, 574, 3, 232),
+        | ('test25', 3, 'Im8', 992, 568, 8, 'ICCBased', 'FlateDecode', 992, 568, 3, 233),
+        | ('test25', 4, 'Im10', 769, 516, 8, 'ICCBased', 'FlateDecode', 769, 516, 3, 239),
+        | ('test25', 4, 'Im11', 769, 520, 8, 'ICCBased', 'DCTDecode', 769, 520, 3, 230),
+        | ('test25', 4, 'Im9', 769, 558, 8, 'ICCBased', 'FlateDecode', 769, 558, 3, 238),
+        | ('2839', 0, 'Im1', 369, 500, 1, '', 'CCITTFaxDecode', 369, 500, 3, 213),
+        | ('2839', 0, 'Im2', 267, 212, 8, 'DeviceGray', 'DCTDecode', 267, 212, 1, 227),
+        | ('2839', 0, 'Im3', 1399, 285, 1, '', 'CCITTFaxDecode', 1399, 285, 3, 228),
+        | ('2839', 1, 'Im4', 1950, 1479, 1, '', 'CCITTFaxDecode', 1950, 1479, 3, 243),
+        | ('2839', 2, 'Im5', 835, 414, 8, 'DeviceGray', 'DCTDecode', 835, 414, 1, 97),
+        | ('2839', 2, 'Im6', 652, 961, 8, 'DeviceGray', 'DCTDecode', 652, 961, 1, 238),
+        | ('2839', 3, 'Im7', 2501, 1992, 1, '', 'CCITTFaxDecode', 2501, 1992, 3, 241),
+        | ('2839', 4, 'Im10', 1950, 1872, 1, '', 'CCITTFaxDecode', 1950, 1872, 3, 252),
+        | ('2839', 4, 'Im8', 2501, 1572, 1, '', 'CCITTFaxDecode', 2501, 1572, 3, 245),
+        | ('2839', 4, 'Im9', 1950, 1634, 1, '', 'CCITTFaxDecode', 1950, 1634, 3, 237)
+        |) AS t(paper, page, name, width, height, bpc, color_space, filter,
+        |       dec_w, dec_h, dec_bands, gray_mean)""".stripMargin,
     "q20_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
     "q17_conv_rollup" ->
