@@ -304,6 +304,15 @@ object SparkEntry {
         .groupBy(lower(col("text")).as("norm"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id", "norm")),
+    "q25_fingerprint_pairs" -> ((s, dir) =>
+      // substring-overlap candidates: winnowing fingerprint sets (MOSS-style)
+      // joined on shared selected k-gram minima — catches copied paragraphs
+      // between otherwise-different documents (MinHash q21 only sees
+      // whole-document resemblance). Uncapped here for exact oracle
+      // semantics; production sets maxBucket (hot fingerprints are
+      // boilerplate by definition).
+      Dedup.fingerprintNearDups(t(s, dir, "documents"), "doc_id", "text",
+        k = 12, w = 8, minShared = 2)),
     "q23_ngram_jaccard" -> ((s, dir) => {
       // exact word-3-gram Jaccard between each doc and its last-word-dropped twin
       // (integer intersection/union sizes — oracle-reproducible, no float compare)
@@ -675,6 +684,8 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "q24_dedup_norm" ->
       "SELECT min(doc_id) AS doc_id, lower(text) AS norm FROM documents GROUP BY lower(text)",
+    "q25_fingerprint_pairs" ->
+      graft.oracle.SketchSql.winnowPairsOracle(k = 12, w = 8, minShared = 2),
     "q47_decontaminate" ->
       graft.oracle.SketchSql.decontaminateOracle(shingleK = 8, benchMod = 97),
     "q48_repetition" ->

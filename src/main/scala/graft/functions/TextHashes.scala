@@ -156,6 +156,69 @@ object TextSketch {
     }
     min
   }
+
+  /** Winnowing fingerprint SET (Schleimer/Wilkerson/Aiken, SIGMOD'03, set
+    * semantics): per-position k-gram rolling hashes (same hash as
+    * `fingerprint`), then the distinct minima of every w-window over them,
+    * sorted signed ascending. Set semantics make the selection tie-break
+    * irrelevant, so the DuckDB mirror (SketchSql.winnowSetCte) agrees
+    * bit-for-bit. Sliding min is the O(n) monotonic-deque, not O(n·w).
+    * Empty text → empty set; text shorter than k → one whole-text hash. */
+  def winnowSet(text: UTF8String, k: Int, w: Int): Array[Long] = {
+    val cp = codePoints(text.toString)
+    val n = cp.length
+    if (n == 0) return Array.emptyLongArray
+    val hs: Array[Long] =
+      if (n <= k) {
+        var h = 1125899906842597L
+        var i = 0
+        while (i < n) { h = 31 * h + cp(i); i += 1 }
+        Array(mix64(h))
+      } else {
+        var pow = 1L
+        var i = 0
+        while (i < k - 1) { pow *= 31; i += 1 }
+        val out = new Array[Long](n - k + 1)
+        var h = 0L
+        i = 0
+        while (i < k) { h = 31 * h + cp(i); i += 1 }
+        out(0) = mix64(h)
+        i = k
+        while (i < n) {
+          h = 31 * (h - cp(i - k) * pow) + cp(i)
+          out(i - k + 1) = mix64(h)
+          i += 1
+        }
+        out
+      }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val m = hs.length
+    if (m <= w) {
+      var min = hs(0)
+      var i = 1
+      while (i < m) { if (hs(i) < min) min = hs(i); i += 1 }
+      set.add(min)
+    } else {
+      // deque of indices, values signed-increasing front to back
+      val deque = new Array[Int](m)
+      var head = 0
+      var tail = 0 // exclusive
+      var i = 0
+      while (i < m) {
+        if (head < tail && deque(head) <= i - w) head += 1
+        while (head < tail && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+        deque(tail) = i
+        tail += 1
+        if (i >= w - 1) set.add(hs(deque(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
 }
 
 object TextSketchMore {
@@ -183,6 +246,19 @@ case class ShingleHashes(child: Expression, shingleK: Int) extends UnaryExpressi
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+case class WinnowSet(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextSketch.winnowSet(input.asInstanceOf[UTF8String], k, w))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextSketch.winnowSet($c, $k, $w))")
+  override protected def withNewChildInternal(newChild: Expression): WinnowSet =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_set"
 }
 
 case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
@@ -513,6 +589,8 @@ object TextHashes {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def winnow_fingerprint(c: Column, window: Int = 16): Column =
     column(WinnowFingerprint(expression(c), window))
+  def winnow_set(c: Column, k: Int = 12, w: Int = 8): Column =
+    column(WinnowSet(expression(c), k, w))
   def shingle_hashes(c: Column, shingleK: Int = 3): Column =
     column(ShingleHashes(expression(c), shingleK))
   def lsh_signature(c: Column, bits: Int): Column =

@@ -165,6 +165,33 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Substring-overlap near-dup candidates via winnowing fingerprint SETS
+    * (Schleimer/Wilkerson/Aiken winnowing, set semantics — the MOSS scheme):
+    * pairs of documents sharing ≥ `minShared` selected k-gram window minima.
+    * Complements MinHash (whole-document resemblance) with partial-overlap
+    * detection — a paragraph copied between otherwise-different documents
+    * still shares its local fingerprints.
+    *
+    * Scale shape: the self-join shuffles (8-byte fp, id) only; the pair count
+    * aggregates map-side before the `minShared` filter. Hot fingerprints are
+    * boilerplate by definition (a snippet occurring in millions of documents),
+    * so `maxBucket` both bounds the quadratic fan-out AND de-noises the
+    * signal; oracle-verified queries run uncapped for exact semantics. */
+  def fingerprintNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 8, minShared: Int = 2, maxBucket: Int = 0): DataFrame = {
+    val fps = df.select(col(idCol),
+      explode(graft.functions.TextHashes.winnow_set(col(textCol), k, w)).as("__fp"))
+    val bounded = capBuckets(fps, Seq("__fp"), maxBucket)
+    val l = bounded.select(col(idCol).as("id_a"), col("__fp"))
+    val r = bounded.select(col(idCol).as("id_b"), col("__fp"))
+    l.join(r, Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** SimHash: 64-bit fingerprint — sign of the per-bit vote sum of token hashes;
     * single-pass native expression (graft.functions.SimHash64). */
   def simhash(textCol: Column): Column =

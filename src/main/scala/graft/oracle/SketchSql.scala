@@ -200,6 +200,41 @@ object SketchSql {
        |FROM win w JOIN bpe b ON w.doc_id = b.doc_id""".stripMargin
   }
 
+  /** q25 oracle: winnowing fingerprint-SET overlap pairs — mirrors
+    * TextSketch.winnowSet (per-position k-gram window hashes, distinct minima
+    * of every w-window, signed comparison) then counts shared fingerprints
+    * per document pair. Set semantics on both sides make the winnowing
+    * tie-break rule irrelevant to the comparison. */
+  def winnowPairsOracle(k: Int, w: Int, minShared: Int): String = {
+    val pows = (0 until k).map { j =>
+      var p = 1L
+      (0 until (k - 1 - j)).foreach(_ => p *= 31)
+      p
+    }
+    val winHash = pows.zipWithIndex.map { case (pw, j) =>
+      wrapMulConst(s"unicode(text[p + $j])::UBIGINT", pw)
+    }.reduce((a, b) => wrapAdd(a, b))
+    s"""WITH src AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+       |hl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(text) <= $k THEN [${mix64(polyCharHash("text"))}]
+       |    ELSE list_transform(range(1, len(text) - $k + 2), p -> ${mix64(winHash)})
+       |    END AS hs
+       |  FROM src),
+       |mins AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) <= $w THEN [${signedMinList("hs")}]
+       |    ELSE list_transform(range(1, len(hs) - $w + 2),
+       |                        i -> ${signedMinList(s"list_slice(hs, i, i + ${w - 1})")})
+       |    END AS ms
+       |  FROM hl),
+       |fps AS (SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM mins)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $minShared""".stripMargin
+  }
+
   /** Random-hyperplane LSH signature over a DOUBLE[] expression — mirrors the
     * native LshSignature expression: bit p set iff sum_d v[d]*sign(d,p) > 0
     * where sign(d,p) = +1 when mix64((d)*K1 + p*K2) has even parity (d

@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.TextSketch
+import graft.ops.Dedup
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Winnowing fingerprint sets (TextSketch.winnowSet) and the overlap
+  * operator (Dedup.fingerprintNearDups). */
+class WinnowSetSpec extends AnyFunSuite {
+
+  private def ws(s: String, k: Int = 12, w: Int = 8): Array[Long] =
+    TextSketch.winnowSet(UTF8String.fromString(s), k, w)
+
+  test("empty text has no fingerprints; short text has exactly the q43 fingerprint") {
+    assert(ws("").isEmpty)
+    val s = "short"
+    assert(ws(s, k = 12).toSeq ==
+      Seq(TextSketch.fingerprint(UTF8String.fromString(s), 12)))
+  }
+
+  /** Brute-force positional window hashes: unseeded 31-poly over each k-gram,
+    * mixed — the definition the kernel's rolling hash must equal (ASCII
+    * inputs, so chars == codepoints). */
+  private def positional(s: String, k: Int): Array[Long] =
+    if (s.length <= k) Array(TextSketch.fingerprint(UTF8String.fromString(s), k))
+    else (0 to s.length - k).map { p =>
+      var h = 0L
+      (p until p + k).foreach(i => h = 31 * h + s.charAt(i))
+      TextSketch.mix64(h)
+    }.toArray
+
+  test("deque sliding min matches the brute-force definition") {
+    val rnd = new scala.util.Random(42)
+    (0 until 100).foreach { _ =>
+      val n = 1 + rnd.nextInt(200)
+      val s = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+      val k = 1 + rnd.nextInt(8)
+      val w = 1 + rnd.nextInt(6)
+      val hs = positional(s, k)
+      val expect: Set[Long] =
+        if (hs.length <= w) Set(hs.min)
+        else hs.sliding(w).map(_.min).toSet
+      assert(ws(s, k, w).toSet == expect, s"n=$n k=$k w=$w")
+    }
+  }
+
+  test("sorted, distinct, and a subset of the window hashes") {
+    val s = "the quick brown fox jumps over the lazy dog " * 10
+    val out = ws(s)
+    assert(out.toSeq == out.toSeq.sorted)
+    assert(out.distinct.length == out.length)
+    assert(out.toSet.subsetOf(ws(s, 12, 1).toSet))
+  }
+
+  test("fingerprintNearDups finds a copied paragraph between different documents") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val para = "this exact paragraph was copied verbatim between two documents " +
+      "and winnowing should select identical fingerprints from inside it"
+    val df = Seq(
+      (0L, s"unique preamble alpha beta gamma. $para"),
+      (1L, s"$para. a totally different conclusion about spark catalyst internals"),
+      (2L, "nothing in common with the others at all, completely disjoint content here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.fingerprintNearDups(df, "doc_id", "text", k = 12, w = 8, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("maxBucket excludes hot fingerprints from candidate generation") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val boiler = "standard footer text appended to every single document in the corpus"
+    val df = (0L until 10L).map(i => (i, s"document body number $i. $boiler")).toDF("doc_id", "text")
+    val uncapped = Dedup.fingerprintNearDups(df, "doc_id", "text", minShared = 1).count()
+    val capped = Dedup.fingerprintNearDups(df, "doc_id", "text", minShared = 1, maxBucket = 5).count()
+    assert(uncapped == 45) // all pairs share the boilerplate fingerprints
+    assert(capped == 0) // every shared fingerprint sits in a 10-doc bucket
+  }
+}
