@@ -427,6 +427,28 @@ object SparkEntry {
         .select(col("qid"), (coalesce(col("hits"), lit(0L)) >= 2).cast("int").as("recall_ok"))
         .orderBy("qid")
     }),
+    "q34_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ with exact-cosine refine (q33's gate pattern): ADC ranks
+      // 16-byte codes inside probed lists, the top k·refine candidates
+      // re-rank against raw vectors — returned sims are EXACT cosines, so
+      // quantization noise never leaves the candidate stage. The gate is the
+      // same >= 2-of-top-5 as q33 because recall is bounded by LIST PROBING,
+      // not PQ: measured per-query hits at sf0.01 are 2-5 and one query's
+      // remaining true neighbors sit in unprobed lists at nprobe=6/16
+      // regardless of code quality. Uniform random embeddings are the worst
+      // case for both quantizers.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val pq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 6, m = 16, ksub = 32, refine = 8)
+      val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      val hits = pq.select("qid", "nid")
+        .join(bf.select("qid", "nid"), Seq("qid", "nid"))
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"), (coalesce(col("hits"), lit(0L)) >= 2).cast("int").as("recall_ok"))
+        .orderBy("qid")
+    }),
     "q32_cosine_neardup" -> ((s, dir) => {
       // random embeddings have no near-dups; add scaled twins (cosine exactly 1)
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -735,6 +757,8 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin
     },
     "q33_ann_ivf" ->
+      "SELECT vec_id AS qid, 1 AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY qid",
+    "q34_ann_ivfpq" ->
       "SELECT vec_id AS qid, 1 AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY qid",
     "q23_ngram_jaccard" ->
       """WITH pairs AS (

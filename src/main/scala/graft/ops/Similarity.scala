@@ -103,6 +103,42 @@ object Similarity {
   private def assignList(cents: Array[Array[Double]], v: Column): Column =
     graft.functions.TextHashes.nearest_centroid(v, cents)
 
+  /** Coarse-quantizer training over a cached (nid, __cv) projection:
+    * deterministic seed centroids (nlist lowest xxhash64(id) vectors) + one
+    * Lloyd refinement (mean of assigned vectors per list). Two eager passes —
+    * the caller caches `base` across them. */
+  private def trainCoarse(base: DataFrame, nlist: Int): Array[Array[Double]] = {
+    val seeds = base
+      .withColumn("__h", xxhash64(col("nid")))
+      .orderBy("__h").limit(nlist)
+      .select(col("__cv")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = seeds.headOption.map(_.length).getOrElse(0)
+    val sums = base
+      .select(assignList(seeds, col("__cv")).as("__list"),
+        posexplode(col("__cv")).as(Seq("__d", "__x")))
+      .groupBy("__list", "__d").agg(avg(col("__x")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val out = seeds.map(_.clone())
+    sums.foreach { case (l, d, m) => if (l < out.length && d < dims) out(l)(d) = m }
+    out
+  }
+
+  /** Query-side probe-list expansion: each query row explodes to its `nprobe`
+    * highest-scoring lists, scored identically to the corpus assignment
+    * (normalized dot), so probes land where the neighbors were assigned. */
+  private def probeLists(queries: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame =
+    queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+      .withColumn("__scores", centroidScores(cents, col("__qv")))
+      .withColumn("__structs",
+        zip_with(col("__scores"), sequence(lit(0), lit(cents.length - 1)),
+          (s, i) => struct(s.as("s"), i.as("i"))))
+      .withColumn("__list",
+        explode(transform(slice(reverse(array_sort(col("__structs"))), 1, nprobe),
+          p => p.getField("i"))))
+      .drop("__scores", "__structs")
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -115,46 +151,80 @@ object Similarity {
     // by __list at index build time, so probes prune files and no repeated
     // full scan happens.
     val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv")).cache()
-
-    // deterministic seed centroids: nlist lowest xxhash64(id) vectors
-    val seeds = base
-      .withColumn("__h", xxhash64(col("nid")))
-      .orderBy("__h").limit(nlist)
-      .select(col("__cv")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-
-    // one Lloyd refinement: mean of assigned vectors per list
-    val dims = seeds.headOption.map(_.length).getOrElse(0)
-    val refined: Array[Array[Double]] = {
-      val sums = base
-        .select(assignList(seeds, col("__cv")).as("__list"),
-          posexplode(col("__cv")).as(Seq("__d", "__x")))
-        .groupBy("__list", "__d").agg(avg(col("__x")).as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      val out = seeds.map(_.clone())
-      sums.foreach { case (l, d, m) => if (l < out.length && d < dims) out(l)(d) = m }
-      out
-    }
+    val refined = trainCoarse(base, nlist)
     base.unpersist() // both eager index passes done; don't leak the cache
 
     val c = base.withColumn("__list", assignList(refined, col("__cv")))
-    // queries probe their nprobe highest-scoring lists — scored identically to
-    // the corpus assignment (normalized dot), so probe lists are consistent
-    val q = broadcast(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
-        .withColumn("__scores", centroidScores(refined, col("__qv")))
-        .withColumn("__structs",
-          zip_with(col("__scores"), sequence(lit(0), lit(nlist - 1)),
-            (s, i) => struct(s.as("s"), i.as("i"))))
-        .withColumn("__list",
-          explode(transform(slice(reverse(array_sort(col("__structs"))), 1, nprobe),
-            p => p.getField("i"))))
-        .drop("__scores", "__structs"))
+    val q = broadcast(probeLists(queries, idCol, vecCol, refined, nprobe))
     val scored = c.join(q, Seq("__list"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** IVF-PQ (Jégou et al. 2011, by_residual=false variant): coarse quantizer
+    * prunes lists, product-quantized codes rank candidates by ADC table
+    * lookups, then an exact-cosine refine pass re-ranks the short candidate
+    * list against raw vectors.
+    *
+    * Scale story — this is the memory-resident path at 10^12 rows: the index
+    * row is (id, list, M-byte code, norm) ≈ 33 bytes at M=16 vs 256 bytes of
+    * raw float32×64 — the ADC scan touches ONLY codes; raw vectors are read
+    * by the refine step's candidate join alone (k·refine rows per query, a
+    * broadcast-able set). Queries broadcast with their per-query lookup
+    * tables; the corpus never shuffles (probe join on the broadcast side,
+    * window rank per qid over candidate-sized data).
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 16, trainN: Int = 256, refine: Int = 8): DataFrame = {
+    import graft.functions.{PqFunctions, PqVector}
+    val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv")).cache()
+    val coarse = trainCoarse(base, nlist)
+    // PQ training sample: bounded deterministic sample (lowest-hash ids) —
+    // the same discipline at any corpus scale; only the sample is collected
+    val sample = base
+      .withColumn("__h", xxhash64(col("nid")))
+      .orderBy("__h").limit(trainN)
+      .select(col("__cv")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    base.unpersist() // eager training passes done
+    val codebooks = PqVector.train(sample, m, ksub)
+
+    // the encoded index: at 100 TB these four columns are written partitioned
+    // by __list (file-pruned probes) and fit in memory where raw vectors don't
+    val c = base.select(col("nid"),
+      assignList(coarse, col("__cv")).as("__list"),
+      PqFunctions.pq_encode(col("__cv"), codebooks).as("__code"))
+      .withColumn("__pqnorm", PqFunctions.pq_code_norm_sq(col("__code"), codebooks))
+
+    val q = broadcast(probeLists(queries, idCol, vecCol, coarse, nprobe)
+      .withColumn("__lut", PqFunctions.pq_lut(col("__qv"), codebooks)))
+
+    // ADC scan: codes only. The query norm is constant per qid and drops out
+    // of the per-query ranking, so approx-cosine ~ adc / ||x~||.
+    val approx = c.join(q, Seq("__list"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("__approx",
+        PqFunctions.pq_adc(col("__code"), col("__lut")) /
+          sqrt(greatest(col("__pqnorm"), lit(1e-12))))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("__approx").desc, col("nid"))
+    val cands = approx.withColumn("__r", row_number().over(wA))
+      .filter(col("__r") <= k * refine)
+      .select(col("qid"), col("nid"), col("__qv"))
+
+    // refine: exact cosine on the candidate ids only — a narrow join back to
+    // raw vectors (candidate set ≪ corpus; broadcastable at any scale)
+    val exact = cands
+      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv")), Seq("nid"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }

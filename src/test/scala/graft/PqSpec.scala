@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.PqVector
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: kernel identities and the IVF-PQ operator. */
+class PqSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def syntheticVecs(n: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(n)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  test("train: deterministic, correct shapes, centroids from the sample space") {
+    val sample = syntheticVecs(100, 16)
+    val cb1 = PqVector.train(sample, m = 4, ksub = 8)
+    val cb2 = PqVector.train(sample.map(_.clone()), m = 4, ksub = 8)
+    assert(cb1.length == 4)
+    assert(cb1.forall(_.length == 8))
+    assert(cb1.forall(_.forall(_.length == 4)))
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq == cb2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("adc over a lut equals the dot of query with the reconstructed vector") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val sample = syntheticVecs(64, 16)
+    val cb = PqVector.train(sample, m = 4, ksub = 8)
+    val v = sample(10)
+    val q = sample(20)
+    val code = PqVector.encode(new GenericArrayData(v), cb, isFloat = false)
+    assert(code.length == 4)
+    val lut = PqVector.lut(new GenericArrayData(q), cb, isFloat = false)
+    val adc = PqVector.adc(code, new GenericArrayData(lut))
+    // reconstruct: concatenation of chosen sub-centroids
+    val recon = code.zipWithIndex.flatMap { case (c, m) => cb(m)(c & 0xff) }
+    val direct = q.zip(recon).map { case (a, b) => a * b }.sum
+    assert(math.abs(adc - direct) < 1e-9)
+    // reconstructed norm² identity
+    val normSq = cb.map(_.map(c => c.map(x => x * x).sum))
+    assert(math.abs(PqVector.codeNormSq(code, normSq) - recon.map(x => x * x).sum) < 1e-9)
+  }
+
+  test("encode picks the L2-nearest sub-centroid (brute force cross-check)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val sample = syntheticVecs(64, 12)
+    val cb = PqVector.train(sample, m = 3, ksub = 8)
+    syntheticVecs(10, 12).foreach { v =>
+      val code = PqVector.encode(new GenericArrayData(v), cb, isFloat = false)
+      (0 until 3).foreach { m =>
+        val sub = v.slice(m * 4, m * 4 + 4)
+        val dists = cb(m).map(c => sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+        assert(dists(code(m) & 0xff) == dists.min)
+      }
+    }
+  }
+
+  test("ivfPqTopK: perfect recall on clustered data") {
+    import spark.implicits._
+    // 20 tight clusters of 10 vectors each; neighbors of a query are its own
+    // cluster — any sane coarse+PQ pipeline recovers them after refine
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(20)(Array.fill(32)(rnd.nextGaussian()))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 5)
+    val pq = Similarity.ivfPqTopK(q, df, "vec_id", "embedding", k = 5,
+      nlist = 8, nprobe = 3, m = 8, ksub = 16, refine = 8)
+    val bf = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", k = 5)
+    val hits = pq.select("qid", "nid").join(bf.select("qid", "nid"), Seq("qid", "nid")).count()
+    assert(hits == 25, s"expected 25 exact hits, got $hits")
+    // refine step means returned sims are EXACT cosines
+    val sims = pq.select("sim").collect().map(_.getDouble(0))
+    assert(sims.forall(s => s > 0.9 && s <= 1.0 + 1e-9))
+  }
+
+  test("ivfPqTopK output contract: k rows per query, rank 1..k, sim descending") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 100).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 3)
+    val out = Similarity.ivfPqTopK(q, df, "vec_id", "embedding", k = 4,
+      nlist = 4, nprobe = 4, m = 4, ksub = 8, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.length == 12)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to 4))
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
