@@ -139,7 +139,28 @@ final class PdfDocument private (val file: PdfFile) {
               case _ => None
             }
           case PName("CalGray") => Some(ColorSpaceModel.Gray)
-          case PName("CalRGB") | PName("Lab") => Some(ColorSpaceModel.RGB)
+          case PName("CalRGB") => Some(ColorSpaceModel.RGB)
+          case PName("Lab") =>
+            // [/Lab << /WhitePoint [...] /Range [...] >>] — proper L*a*b*
+            // conversion (reference LabCS, pdf.combined.js:41660-41770)
+            val params = items.lift(1).map(file.resolve) match {
+              case Some(d: PDict) => d
+              case _ => PDict(Map.empty)
+            }
+            def nums(key: String): Option[Array[Double]] =
+              file.dictGet(params, key) match {
+                case Some(PArr(vs)) =>
+                  Some(vs.map(file.resolve).map { case PNum(v) => v; case _ => 0.0 }.toArray)
+                case _ => None
+              }
+            val wp = nums("WhitePoint").filter(_.length >= 3)
+            val rg = nums("Range").filter(_.length >= 4)
+            val dflt = graft.eval.ColorSpaceModel.Lab()
+            Some(graft.eval.ColorSpaceModel.Lab(
+              wp.map(_(0)).getOrElse(dflt.xw), wp.map(_(1)).getOrElse(dflt.yw),
+              wp.map(_(2)).getOrElse(dflt.zw),
+              rg.map(_(0)).getOrElse(dflt.amin), rg.map(_(1)).getOrElse(dflt.amax),
+              rg.map(_(2)).getOrElse(dflt.bmin), rg.map(_(3)).getOrElse(dflt.bmax)))
           case PName("Indexed") | PName("I") if items.length >= 4 =>
             parseColorSpace(items(1), depth + 1).flatMap { base =>
               val lookup: Option[Array[Byte]] = file.resolve(items(3)) match {

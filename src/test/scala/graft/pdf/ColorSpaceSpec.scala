@@ -85,4 +85,36 @@ class ColorSpaceSpec extends AnyFunSuite {
     val runs = doc("/DeviceGray", content).evalPage(0).runs
     assert(runs.map(_.fill) == Vector("rgb(255,0,0)"))
   }
+
+  test("Lab endpoints: L=100 is white, L=0 is black (D50, reference LabCS math)") {
+    val cs = "[/Lab << /WhitePoint [0.9642 1 0.8249] /Range [-128 127 -128 127] >>]"
+    val content = "BT /F1 10 Tf /CS0 cs 100 0 0 scn 10 700 Td (w) Tj 0 0 0 scn (k) Tj ET"
+    val runs = doc(cs, content).evalPage(0).runs
+    // L=100 → XYZ = whitepoint; the reference's D50 matrix rows sum to
+    // 1.0000104 / 0.9999995 / 0.9999993, and its `sqrt(x)*255|0` truncation
+    // lands g and b at 254 — these are the reference CLI's exact integers,
+    // not a rounding artifact of ours
+    assert(runs.map(_.fill) == Vector("rgb(255,254,254)", "rgb(0,0,0)"), runs.map(_.fill))
+  }
+
+  test("Lab neutral axis (a=b=0) stays achromatic; chroma breaks away from it") {
+    val cs = "[/Lab << /WhitePoint [0.9642 1 0.8249] >>]"
+    val content = "BT /F1 10 Tf /CS0 cs 50 0 0 scn 10 700 Td (gray) Tj 50 60 -40 scn (pink) Tj ET"
+    val runs = doc(cs, content).evalPage(0).runs
+    val chans = runs.map(_.fill).map { f =>
+      f.stripPrefix("rgb(").stripSuffix(")").split(',').map(_.toInt)
+    }
+    assert(chans(0).max - chans(0).min <= 1, runs(0).fill) // neutral within quantization
+    assert(chans(1).max - chans(1).min > 40, runs(1).fill) // strongly chromatic
+    assert(runs.length == 2) // fill change broke the run
+  }
+
+  test("Lab /Range clamps a*/b* operands before conversion") {
+    // range [-10 10]: a=60 clamps to 10, so the fill equals the a=10 fill
+    val cs = "[/Lab << /WhitePoint [0.9642 1 0.8249] /Range [-10 10 -10 10] >>]"
+    val c1 = "BT /F1 10 Tf /CS0 cs 50 60 0 scn 10 700 Td (x) Tj ET"
+    val c2 = "BT /F1 10 Tf /CS0 cs 50 10 0 scn 10 700 Td (x) Tj ET"
+    assert(doc(cs, c1).evalPage(0).runs.map(_.fill) ==
+      doc(cs, c2).evalPage(0).runs.map(_.fill))
+  }
 }
