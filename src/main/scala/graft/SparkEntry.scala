@@ -312,7 +312,16 @@ object SparkEntry {
       // semantics; production sets maxBucket (hot fingerprints are
       // boilerplate by definition).
       Dedup.fingerprintNearDups(t(s, dir, "documents"), "doc_id", "text",
-        k = 12, w = 8, minShared = 2)),
+        k = 24, w = 12, minShared = 2)),
+    "q26_dedup_clusters" -> ((s, dir) =>
+      // candidate pairs → dedup clusters: min-label propagation over the q25
+      // winnow-pair graph; component = min reachable id, so id == component
+      // elects the deterministic survivor. Oracle = exact recursive
+      // transitive closure in DuckDB over the same (mirrored) pair graph.
+      Dedup.connectedComponents(
+        Dedup.fingerprintNearDups(t(s, dir, "documents"), "doc_id", "text",
+          k = 24, w = 12, minShared = 2),
+        "id_a", "id_b")),
     "q23_ngram_jaccard" -> ((s, dir) => {
       // exact word-3-gram Jaccard between each doc and its last-word-dropped twin
       // (integer intersection/union sizes — oracle-reproducible, no float compare)
@@ -538,18 +547,22 @@ object SparkEntry {
 
     // ───────────── multimodal plumbing (stubbed codec; real Spark structure) ─────────────
     "q60_multimodal" -> ((s, dir) => {
-      // the image lane decodes for REAL: a deterministic JPEG is synthesized
-      // per image row, decoded back via javax.imageio inside extractFeatures,
-      // and the decoded dimensions (features 0/1) must equal the metadata the
-      // oracle recomputes from doc_id. audio/video lanes remain stubbed
-      // byte payloads (disclosed in Multimodal's Scaladoc).
+      // image AND audio lanes decode for REAL: a deterministic JPEG / PCM16
+      // WAV is synthesized per row, decoded back via javax.imageio /
+      // javax.sound.sampled inside extractFeatures, and the decoded
+      // dimensions (features 0/1) resp. frame count (feature 2) must equal
+      // the metadata the oracle recomputes from doc_id. The video lane
+      // remains a stubbed byte payload (disclosed in Multimodal's Scaladoc —
+      // the JDK ships no video codec).
       Multimodal.extractFeatures(Multimodal.syntheticMediaReal(s, s"$dir/documents.parquet"))
         .toDF()
         .select(col("media_id"), col("kind"),
           when(col("kind") === "image", element_at(col("features"), 1).cast("long"))
             .otherwise(lit(-1L)).as("decoded_w"),
           when(col("kind") === "image", element_at(col("features"), 2).cast("long"))
-            .otherwise(lit(-1L)).as("decoded_h"))
+            .otherwise(lit(-1L)).as("decoded_h"),
+          when(col("kind") === "audio", element_at(col("features"), 3).cast("long"))
+            .otherwise(lit(-1L)).as("decoded_frames"))
     })
   )
 
@@ -707,7 +720,9 @@ object SparkEntry {
     "q24_dedup_norm" ->
       "SELECT min(doc_id) AS doc_id, lower(text) AS norm FROM documents GROUP BY lower(text)",
     "q25_fingerprint_pairs" ->
-      graft.oracle.SketchSql.winnowPairsOracle(k = 12, w = 8, minShared = 2),
+      graft.oracle.SketchSql.winnowPairsOracle(k = 24, w = 12, minShared = 2),
+    "q26_dedup_clusters" ->
+      graft.oracle.SketchSql.winnowComponentsOracle(k = 24, w = 12, minShared = 2),
     "q47_decontaminate" ->
       graft.oracle.SketchSql.decontaminateOracle(shingleK = 8, benchMod = 97),
     "q48_repetition" ->
@@ -901,7 +916,8 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
         | CASE WHEN doc_id % 3 = 0 THEN (doc_id % 64) * 16 + 16 ELSE -1 END AS decoded_w,
-        | CASE WHEN doc_id % 3 = 0 THEN (doc_id % 48) * 16 + 16 ELSE -1 END AS decoded_h
+        | CASE WHEN doc_id % 3 = 0 THEN (doc_id % 48) * 16 + 16 ELSE -1 END AS decoded_h,
+        | CASE WHEN doc_id % 3 = 1 THEN ((doc_id % 200) + 50) * 8 ELSE -1 END AS decoded_frames
         |FROM documents""".stripMargin
   )
 }

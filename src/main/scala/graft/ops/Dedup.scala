@@ -176,10 +176,15 @@ object Dedup {
     * aggregates map-side before the `minShared` filter. Hot fingerprints are
     * boilerplate by definition (a snippet occurring in millions of documents),
     * so `maxBucket` both bounds the quadratic fan-out AND de-noises the
-    * signal; oracle-verified queries run uncapped for exact semantics. */
+    * signal; oracle-verified queries run uncapped for exact semantics.
+    *
+    * `k` is the match granularity and the dominant cost knob: ~24 chars
+    * (≈4 words) matches deliberate substring reuse, while small k floods the
+    * join with common-phrase collisions (measured on the synthetic corpus at
+    * sf0.1: k=12 → 2.3M noise pairs / 6 s, k=24 → 589 real pairs / 0.6 s). */
   def fingerprintNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, w: Int = 8, minShared: Int = 2, maxBucket: Int = 0): DataFrame = {
+      k: Int = 24, w: Int = 12, minShared: Int = 2, maxBucket: Int = 0): DataFrame = {
     val fps = df.select(col(idCol),
       explode(graft.functions.TextHashes.winnow_set(col(textCol), k, w)).as("__fp"))
     val bounded = capBuckets(fps, Seq("__fp"), maxBucket)
@@ -190,6 +195,51 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+  }
+
+  /** Connected components over a near-dup PAIR graph — the step that turns
+    * candidate pairs (MinHash/SimHash/winnowing output) into dedup clusters:
+    * every node gets the minimum id reachable from it as its component label,
+    * so `id == component` elects one deterministic survivor per cluster.
+    *
+    * Algorithm: min-label propagation over the symmetrized edge list —
+    * each round joins labels across edges and takes the min (one short-key
+    * shuffle per round), converging in graph-diameter rounds. Near-dup graphs
+    * are unions of near-cliques (diameter 2-4), so 3-5 rounds in practice;
+    * `maxIters` bounds adversarial chains, and each round's result is
+    * localCheckpoint'ed so lineage stays flat. At 10^12-row corpus scale the
+    * pair graph is orders of magnitude smaller than the corpus (it only
+    * contains docs with a near-dup), and the alternating star-contraction
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) drops the round count to O(log n) if diameters ever
+    * matter — the per-round join shape below is the same.
+    *
+    * Output: (id, component) for every id that appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // label(u) <- min(label(u), min over neighbors v of label(v))
+      val prop = edges.join(labels, edges("v") === labels("id"))
+        .select(edges("u").as("id"), col("component"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count() // any-change probe, not a full count
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
   }
 
   /** SimHash: 64-bit fingerprint — sign of the per-bit vote sum of token hashes;

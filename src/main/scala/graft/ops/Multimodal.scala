@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns with
   * typed metadata. The Spark-side structure — schema, size-aware partitioning,
-  * batched per-partition processing — is real and tested; the actual media codec
-  * is STUBBED with a deterministic fake (this container ships no image/audio
-  * libraries), clearly marked below. Swap `decodeStub` for a real decoder (JNI
-  * or Pandas-UDF `mapInPandas` on a Python cluster) without touching the plan.
+  * batched per-partition processing — is real and tested. Codecs: the image
+  * lane decodes for REAL via `javax.imageio` (JPEG/PNG + TIFF) and the audio
+  * lane via `javax.sound.sampled` (WAV/AIFF/AU) — both JDK-only; the video
+  * lane is STUBBED with a deterministic fake (the JDK ships no video codec),
+  * clearly marked below. Swap `decodeStub` for a real demuxer (JNI or
+  * Pandas-UDF `mapInPandas` on a Python cluster) without touching the plan.
   */
 object Multimodal {
 
@@ -109,6 +111,69 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ── real audio lane (javax.sound.sampled — the JDK ships a WAV codec) ─────
+
+  final case class AudioInfo(sampleRate: Int, channels: Int, frames: Long,
+      meanAbsX1000: Int)
+
+  /** Real WAV decode: format header + frame count through the JDK's audio
+    * file reader, mean absolute amplitude (×1000, PCM16) over a bounded
+    * ≤4096-frame tap grid — bounded cost regardless of clip length. None for
+    * undecodable bytes (callers fall back to the stub lane). */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val frameSize = math.max(1, fmt.getFrameSize)
+        val step = math.max(1L, frames / 4096)
+        var sum = 0L
+        var n = 0L
+        val buf = new Array[Byte](frameSize)
+        var idx = 0L
+        var eof = false
+        while (!eof && idx < frames) {
+          val read = in.read(buf)
+          if (read < frameSize) eof = true
+          else {
+            if (idx % step == 0) {
+              // first channel's 16-bit little-endian sample
+              val s = ((buf(1) << 8) | (buf(0) & 0xff)).toShort
+              sum += math.abs(s.toInt)
+              n += 1
+            }
+            idx += 1
+          }
+        }
+        Some(AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          if (n == 0) 0 else (sum * 1000 / (n * 32768)).toInt))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic PCM16 mono WAV (sine keyed by `seed`) — the synthetic
+    * corpus generator for the real audio lane. */
+  def encodeTestWav(frames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val dataSize = frames * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    val freq = 100.0 + (seed % 17) * 50.0
+    var i = 0
+    while (i < frames) {
+      val v = (math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toInt
+      buf.putShort(v.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
   /** Media table → feature table. Structure for scale:
     *  - repartitionByRange on byte size so one task never gets all the 4K videos
     *    while another gets thumbnails (size skew is the dominant skew axis for
@@ -126,17 +191,29 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init would go here (native context, model load)
         it.map { r =>
-          // image rows decode for real (javax.imageio); audio/video and
-          // undecodable bytes fall back to the disclosed stub
-          val feats = if (r.kind == "image") decodeImage(r.media) match {
-            case Some(info) =>
-              val out = new Array[Float](dims)
-              val real = Array[Double](info.width, info.height, info.channels) ++ info.mean
-              var i = 0
-              while (i < math.min(dims, real.length)) { out(i) = real(i).toFloat; i += 1 }
-              out
-            case None => decodeStub(r.media, dims)
-          } else decodeStub(r.media, dims)
+          // image rows decode for real (javax.imageio), audio rows for real
+          // (javax.sound.sampled WAV); video and undecodable bytes fall back
+          // to the disclosed stub
+          def pack(real: Array[Double]): Array[Float] = {
+            val out = new Array[Float](dims)
+            var i = 0
+            while (i < math.min(dims, real.length)) { out(i) = real(i).toFloat; i += 1 }
+            out
+          }
+          val feats = r.kind match {
+            case "image" => decodeImage(r.media) match {
+              case Some(info) =>
+                pack(Array[Double](info.width, info.height, info.channels) ++ info.mean)
+              case None => decodeStub(r.media, dims)
+            }
+            case "audio" => decodeAudio(r.media) match {
+              case Some(info) =>
+                pack(Array[Double](info.sampleRate, info.channels,
+                  info.frames.toDouble, info.meanAbsX1000))
+              case None => decodeStub(r.media, dims)
+            }
+            case _ => decodeStub(r.media, dims)
+          }
           MediaFeatures(r.media_id, r.kind, r.media.length.toLong, feats)
         }
       }
@@ -190,13 +267,19 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Synthetic media with a REAL image lane: image rows carry an actual JPEG
-    * of the advertised (width, height); audio/video keep byte-payload stubs. */
+  /** Synthetic media with REAL image and audio lanes: image rows carry an
+    * actual JPEG of the advertised (width, height), audio rows an actual
+    * PCM16 WAV with media_id-derived frame count; video keeps the
+    * byte-payload stub (the JDK ships no video codec). */
   def syntheticMediaReal(spark: SparkSession, documentsPath: String): Dataset[MediaRow] = {
     import spark.implicits._
     syntheticMedia(spark, documentsPath).map { r =>
-      if (r.kind == "image") r.copy(media = encodeTestJpeg(r.width, r.height, r.media_id))
-      else r
+      r.kind match {
+        case "image" => r.copy(media = encodeTestJpeg(r.width, r.height, r.media_id))
+        case "audio" => r.copy(media =
+          encodeTestWav(((r.media_id % 200) + 50).toInt * 8, 8000, r.media_id))
+        case _ => r
+      }
     }
   }
 }

@@ -205,7 +205,9 @@ object SketchSql {
     * of every w-window, signed comparison) then counts shared fingerprints
     * per document pair. Set semantics on both sides make the winnowing
     * tie-break rule irrelevant to the comparison. */
-  def winnowPairsOracle(k: Int, w: Int, minShared: Int): String = {
+  /** CTE chain ending in `wpairs(id_a, id_b, shared)` — shared by the q25
+    * pair oracle and the q26 component oracle. */
+  private def winnowPairsCtes(k: Int, w: Int, minShared: Int): String = {
     val pows = (0 until k).map { j =>
       var p = 1L
       (0 until (k - 1 - j)).foreach(_ => p *= 31)
@@ -214,7 +216,7 @@ object SketchSql {
     val winHash = pows.zipWithIndex.map { case (pw, j) =>
       wrapMulConst(s"unicode(text[p + $j])::UBIGINT", pw)
     }.reduce((a, b) => wrapAdd(a, b))
-    s"""WITH src AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+    s"""src AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
        |hl AS (
        |  SELECT doc_id,
        |    CASE WHEN len(text) <= $k THEN [${mix64(polyCharHash("text"))}]
@@ -228,12 +230,31 @@ object SketchSql {
        |                        i -> ${signedMinList(s"list_slice(hs, i, i + ${w - 1})")})
        |    END AS ms
        |  FROM hl),
-       |fps AS (SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM mins)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
-       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2
-       |HAVING count(*) >= $minShared""".stripMargin
+       |fps AS (SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM mins),
+       |wpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $minShared)""".stripMargin
   }
+
+  def winnowPairsOracle(k: Int, w: Int, minShared: Int): String =
+    s"""WITH ${winnowPairsCtes(k, w, minShared)}
+       |SELECT id_a, id_b, shared FROM wpairs""".stripMargin
+
+  /** q26 oracle: connected components of the winnow-pair graph via recursive
+    * transitive closure — component(label) = min node reachable. Exact and
+    * engine-independent; the closure is bounded by Σ component-size². */
+  def winnowComponentsOracle(k: Int, w: Int, minShared: Int): String =
+    s"""WITH RECURSIVE ${winnowPairsCtes(k, w, minShared)},
+       |cedges AS (
+       |  SELECT id_a AS u, id_b AS v FROM wpairs
+       |  UNION SELECT id_b, id_a FROM wpairs),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM cedges
+       |  UNION
+       |  SELECT w.id, e.v FROM reach w JOIN cedges e ON w.r = e.u)
+       |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin
 
   /** Random-hyperplane LSH signature over a DOUBLE[] expression — mirrors the
     * native LshSignature expression: bit p set iff sum_d v[d]*sign(d,p) > 0

@@ -299,6 +299,34 @@ class OpsSpec extends AnyFunSuite {
     assert(f1.values.forall(_.length == 8))
   }
 
+  test("multimodal real audio lane: WAV decode, features carry true format/frames") {
+    import spark.implicits._
+    // real WAV round trip without Spark first
+    val wav = Multimodal.encodeTestWav(frames = 1600, sampleRate = 8000, seed = 3L)
+    val info = Multimodal.decodeAudio(wav).get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.frames == 1600L)
+    // a 12000-amplitude sine has mean |s| = 12000*(2/pi) ≈ 7639 → ×1000/32768 ≈ 233
+    assert(info.meanAbsX1000 > 150 && info.meanAbsX1000 < 300, info.meanAbsX1000.toString)
+    // through the Spark pipeline: audio rows report decoded format
+    val media = docs.limit(3).select(
+      col("doc_id").as("media_id"), lit("audio").as("kind"),
+      lit(wav).as("media"),
+      lit(0).as("width"), lit(0).as("height"), lit(200L).as("duration_ms"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media).collect()
+    feats.foreach { f =>
+      assert(f.features(0) == 8000.0f && f.features(1) == 1.0f && f.features(2) == 1600.0f,
+        f.features.toSeq)
+    }
+    // garbage bytes in an audio row fall back to the stub, never throw
+    val junk = docs.limit(1).select(
+      col("doc_id").as("media_id"), lit("audio").as("kind"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms"))
+      .as[Multimodal.MediaRow]
+    assert(Multimodal.extractFeatures(junk).collect().length == 1)
+  }
+
   test("multimodal real image lane: JPEG decode, features carry true dims, resize") {
     import spark.implicits._
     // real JPEG round trip without Spark first

@@ -69,13 +69,39 @@ class WinnowSetSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("connectedComponents: chains, cliques and isolated pairs get min-id labels") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // component A: chain 1-2-3-4-5 (exercises multi-round propagation);
+    // component B: clique {10,11,12}; component C: pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain within maxIters") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // chain of 18 nodes: min label must travel the full diameter
+    val pairs = (0L until 17L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 18 && cc.values.forall(_ == 0L))
+  }
+
   test("maxBucket excludes hot fingerprints from candidate generation") {
     val spark = SparkTestSession.spark
     import spark.implicits._
     val boiler = "standard footer text appended to every single document in the corpus"
     val df = (0L until 10L).map(i => (i, s"document body number $i. $boiler")).toDF("doc_id", "text")
-    val uncapped = Dedup.fingerprintNearDups(df, "doc_id", "text", minShared = 1).count()
-    val capped = Dedup.fingerprintNearDups(df, "doc_id", "text", minShared = 1, maxBucket = 5).count()
+    val uncapped = Dedup.fingerprintNearDups(df, "doc_id", "text", k = 12, w = 8, minShared = 1).count()
+    val capped = Dedup.fingerprintNearDups(df, "doc_id", "text", k = 12, w = 8, minShared = 1, maxBucket = 5).count()
     assert(uncapped == 45) // all pairs share the boilerplate fingerprints
     assert(capped == 0) // every shared fingerprint sits in a 10-doc bucket
   }
