@@ -104,4 +104,28 @@ class PlanSpec extends AnyFunSuite {
       assert(!e.child.output.exists(_.name == "text"), e.child.output.mkString(","))
     }
   }
+
+  test("q25 winnow pairs: candidate exchanges carry (fp, id) only, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.ops.Dedup.fingerprintNearDups(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, root.toString)
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"), e.child.output.mkString(","))
+    }
+  }
+
+  test("q34 IVF-PQ: probe join broadcast; ADC stage ranks codes, not vectors") {
+    val p = plan("q34_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // the native kernels appear in the plan (codegen'd expressions, not HOFs)
+    assert(p.contains("pq_adc"), p)
+    assert(p.contains("pq_encode"), p)
+  }
 }
