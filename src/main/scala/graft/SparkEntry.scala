@@ -342,6 +342,25 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
         size = 32, stride = 24)
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk_text"))),
+    "q27_stratified_sample" -> ((s, dir) =>
+      // mixture-weighting primitive: keep the n lowest-mix64(id) docs per
+      // stratum — deterministic, seed-free "random" sampling whose rank key
+      // is the same splitmix64 finalizer the sketch kernels use (and the
+      // oracle mirrors). Strata here are the conv grouping (doc_id % 50).
+      graft.ops.Sampling.stratifiedSample(
+        t(s, dir, "documents").withColumn("stratum", pmod(col("doc_id"), lit(50))),
+        "doc_id", "stratum", n = 3)
+        .select("doc_id", "stratum")),
+    "q28_pack_sequences" -> ((s, dir) =>
+      // sequence packing: per conv, docs (ordered by id) greedily fill
+      // 500-token sequences using the mirrored BPE-ish token estimate; the
+      // oracle replays the same greedy scan as a recursive CTE.
+      graft.ops.Sampling.packSequences(
+        t(s, dir, "documents").select(
+          pmod(col("doc_id"), lit(50)).as("conv"),
+          col("doc_id"),
+          TextStats.bpeishTokenCount(col("text")).as("tokens")),
+        "conv", "doc_id", "tokens", budget = 500L)),
     "q45_redact" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -723,6 +742,29 @@ object SparkEntry {
       graft.oracle.SketchSql.winnowPairsOracle(k = 24, w = 12, minShared = 2),
     "q26_dedup_clusters" ->
       graft.oracle.SketchSql.winnowComponentsOracle(k = 24, w = 12, minShared = 2),
+    "q27_stratified_sample" -> {
+      val rank = graft.oracle.SketchSql.toSigned(
+        graft.oracle.SketchSql.mix64("doc_id::UBIGINT"))
+      s"""SELECT doc_id, stratum FROM (
+         |  SELECT doc_id, doc_id % 50 AS stratum,
+         |    row_number() OVER (PARTITION BY doc_id % 50 ORDER BY $rank, doc_id) AS rn
+         |  FROM documents) t WHERE rn <= 3""".stripMargin
+    },
+    "q28_pack_sequences" -> {
+      val toks = graft.oracle.SketchSql.bpeishToksExpr("d.text")
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id % 50 AS conv, doc_id, CAST($toks AS BIGINT) AS tokens,
+         |    row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) AS rn
+         |  FROM documents d),
+         |pack(conv, doc_id, tokens, rn, acc, seq_idx) AS (
+         |  SELECT conv, doc_id, tokens, rn, tokens, CAST(0 AS BIGINT) FROM src WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.conv, s.doc_id, s.tokens, s.rn,
+         |    CASE WHEN p.acc > 0 AND p.acc + s.tokens > 500 THEN s.tokens ELSE p.acc + s.tokens END,
+         |    CASE WHEN p.acc > 0 AND p.acc + s.tokens > 500 THEN p.seq_idx + 1 ELSE p.seq_idx END
+         |  FROM pack p JOIN src s ON s.conv = p.conv AND s.rn = p.rn + 1)
+         |SELECT conv, doc_id, tokens, seq_idx FROM pack""".stripMargin
+    },
     "q47_decontaminate" ->
       graft.oracle.SketchSql.decontaminateOracle(shingleK = 8, benchMod = 97),
     "q48_repetition" ->

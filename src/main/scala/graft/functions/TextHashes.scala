@@ -248,6 +248,19 @@ case class ShingleHashes(child: Expression, shingleK: Int) extends UnaryExpressi
   override def prettyName: String = "shingle_hashes"
 }
 
+/** splitmix64 finalizer over a long column — the deterministic rank key for
+  * hash-ordered sampling (mirrored exactly by SketchSql.mix64). */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.mix64(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.mix64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+  override def prettyName: String = "mix64"
+}
+
 case class WinnowSet(child: Expression, k: Int, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -589,8 +602,9 @@ object TextHashes {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def winnow_fingerprint(c: Column, window: Int = 16): Column =
     column(WinnowFingerprint(expression(c), window))
-  def winnow_set(c: Column, k: Int = 12, w: Int = 8): Column =
+  def winnow_set(c: Column, k: Int = 24, w: Int = 12): Column =
     column(WinnowSet(expression(c), k, w))
+  def mix64_col(c: Column): Column = column(Mix64(expression(c)))
   def shingle_hashes(c: Column, shingleK: Int = 3): Column =
     column(ShingleHashes(expression(c), shingleK))
   def lsh_signature(c: Column, bits: Int): Column =

@@ -191,10 +191,7 @@ object SketchSql {
        |    END AS fp
        |  FROM src),
        |bpe AS (
-       |  SELECT doc_id,
-       |    (SELECT coalesce(SUM(1 + greatest(0, (len(w) - 1) // 4)), 0)
-       |     FROM unnest(list_filter(regexp_split_to_array(src.text, '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS t(w))
-       |    + length(regexp_replace(src.text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS toks
+       |  SELECT doc_id, ${bpeishToksExpr("src.text")} AS toks
        |  FROM src)
        |SELECT w.doc_id, ${toSigned("w.fp")} AS fingerprint, CAST(b.toks AS BIGINT) AS bpeish_tokens
        |FROM win w JOIN bpe b ON w.doc_id = b.doc_id""".stripMargin
@@ -205,6 +202,14 @@ object SketchSql {
     * of every w-window, signed comparison) then counts shared fingerprints
     * per document pair. Set semantics on both sides make the winnowing
     * tie-break rule irrelevant to the comparison. */
+  /** BPE-ish token estimate of a text expression — mirrors
+    * TextStats.bpeishTokenCount (per alnum word: 1 + (len-1)//4 subwords;
+    * plus one token per non-alnum non-space char). */
+  def bpeishToksExpr(textExpr: String): String =
+    s"""(SELECT coalesce(SUM(1 + greatest(0, (len(w) - 1) // 4)), 0)
+       |     FROM unnest(list_filter(regexp_split_to_array($textExpr, '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS t(w))
+       |    + length(regexp_replace($textExpr, '[\\p{L}\\p{N}\\s]', '', 'g'))""".stripMargin
+
   /** CTE chain ending in `wpairs(id_a, id_b, shared)` — shared by the q25
     * pair oracle and the q26 component oracle. */
   private def winnowPairsCtes(k: Int, w: Int, minShared: Int): String = {

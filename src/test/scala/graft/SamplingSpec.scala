@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-composition operators: hash-ordered stratified sampling and greedy
+  * sequence packing. */
+class SamplingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("stratifiedSample: exactly n per stratum, deterministic, nested by n") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, i % 4)).toDF("id", "stratum")
+    val s3 = Sampling.stratifiedSample(df, "id", "stratum", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(s3.length == 12)
+    assert(s3.groupBy(_._2).forall(_._2.length == 3))
+    val s3again = Sampling.stratifiedSample(df, "id", "stratum", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(s3.sorted.toSeq == s3again.sorted.toSeq)
+    // hash-rank ordering makes smaller samples prefixes of larger ones
+    val s2 = Sampling.stratifiedSample(df, "id", "stratum", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s2.subsetOf(s3.toSet))
+  }
+
+  test("packSequences: greedy fill, oversized doc gets its own sequence") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 200L), (1L, 11L, 200L), (1L, 12L, 200L), (1L, 13L, 600L), (1L, 14L, 100L),
+      (2L, 20L, 500L), (2L, 21L, 1L)
+    ).toDF("conv", "doc_id", "tokens")
+    val out = Sampling.packSequences(df, "conv", "doc_id", "tokens", budget = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out == Map(
+      (1L, 10L) -> 0L, (1L, 11L) -> 0L, // 400 fits
+      (1L, 12L) -> 1L, // 600 would overflow
+      (1L, 13L) -> 2L, // oversized: own sequence
+      (1L, 14L) -> 3L, // 600+100 overflows
+      (2L, 20L) -> 0L, (2L, 21L) -> 1L)) // exactly-full then next
+  }
+
+  test("packSequences: never splits a group across partitions; budget respected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 300).map(i => (i.toLong % 7, i.toLong, (rnd.nextInt(200) + 1).toLong))
+      .toDF("conv", "doc_id", "tokens")
+    val out = Sampling.packSequences(df, "conv", "doc_id", "tokens", budget = 500L)
+    val sums = out.groupBy("conv", "seq_idx").agg(sum("tokens").as("s"), count(lit(1)).as("n"))
+      .collect()
+    // every multi-doc sequence stays within budget (only singletons may exceed)
+    sums.foreach { r =>
+      assert(r.getLong(2) <= 500L || r.getLong(3) == 1L, r.toString)
+    }
+    assert(out.count() == 300)
+  }
+}
