@@ -123,6 +123,16 @@ object PqVector {
       val init = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
       subVecs.iterator.takeWhile(_ => init.size < ksub).foreach(v => init += v.toSeq)
       var cents = init.iterator.map(_.toArray).toArray
+      // lut/adc assume a UNIFORM ksub per subspace (the table is indexed
+      // sub*ksub + code); a subspace with fewer distinct subvectors pads by
+      // repeating centroids — encode's first-index tie-break never selects a
+      // duplicate, so padding is invisible to codes and scores
+      if (cents.length < ksub) {
+        val padded = new Array[Array[Double]](ksub)
+        var i = 0
+        while (i < ksub) { padded(i) = cents(i % cents.length); i += 1 }
+        cents = padded
+      }
       (0 until iters).foreach { _ =>
         val sums = Array.fill(cents.length)(new Array[Double](dsub))
         val counts = new Array[Int](cents.length)

@@ -116,18 +116,28 @@ object Multimodal {
   final case class AudioInfo(sampleRate: Int, channels: Int, frames: Long,
       meanAbsX1000: Int)
 
-  /** Real WAV decode: format header + frame count through the JDK's audio
-    * file reader, mean absolute amplitude (×1000, PCM16) over a bounded
-    * ≤4096-frame tap grid — bounded cost regardless of clip length. None for
-    * undecodable bytes (callers fall back to the stub lane). */
+  /** Real WAV/AIFF/AU decode: format header + frame count through the JDK's
+    * audio file reader; the sample stream is converted to PCM16 signed
+    * little-endian (the JDK converts 8-bit / big-endian / µ-law / a-law PCM
+    * variants), and mean absolute amplitude (×1000) is taken over a bounded
+    * ≤4096-frame tap grid with `skip` between taps, so cost is proportional
+    * to the taps, not the clip length. None for undecodable bytes (callers
+    * fall back to the stub lane). */
   def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
-        val fmt = in.getFormat
-        val frames = in.getFrameLength
-        val frameSize = math.max(1, fmt.getFrameSize)
+        val fmt = raw.getFormat
+        val frames = raw.getFrameLength
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+          fmt.getSampleRate, false)
+        val in =
+          if (fmt.matches(pcmFmt)) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, raw)
+        val frameSize = math.max(1, in.getFormat.getFrameSize)
         val step = math.max(1L, frames / 4096)
         var sum = 0L
         var n = 0L
@@ -138,18 +148,22 @@ object Multimodal {
           val read = in.read(buf)
           if (read < frameSize) eof = true
           else {
-            if (idx % step == 0) {
-              // first channel's 16-bit little-endian sample
-              val s = ((buf(1) << 8) | (buf(0) & 0xff)).toShort
-              sum += math.abs(s.toInt)
-              n += 1
+            // first channel's 16-bit little-endian sample
+            val s = ((buf(1) << 8) | (buf(0) & 0xff)).toShort
+            sum += math.abs(s.toInt)
+            n += 1
+            // bounded tap grid: skip to the next sampled frame
+            var toSkip = (step - 1) * frameSize
+            while (toSkip > 0 && !eof) {
+              val skipped = in.skip(toSkip)
+              if (skipped <= 0) eof = true else toSkip -= skipped
             }
-            idx += 1
+            idx += step
           }
         }
         Some(AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels, frames,
           if (n == 0) 0 else (sum * 1000 / (n * 32768)).toInt))
-      } finally in.close()
+      } finally raw.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic PCM16 mono WAV (sine keyed by `seed`) — the synthetic

@@ -307,6 +307,18 @@ class OpsSpec extends AnyFunSuite {
     assert(info.sampleRate == 8000 && info.channels == 1 && info.frames == 1600L)
     // a 12000-amplitude sine has mean |s| = 12000*(2/pi) ≈ 7639 → ×1000/32768 ≈ 233
     assert(info.meanAbsX1000 > 150 && info.meanAbsX1000 < 300, info.meanAbsX1000.toString)
+    // 8-bit PCM WAV: converted to PCM16 by the JDK, decodes instead of AIOOBE
+    val dataSize8 = 800
+    val b8 = java.nio.ByteBuffer.allocate(44 + dataSize8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b8.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize8).put("WAVE".getBytes("US-ASCII"))
+    b8.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+    b8.put("data".getBytes("US-ASCII")).putInt(dataSize8)
+    (0 until dataSize8).foreach(i => b8.put(((math.sin(i / 10.0) * 100) + 128).toInt.toByte))
+    val info8 = Multimodal.decodeAudio(b8.array()).get
+    assert(info8.sampleRate == 8000 && info8.channels == 1 && info8.frames == 800L)
+    assert(info8.meanAbsX1000 > 0, info8.toString)
     // through the Spark pipeline: audio rows report decoded format
     val media = docs.limit(3).select(
       col("doc_id").as("media_id"), lit("audio").as("kind"),

@@ -25,6 +25,24 @@ class PqSpec extends AnyFunSuite {
     assert(cb1.map(_.map(_.toSeq).toSeq).toSeq == cb2.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("train pads sparse subspaces to a uniform ksub (lut/adc indexing invariant)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // first subspace constant (1 distinct subvector), second rich: without
+    // padding, lut() sizes by codebooks(0).length and corrupts/overflows
+    val rnd = new scala.util.Random(9)
+    val sample = Array.fill(50)(Array(1.0, 1.0) ++ Array.fill(2)(rnd.nextDouble()))
+    val cb = PqVector.train(sample, m = 2, ksub = 8)
+    assert(cb.forall(_.length == 8), cb.map(_.length).toSeq)
+    val code = PqVector.encode(new GenericArrayData(sample(3)), cb, isFloat = false)
+    assert(code(0) == 0) // duplicates padded after index 0 are never selected
+    val lut = PqVector.lut(new GenericArrayData(sample(7)), cb, isFloat = false)
+    assert(lut.length == 16)
+    val adc = PqVector.adc(code, new GenericArrayData(lut))
+    val recon = code.zipWithIndex.flatMap { case (c, m) => cb(m)(c & 0xff) }
+    val direct = sample(7).zip(recon).map { case (a, b) => a * b }.sum
+    assert(math.abs(adc - direct) < 1e-9)
+  }
+
   test("adc over a lut equals the dot of query with the reconstructed vector") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val sample = syntheticVecs(64, 16)
