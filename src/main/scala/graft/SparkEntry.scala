@@ -510,6 +510,18 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), (lenScore + stopScore + punctScore).cast("long").as("quality_x10"))
     }),
+    "q29_oov_rate" -> ((s, dir) => {
+      // CCNet-style lexicon coverage: per-doc token count outside the
+      // corpus's own top-256 vocabulary (frequency desc, word asc — the
+      // deterministic tie-break is mirrored in the oracle). The vocab is one
+      // bounded aggregation + driver collect; scoring is two single-pass
+      // codegen'd kernels with a hashed vocabulary reference — no join.
+      val docs = t(s, dir, "documents")
+      val vocab = TextStats.topVocab(docs, "text", v = 256)
+      val (total, oov) = TextStats.oovCounts(col("text"), vocab)
+      docs.select(col("doc_id"),
+        total.cast("long").as("total_tokens"), oov.cast("long").as("oov_tokens"))
+    }),
     "q42_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))),
     "q43_fingerprint" -> ((s, dir) =>
@@ -765,6 +777,17 @@ object SparkEntry {
          |  FROM pack p JOIN src s ON s.conv = p.conv AND s.rn = p.rn + 1)
          |SELECT conv, doc_id, tokens, seq_idx FROM pack""".stripMargin
     },
+    "q29_oov_rate" ->
+      """WITH wd AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w FROM wd GROUP BY w ORDER BY count(*) DESC, w LIMIT 256),
+        |cnt AS (SELECT doc_id, count(*) AS total,
+        |        sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END) AS known
+        |        FROM wd GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(c.total, 0) AS BIGINT) AS total_tokens,
+        |  CAST(coalesce(c.total - c.known, 0) AS BIGINT) AS oov_tokens
+        |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin,
     "q47_decontaminate" ->
       graft.oracle.SketchSql.decontaminateOracle(shingleK = 8, benchMod = 97),
     "q48_repetition" ->

@@ -419,6 +419,42 @@ object TextScan {
     count
   }
 
+  /** Nonempty space-separated token count (== len(list_filter(split(text,' '),
+    * x -> len(x) > 0)) in the oracle). */
+  def wordCount(text: UTF8String): Int = {
+    val s = text.toString
+    val n = s.length
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      if (s.charAt(i) == ' ') inTok = false
+      else if (!inTok) { count += 1; inTok = true }
+      i += 1
+    }
+    count
+  }
+
+  /** Count tokens present in a hashed vocabulary — the large-set variant of
+    * tokenSetCount (O(1) membership instead of a linear set scan; for a
+    * corpus-derived top-V vocab, V is hundreds+ and the scan variant would be
+    * O(tokens·V)). Callers pass pre-lowercased text. */
+  def tokenInVocab(text: UTF8String, vocab: java.util.HashSet[String]): Int = {
+    val s = text.toString
+    val n = s.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        val start = i
+        while (i < n && s.charAt(i) != ' ') i += 1
+        if (vocab.contains(s.substring(start, i))) count += 1
+      }
+    }
+    count
+  }
+
   private def isLN(cp: Int): Boolean =
     Character.isLetter(cp) || {
       val t = Character.getType(cp)
@@ -508,6 +544,35 @@ case class TokenSetCount(child: Expression, words: Array[String], byLetters: Boo
   override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
     copy(child = newChild)
   override def prettyName: String = "token_set_count"
+}
+
+case class WsWordCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.wordCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.wordCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): WsWordCount =
+    copy(child = newChild)
+  override def prettyName: String = "ws_word_count"
+}
+
+case class TokenInVocab(child: Expression, words: Array[String]) extends UnaryExpression {
+  private val vocab: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.length * 2)
+    words.foreach(s.add)
+    s
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.tokenInVocab(input.asInstanceOf[UTF8String], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("vocab", vocab, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.tokenInVocab($c, $vRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenInVocab =
+    copy(child = newChild)
+  override def prettyName: String = "token_in_vocab"
 }
 
 case class BpeishWordTokens(child: Expression) extends UnaryExpression {
@@ -615,6 +680,9 @@ object TextHashes {
     column(CosineSim(expression(a), expression(b)))
   def token_set_count(c: Column, words: Seq[String], byLetters: Boolean = false): Column =
     column(TokenSetCount(expression(c), words.toArray, byLetters))
+  def ws_word_count(c: Column): Column = column(WsWordCount(expression(c)))
+  def token_in_vocab(c: Column, words: Seq[String]): Column =
+    column(TokenInVocab(expression(c), words.toArray))
   def bpeish_word_tokens(c: Column): Column = column(BpeishWordTokens(expression(c)))
   def top_bigram_share(c: Column): Column = column(TopBigramShare(expression(c)))
 

@@ -91,4 +91,26 @@ object TextStats {
     * near-dup/document-identity signature computable in one codegen'd pass. */
   def fingerprint(textCol: Column, window: Int = 16): Column =
     graft.functions.TextHashes.winnow_fingerprint(textCol, window)
+
+  /** Top-`v` corpus vocabulary by (frequency desc, word asc) — the reference
+    * lexicon for OOV-rate quality scoring (CCNet-style: documents whose
+    * tokens fall outside the corpus's own high-frequency vocabulary are
+    * noise candidates). One aggregation pass; the vocabulary is
+    * driver-bounded (v entries) and rides into the scoring kernel as a
+    * hashed reference object, never a join. */
+  def topVocab(df: org.apache.spark.sql.DataFrame, textCol: String, v: Int): Array[String] =
+    df.select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(v)
+      .collect().map(_.getString(0))
+
+  /** (total nonempty tokens, tokens outside `vocab`) per document — both as
+    * single-pass codegen'd kernels with O(1) vocabulary membership. */
+  def oovCounts(textCol: Column, vocab: Array[String]): (Column, Column) = {
+    val total = graft.functions.TextHashes.ws_word_count(textCol)
+    val known = graft.functions.TextHashes.token_in_vocab(lower(textCol), vocab.toSeq)
+    (total, total - known)
+  }
 }

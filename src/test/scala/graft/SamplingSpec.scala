@@ -42,6 +42,26 @@ class SamplingSpec extends AnyFunSuite {
       (2L, 20L) -> 0L, (2L, 21L) -> 1L)) // exactly-full then next
   }
 
+  test("oov kernels: word count and hashed-vocab membership") {
+    import graft.functions.TextScan
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    assert(TextScan.wordCount(u("")) == 0)
+    assert(TextScan.wordCount(u("  a  bb   c ")) == 3)
+    val vocab = new java.util.HashSet[java.lang.String]()
+    Seq("the", "fox").foreach(vocab.add)
+    assert(TextScan.tokenInVocab(u("the quick fox the"), vocab) == 3)
+    assert(TextScan.tokenInVocab(u(""), vocab) == 0)
+    // through columns: oov = total - known
+    import spark.implicits._
+    import graft.ops.TextStats
+    val df = Seq((1L, "The quick fox"), (2L, "zz yy")).toDF("id", "text")
+    val (total, oov) = TextStats.oovCounts(col("text"), Array("the", "fox"))
+    val rows = df.select(col("id"), total.as("t"), oov.as("o"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(rows == Map(1L -> ((3, 1)), 2L -> ((2, 2)))) // "quick" is the only OOV in doc 1
+  }
+
   test("packSequences: never splits a group across partitions; budget respected") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
