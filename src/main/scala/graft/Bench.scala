@@ -177,7 +177,9 @@ object Bench {
       "q01_agg", "q02_join_broadcast", "q03_window", "q05_filter_pushdown",
       "q10_extract_html", "q11_extract_svg", "q12_extract_pdf",
       "q13_pipeline_e2e", "q18_pdf_file_ingest", "q20_dedup_exact", "q21_dedup_minhash",
-      "q22_simhash_pairs", "q25_fingerprint_pairs", "q30_ann_bruteforce", "q33_ann_ivf",
+      "q22_simhash_pairs", "q25_fingerprint_pairs", "q26_dedup_clusters",
+      "q27_stratified_sample", "q28_pack_sequences", "q29_oov_rate",
+      "q30_ann_bruteforce", "q33_ann_ivf",
       "q34_ann_ivfpq", "q40_textstats", "q43_fingerprint", "q44_chunking",
       "q46_clean_pipeline", "q50_events_window", "q53_rollup", "q59_asof_join",
       "q61_pdf_images")

@@ -214,10 +214,21 @@ object Dedup {
     * Beyond", SoCC'14) drops the round count to O(log n) if diameters ever
     * matter — the per-round join shape below is the same.
     *
+    * Size-adaptive: a pair graph at or below `driverEdgeLimit` edges is
+    * collected and union-found on the driver (O(E·α), one job) — per-round
+    * distributed join overhead swamps tiny graphs, and near-dup pair graphs
+    * are usually tiny relative to the corpus. Larger graphs take the
+    * distributed propagation path; `driverEdgeLimit = 0` forces it.
+    *
     * Output: (id, component) for every id that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, driverEdgeLimit: Long = 4000000L): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    if (driverEdgeLimit > 0) {
+      // probe the size cheaply; limit+1 so a huge graph never fully counts
+      val small = e.limit((driverEdgeLimit + 1).toInt).count() <= driverEdgeLimit
+      if (small) return unionFindLocal(e)
+    }
     val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
@@ -226,20 +237,52 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // label(u) <- min(label(u), min over neighbors v of label(v))
+      // label(u) <- min(label(u), min over neighbors v of label(v)); the old
+      // label rides along so ONE action both materializes the round (flat
+      // lineage) and answers the any-change convergence probe
       val prop = edges.join(labels, edges("v") === labels("id"))
         .select(edges("u").as("id"), col("component"))
-      val next = labels.union(prop)
+      val next = labels.select(col("id"), col("component"))
+        .union(prop)
         .groupBy("id").agg(min("component").as("component"))
+        .join(labels.select(col("id"), col("component").as("__old")), "id")
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count() // any-change probe, not a full count
-      labels = next
+      val changed = next.filter(col("component") =!= col("__old")).limit(1).count()
+      labels = next.drop("__old")
       converged = changed == 0
       iter += 1
     }
     labels
+  }
+
+  /** Driver-side union-find with path halving + union-by-smaller-root:
+    * the small-graph fast path of `connectedComponents` (labels = min id per
+    * component, identical semantics to the distributed propagation). */
+  private def unionFindLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edges = e.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val ru = find(u)
+      val rv = find(v)
+      // union by MIN root so the representative is the component minimum
+      if (ru < rv) parent(rv) = ru
+      else if (rv < ru) parent(ru) = rv
+    }
+    parent.keys.toSeq.sorted
+      .map(id => (id, find(id)))
+      .toDF("id", "component")
   }
 
   /** SimHash: 64-bit fingerprint — sign of the per-bit vote sum of token hashes;

@@ -69,7 +69,7 @@ class WinnowSetSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
-  test("connectedComponents: chains, cliques and isolated pairs get min-id labels") {
+  test("connectedComponents: chains, cliques and isolated pairs get min-id labels (both paths)") {
     val spark = SparkTestSession.spark
     import spark.implicits._
     // component A: chain 1-2-3-4-5 (exercises multi-round propagation);
@@ -79,20 +79,28 @@ class WinnowSetSpec extends AnyFunSuite {
       (10L, 11L), (10L, 12L), (11L, 12L),
       (20L, 21L)
     ).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find fast path (default) and distributed propagation
+    // (driverEdgeLimit = 0) must agree exactly
+    val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b", driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expect)
+    assert(dist == expect)
   }
 
-  test("connectedComponents converges on a long chain within maxIters") {
+  test("connectedComponents converges on a long chain within maxIters (both paths)") {
     val spark = SparkTestSession.spark
     import spark.implicits._
     // chain of 18 nodes: min label must travel the full diameter
     val pairs = (0L until 17L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc.size == 18 && cc.values.forall(_ == 0L))
+    Seq(4000000L, 0L).foreach { lim =>
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", driverEdgeLimit = lim)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc.size == 18 && cc.values.forall(_ == 0L), s"limit=$lim")
+    }
   }
 
   test("maxBucket excludes hot fingerprints from candidate generation") {
