@@ -103,6 +103,25 @@ class WinnowSetSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: driver and distributed paths agree on random graphs") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    (0 until 3).foreach { trial =>
+      val n = 40
+      val pairs = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(pairs, "id_a", "id_b", driverEdgeLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"trial $trial")
+      // labels are component minima: every label maps to itself
+      local.values.foreach(c => assert(local(c) == c, s"trial $trial label $c"))
+    }
+  }
+
   test("maxBucket excludes hot fingerprints from candidate generation") {
     val spark = SparkTestSession.spark
     import spark.implicits._
