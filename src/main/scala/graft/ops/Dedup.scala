@@ -124,7 +124,11 @@ object Dedup {
           xxhash64(concat_ws(",",
             (0 until rows).map(r => col("__sig")(b * rows + r)): _*), lit(b))): _*))
         .as(Seq("__band", "__bucket")))
+    // materialize the (id, band, bucket) keys once: both self-join legs would
+    // otherwise re-run the whole signature subtree (measured 2-2.5x on the
+    // cold path); the checkpointed set is narrow — 3 longs x bands per doc
     val bounded = capBuckets(withBuckets, Seq("__band", "__bucket"), maxBucket)
+      .localCheckpoint(true)
     val left = bounded.select(col(idCol).as("a"), col("__band"), col("__bucket"))
     val right = bounded.select(col(idCol).as("b"), col("__band"), col("__bucket"))
     left.join(right, Seq("__band", "__bucket"))
@@ -187,7 +191,8 @@ object Dedup {
       k: Int = 24, w: Int = 12, minShared: Int = 2, maxBucket: Int = 0): DataFrame = {
     val fps = df.select(col(idCol),
       explode(graft.functions.TextHashes.winnow_set(col(textCol), k, w)).as("__fp"))
-    val bounded = capBuckets(fps, Seq("__fp"), maxBucket)
+    // one materialization of the exploded (id, fp) set — see minhashCandidates
+    val bounded = capBuckets(fps, Seq("__fp"), maxBucket).localCheckpoint(true)
     val l = bounded.select(col(idCol).as("id_a"), col("__fp"))
     val r = bounded.select(col(idCol).as("id_b"), col("__fp"))
     l.join(r, Seq("__fp"))
@@ -322,7 +327,8 @@ object Dedup {
       posexplode(array(combos.map(c =>
         concat_ws(":", c.map(b => blockVal(col("simhash"), b)): _*)): _*))
         .as(Seq("__tbl", "__key")))
-    val bounded = capBuckets(keyed, Seq("__tbl", "__key"), maxBucket)
+    // one materialization of the keyed fingerprints — see minhashCandidates
+    val bounded = capBuckets(keyed, Seq("__tbl", "__key"), maxBucket).localCheckpoint(true)
     val l = bounded.select(col(idCol).as("a"), col("simhash").as("__fa"), col("__tbl"), col("__key"))
     val r = bounded.select(col(idCol).as("b"), col("simhash").as("__fb"), col("__tbl"), col("__key"))
     l.join(r, Seq("__tbl", "__key"))
