@@ -234,6 +234,10 @@ object Similarity {
   def cosineNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 8): DataFrame = {
+    // NOTE: both legs re-run the scan + signature kernel; unlike Dedup's
+    // candidate joins (narrow id+key rows, checkpointed) this subtree carries
+    // the full vector column, where a second column-pruned parquet scan is
+    // cheaper at corpus scale than materializing every embedding
     val sigs = df.select(col(idCol), col(vecCol).as("__v"),
       lshSignature(col(vecCol), bits).as("__sig"))
     val l = sigs.select(col(idCol).as("a"), col("__v").as("__va"), col("__sig"))
