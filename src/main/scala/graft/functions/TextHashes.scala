@@ -374,7 +374,10 @@ object VectorKernels {
       ab += x * y; aa += x * x; bb += y * y
       i += 1
     }
-    ab / (math.sqrt(aa) * math.sqrt(bb))
+    // zero vector → similarity 0, not NaN: Spark's descending sort places NaN
+    // FIRST, so an unguarded dead embedding would outrank every real neighbor
+    if (aa == 0.0 || bb == 0.0) 0.0
+    else ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 }
 

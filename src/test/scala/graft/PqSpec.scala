@@ -98,6 +98,20 @@ class PqSpec extends AnyFunSuite {
     assert(sims.forall(s => s > 0.9 && s <= 1.0 + 1e-9))
   }
 
+  test("zero-vector corpus rows score 0 cosine, never NaN-rank first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 30).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() + 0.1f))) :+
+      (99L, Array.fill(8)(0.0f)) // dead embedding
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", k = 5).collect()
+    // all-positive vectors: every real neighbor has sim > 0; the zero vector
+    // must not appear in the top-5 (an unguarded NaN sorts first in Spark)
+    assert(!top.map(_.getLong(1)).contains(99L), top.mkString(","))
+    assert(top.forall(r => !r.getDouble(2).isNaN))
+  }
+
   test("ivfPqTopK output contract: k rows per query, rank 1..k, sim descending") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
