@@ -519,8 +519,11 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val vocab = TextStats.topVocab(docs, "text", v = 256)
       val (total, oov) = TextStats.oovCounts(col("text"), vocab)
+      // coalesce mirrors the oracle's LEFT JOIN + coalesce: a NULL text row
+      // must score (0, 0), not (NULL, NULL) from the null-safe kernels
       docs.select(col("doc_id"),
-        total.cast("long").as("total_tokens"), oov.cast("long").as("oov_tokens"))
+        coalesce(total.cast("long"), lit(0L)).as("total_tokens"),
+        coalesce(oov.cast("long"), lit(0L)).as("oov_tokens"))
     }),
     "q42_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))),
@@ -813,8 +816,9 @@ object SparkEntry {
          |q AS (SELECT vec_id AS qid, v AS qv, sig FROM sigs WHERE vec_id < 10),
          |c AS (SELECT vec_id AS nid, v AS cv, sig FROM sigs),
          |s AS (SELECT qid, nid,
-         |        list_dot_product(qv, cv) /
-         |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+         |        CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(cv, cv) = 0 THEN 0
+         |        ELSE list_dot_product(qv, cv) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS sim
          |      FROM q JOIN c USING (sig) WHERE qid <> nid)
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM (
          |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
@@ -832,7 +836,8 @@ object SparkEntry {
          |sigs AS (SELECT vec_id, v, $sig AS sig FROM e)
          |SELECT l.vec_id AS a, r.vec_id AS b
          |FROM sigs l JOIN sigs r ON l.sig = r.sig AND l.vec_id < r.vec_id
-         |WHERE list_dot_product(l.v, r.v) /
+         |WHERE list_dot_product(l.v, l.v) > 0 AND list_dot_product(r.v, r.v) > 0
+         |  AND list_dot_product(l.v, r.v) /
          |      (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) >= 0.999
          |ORDER BY a, b""".stripMargin
     },
@@ -859,8 +864,9 @@ object SparkEntry {
         |           FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
         |s AS (SELECT qid, nid,
-        |        list_dot_product(qv, cv) /
-        |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |        CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(cv, cv) = 0 THEN 0
+        |        ELSE list_dot_product(qv, cv) /
+        |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS sim
         |      FROM q, c WHERE qid <> nid)
         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk

@@ -222,17 +222,30 @@ object Dedup {
     * Size-adaptive: a pair graph at or below `driverEdgeLimit` edges is
     * collected and union-found on the driver (O(E·α), one job) — per-round
     * distributed join overhead swamps tiny graphs, and near-dup pair graphs
-    * are usually tiny relative to the corpus. Larger graphs take the
-    * distributed propagation path; `driverEdgeLimit = 0` forces it.
+    * are usually tiny relative to the corpus. The probe and the collect are
+    * ONE limited execution (CollectLimit short-circuits on big graphs, and a
+    * small graph's pairs subtree runs exactly once). The driver path holds
+    * the edge list plus a boxed parent map in driver heap — size
+    * `driverEdgeLimit` to the driver memory you can spare (the 1M default is
+    * ~hundreds of MB worst case); it is also clamped to Int range, and
+    * `driverEdgeLimit = 0` forces the distributed path.
     *
     * Output: (id, component) for every id that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20, driverEdgeLimit: Long = 4000000L): DataFrame = {
+      maxIters: Int = 20, driverEdgeLimit: Long = 1000000L): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     if (driverEdgeLimit > 0) {
-      // probe the size cheaply; limit+1 so a huge graph never fully counts
-      val small = e.limit((driverEdgeLimit + 1).toInt).count() <= driverEdgeLimit
-      if (small) return unionFindLocal(e)
+      // one limited execution answers BOTH the size question and (when small)
+      // supplies the edge array — the pairs subtree never runs twice for the
+      // fast path; clamp keeps limit() in Int range and the guard meaningful
+      val lim = math.min(driverEdgeLimit, Int.MaxValue - 1L)
+      val head = e.limit(lim.toInt + 1).collect()
+      if (head.length <= lim) {
+        val spark = e.sparkSession
+        return unionFindLocal(spark, head.map(r => (r.getLong(0), r.getLong(1))))
+      }
+      // large graph: fall through (the limited probe stopped early; the full
+      // subtree runs once below for the checkpoint)
     }
     val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
@@ -257,16 +270,23 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      // labels are still an UPPER approximation (some component has diameter
+      // > maxIters): say so rather than silently electing extra survivors —
+      // callers with adversarial diameters should raise maxIters or move to
+      // star contraction
+      System.err.println(
+        s"[graft] connectedComponents: no convergence after $maxIters rounds — " +
+          "labels may split components; raise maxIters")
     labels
   }
 
   /** Driver-side union-find with path halving + union-by-smaller-root:
     * the small-graph fast path of `connectedComponents` (labels = min id per
     * component, identical semantics to the distributed propagation). */
-  private def unionFindLocal(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
+  private def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val edges = e.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x0: Long): Long = {
       var x = x0
