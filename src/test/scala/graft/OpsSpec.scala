@@ -319,6 +319,21 @@ class OpsSpec extends AnyFunSuite {
     val info8 = Multimodal.decodeAudio(b8.array()).get
     assert(info8.sampleRate == 8000 && info8.channels == 1 && info8.frames == 800L)
     assert(info8.meanAbsX1000 > 0, info8.toString)
+    // big-endian AIFF (JDK-written from the same PCM): the PCM16-LE
+    // conversion path must yield the same frames and amplitude — an
+    // unconverted read would compute byte-swapped garbage
+    val aiffBytes = {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(src,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+      out.toByteArray
+    }
+    val infoA = Multimodal.decodeAudio(aiffBytes).get
+    assert(infoA.frames == 1600L && infoA.sampleRate == 8000)
+    assert(math.abs(infoA.meanAbsX1000 - info.meanAbsX1000) <= 2,
+      s"aiff ${infoA.meanAbsX1000} vs wav ${info.meanAbsX1000}")
     // through the Spark pipeline: audio rows report decoded format
     val media = docs.limit(3).select(
       col("doc_id").as("media_id"), lit("audio").as("kind"),
