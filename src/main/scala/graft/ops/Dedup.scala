@@ -207,17 +207,15 @@ object Dedup {
     * every node gets the minimum id reachable from it as its component label,
     * so `id == component` elects one deterministic survivor per cluster.
     *
-    * Algorithm: min-label propagation over the symmetrized edge list —
-    * each round joins labels across edges and takes the min (one short-key
-    * shuffle per round), converging in graph-diameter rounds. Near-dup graphs
-    * are unions of near-cliques (diameter 2-4), so 3-5 rounds in practice;
-    * `maxIters` bounds adversarial chains, and each round's result is
-    * localCheckpoint'ed so lineage stays flat. At 10^12-row corpus scale the
-    * pair graph is orders of magnitude smaller than the corpus (it only
-    * contains docs with a near-dup), and the alternating star-contraction
-    * algorithm (Kiveris et al., "Connected Components in MapReduce and
-    * Beyond", SoCC'14) drops the round count to O(log n) if diameters ever
-    * matter — the per-round join shape below is the same.
+    * Distributed algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — each half-round re-points nodes at their neighborhood
+    * minimum (one groupBy + one join on 16-byte edge rows), converging in
+    * O(log n) rounds REGARDLESS of graph diameter (min-label propagation
+    * needs diameter rounds and silently truncates on adversarial chains).
+    * Every round is localCheckpoint'ed so lineage stays flat. At 10^12-row
+    * corpus scale the pair graph is orders of magnitude smaller than the
+    * corpus (it only contains docs with a near-dup).
     *
     * Size-adaptive: a pair graph at or below `driverEdgeLimit` edges is
     * collected and union-found on the driver (O(E·α), one job) — per-round
@@ -247,38 +245,63 @@ object Dedup {
       // large graph: fall through (the limited probe stopped early; the full
       // subtree runs once below for the checkpoint)
     }
-    val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // symmetric directed view of the undirected edge set; self-loops dropped
+    var edges = e.filter(col("u") =!= col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+
+    /** One star half-round: point each qualifying neighbor v of u at
+      * m(u) = min(Γ(u) ∪ {u}). Large-star re-points the strictly larger
+      * neighbors, small-star the not-larger ones plus u itself. */
+    def starRound(large: Boolean): DataFrame = {
+      val mins = edges.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val joined = edges.join(mins, "u")
+      val repointed =
+        if (large) joined.filter(col("v") > col("u")).select(col("v").as("a"), col("m").as("b"))
+        else joined.filter(col("v") <= col("u")).select(col("v").as("a"), col("m").as("b"))
+          .union(mins.select(col("u").as("a"), col("m").as("b")))
+      val undirected = repointed.filter(col("a") =!= col("b"))
+      undirected.select(col("a").as("u"), col("b").as("v"))
+        .union(undirected.select(col("b").as("u"), col("a").as("v")))
+        .distinct()
+    }
+
+    // a round's edge SET is the convergence witness: stable (count, hash-xor)
+    // across a full large+small round ⇒ the graph is a union of min-centered
+    // stars. bit_xor is overflow-free under ANSI mode and order-independent;
+    // edges are distinct(), so xor's multiset cancellation cannot alias.
+    // O(log n) rounds by the star-contraction bound, so maxIters is a
+    // backstop, not a correctness knob.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // label(u) <- min(label(u), min over neighbors v of label(v)); the old
-      // label rides along so ONE action both materializes the round (flat
-      // lineage) and answers the any-change convergence probe
-      val prop = edges.join(labels, edges("v") === labels("id"))
-        .select(edges("u").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
-        .union(prop)
-        .groupBy("id").agg(min("component").as("component"))
-        .join(labels.select(col("id"), col("component").as("__old")), "id")
-        .localCheckpoint(true)
-      val changed = next.filter(col("component") =!= col("__old")).limit(1).count()
-      labels = next.drop("__old")
-      converged = changed == 0
+      edges = starRound(large = true).localCheckpoint(true)
+      edges = starRound(large = false).localCheckpoint(true)
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
       iter += 1
     }
     if (!converged)
-      // labels are still an UPPER approximation (some component has diameter
-      // > maxIters): say so rather than silently electing extra survivors —
-      // callers with adversarial diameters should raise maxIters or move to
-      // star contraction
       System.err.println(
-        s"[graft] connectedComponents: no convergence after $maxIters rounds — " +
-          "labels may split components; raise maxIters")
-    labels
+        s"[graft] connectedComponents: star contraction not stable after $maxIters " +
+          "rounds — labels may split components; raise maxIters")
+    // stars center on the component minimum: label(u) = min(u, min neighbor)
+    val labeled = edges.groupBy("u")
+      .agg(least(min(col("v")), first(col("u"))).as("component"))
+      .select(col("u").as("id"), col("component"))
+    // nodes that appeared only in self-pairs are singletons (the driver
+    // union-find path emits them too)
+    val loops = e.filter(col("u") === col("v")).select(col("u").as("id")).distinct()
+    labeled.union(
+      loops.join(labeled, Seq("id"), "left_anti").withColumn("component", col("id")))
   }
 
   /** Driver-side union-find with path halving + union-by-smaller-root:

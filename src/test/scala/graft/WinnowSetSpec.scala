@@ -109,8 +109,9 @@ class WinnowSetSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(21)
     (0 until 3).foreach { trial =>
       val n = 40
-      val pairs = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter { case (a, b) => a != b }
+      // include occasional self-pairs: both paths must emit them as singletons
+      val pairs = (Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b } :+ ((100L, 100L)))
         .toDF("id_a", "id_b")
       val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
