@@ -121,6 +121,15 @@ class WinnowSetSpec extends AnyFunSuite {
       // labels are component minima: every label maps to itself
       local.values.foreach(c => assert(local(c) == c, s"trial $trial label $c"))
     }
+    // one denser trial: 200 nodes / 300 edges mixes long paths with clusters
+    val big = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val bl = Dedup.connectedComponents(big, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bd = Dedup.connectedComponents(big, "id_a", "id_b", driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bl == bd)
   }
 
   test("maxBucket excludes hot fingerprints from candidate generation") {
