@@ -245,9 +245,16 @@ object Dedup {
       // large graph: fall through (the limited probe stopped early; the full
       // subtree runs once below for the checkpoint)
     }
+    // materialize the pairs subtree EXACTLY once: the symmetric edge view and
+    // the self-loop singleton scan both derive from this checkpoint (deriving
+    // either from `e` would re-run the upstream candidate join per action)
+    val eChk = e.localCheckpoint(true)
+    val noLoop = eChk.filter(col("u") =!= col("v"))
     // symmetric directed view of the undirected edge set; self-loops dropped
-    var edges = e.filter(col("u") =!= col("v"))
-      .union(e.select(col("v").as("u"), col("u").as("v")))
+    // from BOTH legs (a surviving (x,x) would cost one extra convergence
+    // round — round outputs never contain self-loops)
+    var edges = noLoop
+      .union(noLoop.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint(true)
 
@@ -270,8 +277,10 @@ object Dedup {
 
     // a round's edge SET is the convergence witness: stable (count, hash-xor)
     // across a full large+small round ⇒ the graph is a union of min-centered
-    // stars. bit_xor is overflow-free under ANSI mode and order-independent;
-    // edges are distinct(), so xor's multiset cancellation cannot alias.
+    // stars. bit_xor is overflow-free under ANSI mode and order-independent.
+    // The witness is PROBABILISTIC: two equal-count edge sets can xor-collide
+    // (~2^-64 per round), declaring convergence one round early; an exact
+    // witness is a two-sided anti-join per round if that risk ever matters.
     // O(log n) rounds by the star-contraction bound, so maxIters is a
     // backstop, not a correctness knob.
     def signature(df: DataFrame): (Long, Long) = {
@@ -299,7 +308,7 @@ object Dedup {
       .select(col("u").as("id"), col("component"))
     // nodes that appeared only in self-pairs are singletons (the driver
     // union-find path emits them too)
-    val loops = e.filter(col("u") === col("v")).select(col("u").as("id")).distinct()
+    val loops = eChk.filter(col("u") === col("v")).select(col("u").as("id")).distinct()
     labeled.union(
       loops.join(labeled, Seq("id"), "left_anti").withColumn("component", col("id")))
   }
