@@ -322,6 +322,14 @@ object SparkEntry {
         Dedup.fingerprintNearDups(t(s, dir, "documents"), "doc_id", "text",
           k = 24, w = 12, minShared = 2),
         "id_a", "id_b")),
+    "q26b_dedup_clusters_dist" -> ((s, dir) =>
+      // same clusters, DISTRIBUTED path forced (driverEdgeLimit = 0): the
+      // large-star/small-star contraction itself is gated against the exact
+      // recursive closure, not just unit-tested against union-find.
+      Dedup.connectedComponents(
+        Dedup.fingerprintNearDups(t(s, dir, "documents"), "doc_id", "text",
+          k = 24, w = 12, minShared = 2),
+        "id_a", "id_b", driverEdgeLimit = 0)),
     "q23_ngram_jaccard" -> ((s, dir) => {
       // exact word-3-gram Jaccard between each doc and its last-word-dropped twin
       // (integer intersection/union sizes — oracle-reproducible, no float compare)
@@ -756,6 +764,8 @@ object SparkEntry {
     "q25_fingerprint_pairs" ->
       graft.oracle.SketchSql.winnowPairsOracle(k = 24, w = 12, minShared = 2),
     "q26_dedup_clusters" ->
+      graft.oracle.SketchSql.winnowComponentsOracle(k = 24, w = 12, minShared = 2),
+    "q26b_dedup_clusters_dist" ->
       graft.oracle.SketchSql.winnowComponentsOracle(k = 24, w = 12, minShared = 2),
     "q27_stratified_sample" -> {
       val rank = graft.oracle.SketchSql.toSigned(
