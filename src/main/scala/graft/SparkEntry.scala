@@ -485,6 +485,18 @@ object SparkEntry {
         .select(col("qid"), (coalesce(col("hits"), lit(0L)) >= 2).cast("int").as("recall_ok"))
         .orderBy("qid")
     }),
+    "q35_ann_lsh_multiprobe" -> ((s, dir) => {
+      // multi-probe LSH: q31's exact-bucket join misses queries whose true
+      // neighbors sit one hyperplane away (46/50 result rows at sf0.01);
+      // probing the `bits` one-flip buckets recovers them. The oracle is the
+      // Hamming<=1 join — a pair matches exactly one probe, so the probe
+      // expansion and the distance predicate are the same set.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.lshMultiProbeTopK(q, emb, "vec_id", "embedding", k = 5, bits = 6)
+        .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     "q32_cosine_neardup" -> ((s, dir) => {
       // random embeddings have no near-dups; add scaled twins (cosine exactly 1)
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -830,6 +842,21 @@ object SparkEntry {
          |        ELSE list_dot_product(qv, cv) /
          |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS sim
          |      FROM q JOIN c USING (sig) WHERE qid <> nid)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+         |  FROM s) WHERE rnk <= 5""".stripMargin
+    },
+    "q35_ann_lsh_multiprobe" -> {
+      val sig = graft.oracle.SketchSql.lshSignatureExpr("v", 6)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sigs AS (SELECT vec_id, v, $sig AS sig FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, sig AS qsig FROM sigs WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, v AS cv, sig AS csig FROM sigs),
+         |s AS (SELECT qid, nid,
+         |        CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(cv, cv) = 0 THEN 0
+         |        ELSE list_dot_product(qv, cv) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS sim
+         |      FROM q JOIN c ON bit_count(xor(qsig, csig)) <= 1 AND qid <> nid)
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM (
          |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
          |  FROM s) WHERE rnk <= 5""".stripMargin

