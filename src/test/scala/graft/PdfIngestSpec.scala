@@ -14,6 +14,25 @@ import java.nio.file.{Files, Paths}
   */
 class PdfIngestSpec extends AnyFunSuite {
 
+  test("2839.pdf (scanned-OCR species: CCITT images, no reference golden) — self-pinned") {
+    // the reference ships no expected output for test-papers/2839.pdf, so
+    // this is a SELF-golden: it pins our own extraction (computed once,
+    // verified by inspection — real journal-article text in reading order)
+    // against regressions on a PDF species the four golden papers don't
+    // cover (scanned pages, CCITT-G4 rasters, OCR text layer)
+    val p = java.nio.file.Paths.get("/root/reference/test-papers/2839.pdf")
+    if (!java.nio.file.Files.exists(p)) cancel("test-papers not present")
+    val doc = graft.pdf.PdfDocument.open(java.nio.file.Files.readAllBytes(p))
+    assert(doc.pages.length == 6)
+    val ts = doc.tspanTexts
+    assert(ts.length == 1053)
+    assert(ts.head == "Journal of Solid State Chemistry 175 (2003) 366–371")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(ts.mkString("\n").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md == "9a0b3104b3740e9ddcf59c3802464bee")
+    assert(doc.extractText.length == 19373)
+  }
+
   private val inputDir = Paths.get("/root/reference/src/test/resources/input")
   private val goldenDir = Paths.get("/root/reference/src/test/resources/output")
 
