@@ -464,13 +464,15 @@ object SparkEntry {
         .orderBy("qid")
     }),
     "q34_ann_ivfpq" -> ((s, dir) => {
-      // IVF-PQ with exact-cosine refine (q33's gate pattern): ADC ranks
-      // 16-byte codes inside probed lists, the top k·refine candidates
-      // re-rank against raw vectors — returned sims are EXACT cosines, so
-      // quantization noise never leaves the candidate stage. The gate is the
-      // same >= 2-of-top-5 as q33 because recall is bounded by LIST PROBING,
-      // not PQ: measured per-query hits at sf0.01 are 2-5 and one query's
-      // remaining true neighbors sit in unprobed lists at nprobe=6/16
+      // IVF-PQ (by_residual, the FAISS default: codes quantize x − c(list),
+      // measured 37/50 exact-top-5 hits vs 35/50 for raw encoding here) with
+      // exact-cosine refine (q33's gate pattern): ADC ranks 16-byte codes
+      // inside probed lists via dot(q,c) + ADC(code, LUT_q) over a
+      // reconstructed norm, the top k·refine candidates re-rank against raw
+      // vectors — returned sims are EXACT cosines, so quantization noise
+      // never leaves the candidate stage. The gate is the same >= 2-of-top-5
+      // as q33 because recall is bounded by LIST PROBING, not PQ: one
+      // query's remaining true neighbors sit in unprobed lists at nprobe=6/16
       // regardless of code quality. Uniform random embeddings are the worst
       // case for both quantizers.
       val emb = t(s, dir, "embeddings")

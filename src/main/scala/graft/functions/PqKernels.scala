@@ -161,6 +161,75 @@ object PqVector {
   }
 }
 
+object PqResidual {
+  /** vec − centroids(list): the residual a by_residual IVF-PQ encodes. */
+  def subtract(vec: ArrayData, list: Int, centroids: Array[Array[Double]],
+      isFloat: Boolean): Array[Double] = {
+    val c = centroids(math.min(math.max(list, 0), centroids.length - 1))
+    val n = math.min(vec.numElements(), c.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)) - c(i)
+      i += 1
+    }
+    out
+  }
+
+  /** ADC against a per-list constant table: Σ_m lut(list)(m·ksub + code(m)).
+    * The table is corpus-wide constant (nlist × m·ksub doubles) and rides as
+    * a codegen reference object. */
+  def adcIndexed(code: Array[Byte], list: Int, luts: Array[Array[Double]]): Double = {
+    val lut = luts(math.min(math.max(list, 0), luts.length - 1))
+    val m = code.length
+    if (m == 0) return 0.0
+    val ksub = lut.length / m
+    var s = 0.0
+    var sub = 0
+    while (sub < m) {
+      s += lut(sub * ksub + (code(sub) & 0xff))
+      sub += 1
+    }
+    s
+  }
+}
+
+case class CentroidResidual(left: Expression, right: Expression,
+    centroids: Array[Array[Double]]) extends BinaryExpression {
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(vec: Any, list: Any): Any =
+    new GenericArrayData(PqResidual.subtract(
+      vec.asInstanceOf[ArrayData], list.asInstanceOf[Int], centroids, isFloat))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, (v, l) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PqResidual.subtract($v, $l, $cRef, $isFloat))")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "centroid_residual"
+}
+
+case class PqAdcIndexed(left: Expression, right: Expression,
+    luts: Array[Array[Double]]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(code: Any, list: Any): Any =
+    PqResidual.adcIndexed(code.asInstanceOf[Array[Byte]], list.asInstanceOf[Int], luts)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("luts", luts, "double[][]")
+    defineCodeGen(ctx, ev, (c, l) =>
+      s"graft.functions.PqResidual.adcIndexed($c, $l, $lRef)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcIndexed =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc_indexed"
+}
+
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression {
   private def isFloat: Boolean = child.dataType match {
@@ -238,4 +307,8 @@ object PqFunctions {
     column(PqLut(expression(q), codebooks))
   def pq_adc(code: Column, lut: Column): Column =
     column(PqAdc(expression(code), expression(lut)))
+  def centroid_residual(vec: Column, list: Column, centroids: Array[Array[Double]]): Column =
+    column(CentroidResidual(expression(vec), expression(list), centroids))
+  def pq_adc_indexed(code: Column, list: Column, luts: Array[Array[Double]]): Column =
+    column(PqAdcIndexed(expression(code), expression(list), luts))
 }

@@ -212,8 +212,10 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 16, ksub: Int = 16, trainN: Int = 256, refine: Int = 8): DataFrame = {
-    import graft.functions.{PqFunctions, PqVector}
+      m: Int = 16, ksub: Int = 16, trainN: Int = 256, refine: Int = 8,
+      byResidual: Boolean = true): DataFrame = {
+    import graft.functions.{PqFunctions, PqVector, VectorKernels}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
     val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv")).cache()
     val coarse = trainCoarse(base, nlist)
     // PQ training sample: bounded deterministic sample (lowest-hash ids) —
@@ -224,24 +226,63 @@ object Similarity {
       .select(col("__cv")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     base.unpersist() // eager training passes done
-    val codebooks = PqVector.train(sample, m, ksub)
+
+    // by_residual (the FAISS IVFPQ default): codebooks quantize x − c(list),
+    // which is far smaller than x when the coarse quantizer is any good, so
+    // the same code budget buys more precision. Training residuals use the
+    // SAME assignment rule as the corpus (normalized dot, first-index ties).
+    val coarseNorms = coarse.map(c => math.max(1e-12, math.sqrt(c.map(x => x * x).sum)))
+    val trainVecs =
+      if (byResidual) sample.map { v =>
+        val l = VectorKernels.nearestCentroid(new GenericArrayData(v), coarse, coarseNorms, false)
+        v.zip(coarse(l)).map { case (a, b) => a - b }
+      }
+      else sample
+    val codebooks = PqVector.train(trainVecs, m, ksub)
 
     // the encoded index: at 100 TB these four columns are written partitioned
     // by __list (file-pruned probes) and fit in memory where raw vectors don't
-    val c = base.select(col("nid"),
-      assignList(coarse, col("__cv")).as("__list"),
-      PqFunctions.pq_encode(col("__cv"), codebooks).as("__code"))
-      .withColumn("__pqnorm", PqFunctions.pq_code_norm_sq(col("__code"), codebooks))
+    val assigned = base.select(col("nid"),
+      assignList(coarse, col("__cv")).as("__list"), col("__cv"))
+    val c =
+      if (byResidual) {
+        // ‖x‖² ≈ ‖c‖² + 2·dot(c, x_r) + ‖x_r‖², all corpus-side constants:
+        // per-list centroid norms ride as a literal array, dot(c, x_r) is an
+        // ADC against the per-list centroid LUT table
+        val cNormSq = coarse.map(cc => cc.map(x => x * x).sum)
+        val lutC = coarse.map(cc => PqVector.lut(new GenericArrayData(cc), codebooks, isFloat = false))
+        assigned
+          .withColumn("__code", PqFunctions.pq_encode(
+            PqFunctions.centroid_residual(col("__cv"), col("__list"), coarse), codebooks))
+          .withColumn("__pqnorm",
+            element_at(typedlit(cNormSq.toSeq), col("__list") + 1) +
+              lit(2.0) * PqFunctions.pq_adc_indexed(col("__code"), col("__list"), lutC) +
+              PqFunctions.pq_code_norm_sq(col("__code"), codebooks))
+          .drop("__cv")
+      } else {
+        assigned
+          .withColumn("__code", PqFunctions.pq_encode(col("__cv"), codebooks))
+          .withColumn("__pqnorm", PqFunctions.pq_code_norm_sq(col("__code"), codebooks))
+          .drop("__cv")
+      }
 
-    val q = broadcast(probeLists(queries, idCol, vecCol, coarse, nprobe)
-      .withColumn("__lut", PqFunctions.pq_lut(col("__qv"), codebooks)))
+    // query-side LUT is list-independent in both modes (dot(q, x) =
+    // dot(q, c) + dot(q, x_r) — the second term is the ADC over q's LUT, the
+    // first is a per-probe constant computed on the broadcast side below)
+    val q0 = probeLists(queries, idCol, vecCol, coarse, nprobe)
+      .withColumn("__lut", PqFunctions.pq_lut(col("__qv"), codebooks))
+    val q = broadcast(
+      if (byResidual) {
+        val centsCol = typedlit(coarse.map(_.toSeq).toSeq)
+        q0.withColumn("__dotqc", dot(col("__qv"), element_at(centsCol, col("__list") + 1)))
+      } else q0.withColumn("__dotqc", lit(0.0)))
 
     // ADC scan: codes only. The query norm is constant per qid and drops out
-    // of the per-query ranking, so approx-cosine ~ adc / ||x~||.
+    // of the per-query ranking, so approx-cosine ~ (dot(q,c) + adc) / ||x~||.
     val approx = c.join(q, Seq("__list"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("__approx",
-        PqFunctions.pq_adc(col("__code"), col("__lut")) /
+        (col("__dotqc") + PqFunctions.pq_adc(col("__code"), col("__lut"))) /
           sqrt(greatest(col("__pqnorm"), lit(1e-12))))
     val wA = Window.partitionBy(col("qid")).orderBy(col("__approx").desc, col("nid"))
     val cands = approx.withColumn("__r", row_number().over(wA))

@@ -98,6 +98,33 @@ class PqSpec extends AnyFunSuite {
     assert(sims.forall(s => s > 0.9 && s <= 1.0 + 1e-9))
   }
 
+  test("residual decomposition identity: dot(q,c)+ADC == dot(q, c + recon(residual))") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val c = Array.fill(dim)(rnd.nextDouble())
+    val x = Array.fill(dim)(rnd.nextDouble())
+    val q = Array.fill(dim)(rnd.nextDouble())
+    val residual = x.zip(c).map { case (a, b) => a - b }
+    val sample = Array.fill(64)(Array.fill(dim)(rnd.nextDouble() - 0.5))
+    val cb = PqVector.train(sample, m = 4, ksub = 8)
+    val code = PqVector.encode(new GenericArrayData(residual), cb, isFloat = false)
+    val lutQ = PqVector.lut(new GenericArrayData(q), cb, isFloat = false)
+    val adc = PqVector.adc(code, new GenericArrayData(lutQ))
+    val recon = code.zipWithIndex.flatMap { case (cd, mm) => cb(mm)(cd & 0xff) }
+    val dotDirect = q.zip(c.zip(recon).map { case (a, b) => a + b })
+      .map { case (a, b) => a * b }.sum
+    val dotDecomposed = q.zip(c).map { case (a, b) => a * b }.sum + adc
+    assert(math.abs(dotDirect - dotDecomposed) < 1e-9)
+    // and the norm decomposition: ||c||^2 + 2*dot(c, recon) + ||recon||^2
+    val lutC = PqVector.lut(new GenericArrayData(c), cb, isFloat = false)
+    val normDecomposed = c.map(v => v * v).sum +
+      2 * graft.functions.PqResidual.adcIndexed(code, 0, Array(lutC)) +
+      PqVector.codeNormSq(code, cb.map(_.map(cc => cc.map(v => v * v).sum)))
+    val xRecon = c.zip(recon).map { case (a, b) => a + b }
+    assert(math.abs(normDecomposed - xRecon.map(v => v * v).sum) < 1e-9)
+  }
+
   test("multi-probe LSH: superset of exact-bucket results, one match per pair") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
