@@ -162,10 +162,14 @@ object PqVector {
 }
 
 object PqResidual {
-  /** vec − centroids(list): the residual a by_residual IVF-PQ encodes. */
+  /** vec − centroids(list): the residual a by_residual IVF-PQ encodes.
+    * An out-of-range list id is an invariant violation (mismatched centroid
+    * table) and fails loudly — clamping would silently corrupt every code. */
   def subtract(vec: ArrayData, list: Int, centroids: Array[Array[Double]],
       isFloat: Boolean): Array[Double] = {
-    val c = centroids(math.min(math.max(list, 0), centroids.length - 1))
+    require(list >= 0 && list < centroids.length,
+      s"list $list outside centroid table of ${centroids.length}")
+    val c = centroids(list)
     val n = math.min(vec.numElements(), c.length)
     val out = new Array[Double](n)
     var i = 0
@@ -178,9 +182,14 @@ object PqResidual {
 
   /** ADC against a per-list constant table: Σ_m lut(list)(m·ksub + code(m)).
     * The table is corpus-wide constant (nlist × m·ksub doubles) and rides as
-    * a codegen reference object. */
+    * a codegen reference object. The loop intentionally mirrors PqVector.adc
+    * rather than sharing a core: adc reads a per-row ArrayData column and
+    * must not copy it to an array per row; a PqSpec identity test pins the
+    * two to each other. Out-of-range list ids fail loudly (see subtract). */
   def adcIndexed(code: Array[Byte], list: Int, luts: Array[Array[Double]]): Double = {
-    val lut = luts(math.min(math.max(list, 0), luts.length - 1))
+    require(list >= 0 && list < luts.length,
+      s"list $list outside LUT table of ${luts.length}")
+    val lut = luts(list)
     val m = code.length
     if (m == 0) return 0.0
     val ksub = lut.length / m

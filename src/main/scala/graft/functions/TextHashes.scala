@@ -329,6 +329,14 @@ object VectorSketch {
 }
 
 object VectorKernels {
+  /** Floored centroid norms — THE normalization the assignment rule uses.
+    * Single definition shared by the corpus kernel (NearestCentroid), the
+    * query-side probe scoring, and driver-side residual training: if these
+    * ever diverged, PQ residuals would train against different lists than
+    * the corpus assigns. */
+  def centroidNorms(cents: Array[Array[Double]]): Array[Double] =
+    cents.map(c => math.max(1e-12, math.sqrt(c.map(x => x * x).sum)))
+
   /** argmax over centroids of dot(v, c_i) / ||c_i|| — first index wins ties
     * (matching array_position semantics). One tight loop, no boxing: Spark's
     * higher-order array functions are CodegenFallback (interpreted per row),
@@ -612,8 +620,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   * codegen reference object (it is broadcast-tiny — nlist × dim doubles). */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
-  private val norms: Array[Double] =
-    centroids.map(c => math.max(1e-12, math.sqrt(c.map(x => x * x).sum)))
+  private val norms: Array[Double] = VectorKernels.centroidNorms(centroids)
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

@@ -94,7 +94,7 @@ object Similarity {
     * corpus-side assignment uses the native NearestCentroid kernel instead. */
   private def centroidScores(cents: Array[Array[Double]], v: Column): Column = {
     val centsCol = typedlit(cents.map(_.toSeq).toSeq)
-    val normsCol = typedlit(cents.map(c => math.max(1e-12, math.sqrt(c.map(x => x * x).sum))).toSeq)
+    val normsCol = typedlit(graft.functions.VectorKernels.centroidNorms(cents).toSeq)
     zip_with(centsCol, normsCol, (c, n) => dot(v, c) / n)
   }
 
@@ -231,7 +231,7 @@ object Similarity {
     // which is far smaller than x when the coarse quantizer is any good, so
     // the same code budget buys more precision. Training residuals use the
     // SAME assignment rule as the corpus (normalized dot, first-index ties).
-    val coarseNorms = coarse.map(c => math.max(1e-12, math.sqrt(c.map(x => x * x).sum)))
+    val coarseNorms = VectorKernels.centroidNorms(coarse)
     val trainVecs =
       if (byResidual) sample.map { v =>
         val l = VectorKernels.nearestCentroid(new GenericArrayData(v), coarse, coarseNorms, false)
@@ -275,15 +275,17 @@ object Similarity {
       if (byResidual) {
         val centsCol = typedlit(coarse.map(_.toSeq).toSeq)
         q0.withColumn("__dotqc", dot(col("__qv"), element_at(centsCol, col("__list") + 1)))
-      } else q0.withColumn("__dotqc", lit(0.0)))
+      } else q0) // raw mode has no dot(q,c) term — don't ship a dead column
 
     // ADC scan: codes only. The query norm is constant per qid and drops out
     // of the per-query ranking, so approx-cosine ~ (dot(q,c) + adc) / ||x~||.
+    val adcNumerator =
+      if (byResidual) col("__dotqc") + PqFunctions.pq_adc(col("__code"), col("__lut"))
+      else PqFunctions.pq_adc(col("__code"), col("__lut"))
     val approx = c.join(q, Seq("__list"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("__approx",
-        (col("__dotqc") + PqFunctions.pq_adc(col("__code"), col("__lut"))) /
-          sqrt(greatest(col("__pqnorm"), lit(1e-12))))
+        adcNumerator / sqrt(greatest(col("__pqnorm"), lit(1e-12))))
     val wA = Window.partitionBy(col("qid")).orderBy(col("__approx").desc, col("nid"))
     val cands = approx.withColumn("__r", row_number().over(wA))
       .filter(col("__r") <= k * refine)

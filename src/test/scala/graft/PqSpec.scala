@@ -88,14 +88,18 @@ class PqSpec extends AnyFunSuite {
     }
     val df = rows.toDF("vec_id", "embedding")
     val q = df.filter(col("vec_id") < 5)
-    val pq = Similarity.ivfPqTopK(q, df, "vec_id", "embedding", k = 5,
-      nlist = 8, nprobe = 3, m = 8, ksub = 16, refine = 8)
     val bf = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", k = 5)
-    val hits = pq.select("qid", "nid").join(bf.select("qid", "nid"), Seq("qid", "nid")).count()
-    assert(hits == 25, s"expected 25 exact hits, got $hits")
-    // refine step means returned sims are EXACT cosines
-    val sims = pq.select("sim").collect().map(_.getDouble(0))
-    assert(sims.forall(s => s > 0.9 && s <= 1.0 + 1e-9))
+    // BOTH encodings must recover the clusters (residual is the default;
+    // the raw path must not rot untested)
+    Seq(true, false).foreach { res =>
+      val pq = Similarity.ivfPqTopK(q, df, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 3, m = 8, ksub = 16, refine = 8, byResidual = res)
+      val hits = pq.select("qid", "nid").join(bf.select("qid", "nid"), Seq("qid", "nid")).count()
+      assert(hits == 25, s"byResidual=$res: expected 25 exact hits, got $hits")
+      // refine step means returned sims are EXACT cosines
+      val sims = pq.select("sim").collect().map(_.getDouble(0))
+      assert(sims.forall(s => s > 0.9 && s <= 1.0 + 1e-9), s"byResidual=$res")
+    }
   }
 
   test("residual decomposition identity: dot(q,c)+ADC == dot(q, c + recon(residual))") {
@@ -118,6 +122,10 @@ class PqSpec extends AnyFunSuite {
     assert(math.abs(dotDirect - dotDecomposed) < 1e-9)
     // and the norm decomposition: ||c||^2 + 2*dot(c, recon) + ||recon||^2
     val lutC = PqVector.lut(new GenericArrayData(c), cb, isFloat = false)
+    // adcIndexed deliberately duplicates adc's loop (hot path must not copy
+    // ArrayData); this pin keeps the two indexing contracts identical
+    assert(graft.functions.PqResidual.adcIndexed(code, 0, Array(lutC)) ==
+      PqVector.adc(code, new GenericArrayData(lutC)))
     val normDecomposed = c.map(v => v * v).sum +
       2 * graft.functions.PqResidual.adcIndexed(code, 0, Array(lutC)) +
       PqVector.codeNormSq(code, cb.map(_.map(cc => cc.map(v => v * v).sum)))
