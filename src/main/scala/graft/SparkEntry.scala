@@ -281,7 +281,10 @@ object SparkEntry {
         .select(col("conv_id"), col("turns"), col("chars"),
           col("max_turn_idx").cast("int").as("max_turn_idx"))),
     "q20_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(t(s, dir, "documents"), "doc_id", "text", verifyBytes = true)),
+      // the byte-exact (verifyBytes) path is the oracle-comparable reference;
+      // production callers use exact128 (q46's path)
+      (Dedup.exact(t(s, dir, "documents"), "doc_id", "text",
+        verifyBytes = true): @scala.annotation.nowarn("cat=deprecation"))),
     "q21_dedup_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val mutated = docs.select(
@@ -410,8 +413,8 @@ object SparkEntry {
       // Dedup is the 128-bit hash-first path (Dedup.exact128): winner election
       // shuffles only (hash128, id) — 24-byte rows instead of full documents —
       // and the text rides a single id-keyed semi-join afterwards. The 128-bit
-      // key (xxhash64 of text and of reverse(text)) makes silent collision
-      // merges ~10^-15 at 10^12 rows, so the byte-exact oracle holds.
+      // key (two independently-seeded xxhash64 variants) makes silent
+      // collision merges ~10^-15 at 10^12 rows, so the byte-exact oracle holds.
       val docs = t(s, dir, "documents")
       val deduped = graft.ops.Dedup.exact128(docs, "doc_id", "text")
         .select(col("text"), col("doc_id"))

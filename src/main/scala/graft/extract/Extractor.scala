@@ -41,15 +41,39 @@ object Extractor {
     while (i < n && Character.isWhitespace(payload.charAt(i))) i += 1
     def at(prefix: String): Boolean = payload.startsWith(prefix, i)
     if (at("%PDF-")) Dialect.PdfFile // whole file: header magic (S2 sniff)
-    else if (at("---") && { val j = i + 3; j >= n || payload.charAt(j) == '\n' || payload.charAt(j) == '\r' })
-      Dialect.Markdown // YAML front matter opener
-    else if (at("# ")) Dialect.Markdown // ATX heading opener
+    else if (at("---") && { val j = i + 3; j >= n || payload.charAt(j) == '\n' || payload.charAt(j) == '\r' } &&
+             hasClosingFence(payload, i + 3))
+      Dialect.Markdown // YAML front matter opener WITH its closing fence
+    else if (at("# ") && hasMarkdownSignal(payload, i + 2))
+      Dialect.Markdown // ATX heading + at least one more markdown construct
     else if (at("<svg:svg") || at("<svg ") || payload.indexOf("<svg:tspan", i) >= 0) Dialect.Svg
     else if (at("<!") || at("<html") || at("<HTML") ||
              (i + 1 < n && payload.charAt(i) == '<' && payload.charAt(i + 1).isLetter)) Dialect.Html
     else if (hasContentStreamShape(payload, i)) Dialect.Pdf
     else Dialect.Plain
   }
+
+  /** A later line that is exactly `---` (trimmed) — front matter must CLOSE to
+    * count as markdown, so plain text that merely opens with a dash rule (or a
+    * diff fragment) passes through verbatim instead of losing its head. */
+  private def hasClosingFence(t: String, from: Int): Boolean = {
+    var i = t.indexOf("\n---", from)
+    while (i >= 0) {
+      var j = i + 4
+      while (j < t.length && (t.charAt(j) == ' ' || t.charAt(j) == '\t')) j += 1
+      if (j >= t.length || t.charAt(j) == '\n' || t.charAt(j) == '\r') return true
+      i = t.indexOf("\n---", i + 1)
+    }
+    false
+  }
+
+  /** A second markdown construct beyond the opening heading: another heading
+    * line, a fence, or link syntax. One `# ` alone is ambiguous with plain
+    * text like `# include <stdio.h>` — ambiguity resolves to Plain, which
+    * passes the payload through verbatim (the safe direction). */
+  private def hasMarkdownSignal(t: String, from: Int): Boolean =
+    t.indexOf("\n#", from) >= 0 || t.indexOf("\n```", from) >= 0 ||
+      t.indexOf("](", from) >= 0
 
   /** Content-stream shape — deliberately strict: a `BT`…`ET` block containing a
     * text-showing operator as a standalone token. Loose prefixes (`/`, `q `,

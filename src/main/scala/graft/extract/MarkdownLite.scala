@@ -106,7 +106,11 @@ object MarkdownLite {
         if (out.nonEmpty) out.append('\n')
         out.append(raw) // fenced content is verbatim — no inline processing
       } else if (raw.trim.isEmpty) {
-        dropped += 1 // blank separator: kept lines already join on newline
+        // blank lines are CONTENT once text has started (consecutive newlines
+        // round-trip); leading blanks — including the separator right after a
+        // front-matter fence — are structural and drop
+        if (out.nonEmpty) { out.append('\n'); out.append(raw) }
+        else dropped += 1
       } else {
         val structural = raw match {
           case Heading(rest) => rest

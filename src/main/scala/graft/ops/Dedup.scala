@@ -21,7 +21,16 @@ object Dedup {
   /** Exact dedupe: survivors = min id per normalized-content group. Map-side
     * combine makes this one cheap shuffle at any scale; dedupe on xxhash64 of
     * the text keeps shuffle rows narrow (hash collisions: verify on tie if
-    * byte-exactness is required — flag below). */
+    * byte-exactness is required — flag below).
+    *
+    * Deprecated in favor of [[exact128]]: the single-hash fast path keeps an
+    * arbitrary `first(text)` per 64-bit hash group, so at 10^12 rows (~27
+    * expected collisions) it silently drops a distinct document; the
+    * `verifyBytes = true` path shuffles the corpus text as the group key.
+    * `exact128` gets both right. `verifyBytes = true` remains in use by the
+    * byte-exact oracle queries and tests only. */
+  @deprecated("use exact128 (narrow 128-bit shuffles, no silent collision loss); " +
+    "verifyBytes=true is retained for byte-exact oracle/test use only", "round-4")
   def exact(df: DataFrame, idCol: String, textCol: String, verifyBytes: Boolean = false): DataFrame =
     if (verifyBytes)
       df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)).select(idCol, textCol)
@@ -37,9 +46,13 @@ object Dedup {
     * text as both key and payload — at 100 TB the sort keys are the documents
     * themselves and the aggregation hash map holds full texts. Here the
     * winner election shuffles 24-byte rows: a 128-bit content key built from
-    * two independent xxhash64 variants (plain text and text reversed — a
-    * collision must defeat both simultaneously; expected collisions at 10^12
-    * rows ≈ (10^12)²/2^129 ≈ 10^-15, vs ~27 for a single 64-bit hash). The
+    * two independent xxhash64 variants (plain text, and the text with a salt
+    * column prepended — seeding via an extra hashed column makes the variants
+    * independent for ALL inputs, where the earlier reverse(text) variant
+    * degenerated to h2 == h1 on palindromes, including every length ≤ 1
+    * string; a collision must defeat both hashes simultaneously; expected
+    * collisions at 10^12 rows ≈ (10^12)²/2^129 ≈ 10^-15, vs ~27 for a single
+    * 64-bit hash). The
     * text is then recovered by a left-semi join of the column-pruned source
     * against the winner ids — that exchange moves the surviving corpus once,
     * keyed by an 8-byte id instead of the text, and Catalyst prunes the scan
@@ -53,7 +66,7 @@ object Dedup {
     val winners = df
       .select(col(idCol),
         xxhash64(col(textCol)).as("__h1"),
-        xxhash64(reverse(col(textCol))).as("__h2"))
+        xxhash64(lit(1L), col(textCol)).as("__h2"))
       .groupBy(col("__h1"), col("__h2"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
@@ -139,7 +152,7 @@ object Dedup {
   /** Exclude join buckets above `maxBucket` rows (no-op when maxBucket <= 0).
     * One extra narrow aggregation on the bucket key — the same shuffle key the
     * join uses, so AQE reuses the exchange. */
-  private def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket <= 0) df
     else {
       val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))

@@ -63,7 +63,13 @@ object Joins {
   def salted(
       left: DataFrame, right: DataFrame,
       key: String, salt: Int = 8): DataFrame = {
-    val saltedLeft = left.withColumn("__salt", pmod(xxhash64(rand(42)), lit(salt)))
+    // deterministic salt: hash of the whole left row, so row→partition
+    // placement is stable across task retries (rand() re-draws on retry and
+    // can double-place or drop rows under speculative execution). Hashing the
+    // join key ALONE would be a no-op — every row of the hot key would land in
+    // one salt bucket — so the payload columns must participate.
+    val saltedLeft = left.withColumn(
+      "__salt", pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong)))
     val explodedRight = right
       .withColumn("__salt", explode(sequence(lit(0L), lit(salt - 1L))))
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")

@@ -138,15 +138,28 @@ object Multimodal {
           if (fmt.matches(pcmFmt)) raw
           else javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, raw)
         val frameSize = math.max(1, in.getFormat.getFrameSize)
-        val step = math.max(1L, frames / 4096)
+        // getFrameLength may be -1 (unknown, e.g. a converted/streamed
+        // format): fall back to tapping every frame until stream end — the
+        // clip is in-memory already, so the cost is bounded by bytes.length
+        val step = if (frames > 0) math.max(1L, frames / 4096) else 1L
         var sum = 0L
         var n = 0L
         val buf = new Array[Byte](frameSize)
         var idx = 0L
         var eof = false
-        while (!eof && idx < frames) {
-          val read = in.read(buf)
-          if (read < frameSize) eof = true
+        // read() may return short counts mid-frame — accumulate a full frame
+        // before declaring EOF
+        def readFrame(): Boolean = {
+          var off = 0
+          while (off < frameSize) {
+            val r = in.read(buf, off, frameSize - off)
+            if (r < 0) return false
+            off += r
+          }
+          true
+        }
+        while (!eof && (frames < 0 || idx < frames)) {
+          if (!readFrame()) eof = true
           else {
             // first channel's 16-bit little-endian sample
             val s = ((buf(1) << 8) | (buf(0) & 0xff)).toShort
@@ -161,7 +174,10 @@ object Multimodal {
             idx += step
           }
         }
-        Some(AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels, frames,
+        // unknown header length: report the frames actually decoded (the
+        // fallback taps every frame, so n IS the frame count)
+        Some(AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels,
+          if (frames >= 0) frames else n,
           if (n == 0) 0 else (sum * 1000 / (n * 32768)).toInt))
       } finally raw.close()
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -303,16 +303,26 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold, LSH-
-    * bucketed so the self-join never goes quadratic in the corpus. */
+    * bucketed so the self-join never goes quadratic in the corpus.
+    *
+    * `maxBucket > 0` excludes signature buckets holding more rows from
+    * candidate generation (same [[Dedup.capBuckets]] discipline as every text
+    * candidate generator): a degenerate bucket — a mass of near-zero or
+    * templated embeddings sharing one signature — otherwise makes this join
+    * quadratic at corpus scale. The excluded-bucket key set is an aggregation
+    * on the join key itself, broadcast-sized by construction. 0 = uncapped
+    * (exact semantics, used by the oracle-verified queries). */
   def cosineNearDups(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 8): DataFrame = {
+      threshold: Double, bits: Int = 8, maxBucket: Int = 0): DataFrame = {
     // NOTE: both legs re-run the scan + signature kernel; unlike Dedup's
     // candidate joins (narrow id+key rows, checkpointed) this subtree carries
     // the full vector column, where a second column-pruned parquet scan is
     // cheaper at corpus scale than materializing every embedding
-    val sigs = df.select(col(idCol), col(vecCol).as("__v"),
-      lshSignature(col(vecCol), bits).as("__sig"))
+    val sigs = Dedup.capBuckets(
+      df.select(col(idCol), col(vecCol).as("__v"),
+        lshSignature(col(vecCol), bits).as("__sig")),
+      Seq("__sig"), maxBucket)
     val l = sigs.select(col(idCol).as("a"), col("__v").as("__va"), col("__sig"))
     val r = sigs.select(col(idCol).as("b"), col("__v").as("__vb"), col("__sig"))
     l.join(r, Seq("__sig"))

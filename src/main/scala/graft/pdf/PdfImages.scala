@@ -41,7 +41,7 @@ object PdfImages {
       try {
         val rows = collection.mutable.SortedMap.empty[String, PdfImage]
         walkResources(file, p.attr("Resources"), "", pi, 0,
-          collection.mutable.Set.empty[(Int, Int)], rows)
+          collection.mutable.Set.empty[Any], rows)
         out ++= rows.valuesIterator
       } catch { case scala.util.control.NonFatal(_) => () } // never-fail (S6)
     }
@@ -50,7 +50,7 @@ object PdfImages {
 
   private def walkResources(
       file: PdfFile, resObj: Option[PObj], prefix: String, page: Int, depth: Int,
-      seen: collection.mutable.Set[(Int, Int)],
+      seen: collection.mutable.Set[Any],
       rows: collection.mutable.SortedMap[String, PdfImages.PdfImage]): Unit = {
     if (depth > 6) return
     val xobj = resObj.map(file.resolve) match {
@@ -67,12 +67,19 @@ object PdfImages {
           file.dictGet(s.dict, "Subtype") match {
             case Some(PName("Image")) =>
               rows.getOrElseUpdate(prefix + name, describe(file, prefix + name, page, s))
-            case Some(PName("Form")) if refKey.forall(seen.add) =>
-              // nested images keep a path-qualified name so two forms' /Im0
-              // don't collide in the per-page listing
-              walkResources(file, file.dictGet(s.dict, "Resources"),
-                prefix + name + "/", page, depth + 1, seen, rows)
-              refKey.foreach(seen.remove) // same form may recur on a later branch
+            case Some(PName("Form")) =>
+              // cycle guard covers BOTH reference shapes: indirect forms key
+              // on (num, gen), direct stream values on object identity (a
+              // self-referencing direct form previously re-walked to the
+              // depth cap instead of being cut at first recurrence)
+              val cycleKey: Any = refKey.getOrElse(System.identityHashCode(s))
+              if (seen.add(cycleKey)) {
+                // nested images keep a path-qualified name so two forms' /Im0
+                // don't collide in the per-page listing
+                walkResources(file, file.dictGet(s.dict, "Resources"),
+                  prefix + name + "/", page, depth + 1, seen, rows)
+                seen.remove(cycleKey) // same form may recur on a later branch
+              }
             case _ => ()
           }
         case _ => ()

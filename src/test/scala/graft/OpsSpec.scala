@@ -4,6 +4,9 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.annotation.nowarn
+
+@nowarn("cat=deprecation") // Dedup.exact stays under test as the exact128 reference
 class OpsSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
@@ -207,6 +210,27 @@ class OpsSpec extends AnyFunSuite {
     val pairs = Similarity.cosineNearDups(vectors, "vec_id", "embedding", threshold = 0.999, bits = 4)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
+  }
+
+  test("cosine near-dup maxBucket caps a degenerate signature bucket") {
+    import spark.implicits._
+    // 64 identical embeddings — one signature bucket — plus one distinct pair
+    // elsewhere: uncapped the hot bucket yields C(64,2)=2016 pairs; capped it
+    // contributes ZERO (excluded from candidate generation), bounding the
+    // self-join fan-out by the cap instead of N².
+    val hot = (0L until 64L).map(i => (i, Array.tabulate(8)(d => (d + 1).toFloat)))
+    val pair = Seq(
+      (100L, Array.tabulate(8)(d => -(d + 1).toFloat)),
+      (101L, Array.tabulate(8)(d => -(d + 1).toFloat)))
+    val df = (hot ++ pair).toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDups(df, "vec_id", "embedding",
+      threshold = 0.999, bits = 4).count()
+    assert(uncapped >= 2016L)
+    val capped = Similarity.cosineNearDups(df, "vec_id", "embedding",
+      threshold = 0.999, bits = 4, maxBucket = 16)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, _) => a < 64L }) // hot bucket excluded
+    assert(capped.contains((100L, 101L))) // cold pair survives the cap
   }
 
   test("as-of join attaches the latest prior right value") {

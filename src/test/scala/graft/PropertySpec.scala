@@ -123,12 +123,18 @@ class PropertySpec extends AnyFunSuite {
         |```
         |tail""".stripMargin
     val ex = MarkdownLite.strip(md)
+    // interior blank lines are content (consecutive newlines round-trip);
+    // only front matter, its separator, and fence markers drop
     assert(ex.text ==
       """Heading One
+        |
         |Intro paragraph with a link and bold text.
+        |
         |quoted line
+        |
         |item one
         |item two
+        |
         |code *stays* [verbatim](x)
         |tail""".stripMargin, ex.text)
     assert(ex.droppedLines > 0)

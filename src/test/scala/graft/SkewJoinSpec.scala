@@ -42,4 +42,23 @@ class SkewJoinSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     }
   }
+
+  test("salted join is deterministic across runs and spreads a hot key over salts") {
+    import graft.ops.Joins
+    val left = spark.range(2000)
+      .select(lit(7L).as("k"), concat(lit("p-"), col("id")).as("v"))
+    val right = spark.range(10).select(col("id").as("k"), lit("dim").as("d"))
+    def run() = Joins.salted(left, right, "k", salt = 8)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val a = run()
+    val b = run()
+    assert(a == b) // rand()-based salting was retry/run nondeterministic
+    assert(a.length == 2000)
+    // the salt must come from the payload, not the key: a key-only hash would
+    // put all 2000 hot-key rows in one bucket and the salting would be a no-op
+    val salts = left
+      .withColumn("__salt", pmod(xxhash64(left.columns.map(col): _*), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(salts >= 6, s"hot key only spread over $salts of 8 salts")
+  }
 }
