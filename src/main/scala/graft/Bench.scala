@@ -183,7 +183,7 @@ object Bench {
       "q13_pipeline_e2e", "q18_pdf_file_ingest", "q20_dedup_exact", "q21_dedup_minhash",
       "q22_simhash_pairs", "q25_fingerprint_pairs", "q26_dedup_clusters",
       "q27_stratified_sample", "q28_pack_sequences", "q29_oov_rate",
-      "q30_ann_bruteforce", "q33_ann_ivf",
+      "q30_ann_bruteforce", "q33_ann_ivf", "q36_substring_dedup", "q37_semantic_dedup",
       "q34_ann_ivfpq", "q40_textstats", "q43_fingerprint", "q44_chunking",
       "q46_clean_pipeline", "q50_events_window", "q53_rollup", "q59_asof_join",
       "q61_pdf_images")

@@ -333,6 +333,36 @@ object SparkEntry {
         Dedup.fingerprintNearDups(t(s, dir, "documents"), "doc_id", "text",
           k = 24, w = 12, minShared = 2),
         "id_a", "id_b", driverEdgeLimit = 0)),
+    "q36_substring_dedup" -> ((s, dir) => {
+      // exact substring-level dedup (Lee et al. 2022 ExactSubstr over word
+      // grams): the synthetic corpus has no natural cross-doc 15-grams, so
+      // docs with doc_id % 10 == 3 get the first document's leading 25 words
+      // appended — known duplicated spans the operator must find and clip
+      // (including from the source document's own head). The oracle replays
+      // gram-flagging, span merge and the clip positionally in DuckDB.
+      val docs = t(s, dir, "documents")
+      val snippet = docs.orderBy("doc_id").limit(1)
+        .select(array_join(
+          slice(filter(split(col("text"), " "), w => length(w) > 0), 1, 25), " ").as("__sn"))
+      val corpus = docs.crossJoin(broadcast(snippet))
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" "), col("__sn")))
+            .otherwise(col("text")).as("text"))
+      Dedup.substringDedup(corpus, "doc_id", "text", l = 15, minDocs = 2)
+    }),
+    "q37_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup composition: capped cosine near-dup pairs → connected
+      // components → min-id survivor election. Same scaled-twin fixture as
+      // q32 (cosine exactly 1), so every twin pair forms a 2-node cluster
+      // whose original is the survivor; untouched embeddings are singleton
+      // survivors. Oracle = the q32 pair mirror + exact recursive closure.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), v => v * lit(1.5f)).as("embedding"))
+      Dedup.semanticClusters(emb.union(twins), "vec_id", "embedding",
+        threshold = 0.999, bits = 6)
+    }),
     "q23_ngram_jaccard" -> ((s, dir) => {
       // exact word-3-gram Jaccard between each doc and its last-word-dropped twin
       // (integer intersection/union sizes — oracle-reproducible, no float compare)
@@ -784,6 +814,34 @@ object SparkEntry {
       graft.oracle.SketchSql.winnowComponentsOracle(k = 24, w = 12, minShared = 2),
     "q26b_dedup_clusters_dist" ->
       graft.oracle.SketchSql.winnowComponentsOracle(k = 24, w = 12, minShared = 2),
+    "q36_substring_dedup" ->
+      graft.oracle.SketchSql.substringDedupOracle(l = 15, minDocs = 2, snip = 25),
+    "q37_semantic_dedup" -> {
+      val sig = graft.oracle.SketchSql.lshSignatureExpr("v", 6)
+      s"""WITH RECURSIVE un AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT)) AS embedding
+         |  FROM embeddings WHERE vec_id < 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM un),
+         |sigs AS (SELECT vec_id, v, $sig AS sig FROM e),
+         |prs AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b
+         |  FROM sigs l JOIN sigs r ON l.sig = r.sig AND l.vec_id < r.vec_id
+         |  WHERE list_dot_product(l.v, l.v) > 0 AND list_dot_product(r.v, r.v) > 0
+         |    AND list_dot_product(l.v, r.v) /
+         |        (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) >= 0.999),
+         |ce AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT u, u FROM ce
+         |  UNION
+         |  SELECT t.id, c2.v FROM reach t JOIN ce c2 ON t.r = c2.u),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT s.vec_id, coalesce(c.component, s.vec_id) AS cluster,
+         |  CAST(CASE WHEN coalesce(c.component, s.vec_id) = s.vec_id THEN 1 ELSE 0 END AS BIGINT) AS survivor
+         |FROM (SELECT vec_id FROM un) s LEFT JOIN comp c ON s.vec_id = c.id""".stripMargin
+    },
     "q27_stratified_sample" -> {
       val rank = graft.oracle.SketchSql.toSigned(
         graft.oracle.SketchSql.mix64("doc_id::UBIGINT"))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -233,6 +233,81 @@ object TextSketchMore {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     out
   }
+
+  /** Non-empty space-separated tokens of `s` (the shared tokenization of the
+    * word-shingle kernels: runs of ' ' separate, empty tokens dropped). */
+  private def tokens(s: String): Array[String] = {
+    val out = new java.util.ArrayList[String]()
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      val from = i
+      while (i < n && s.charAt(i) != ' ') i += 1
+      if (i > from) out.add(s.substring(from, i))
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** POSITIONAL L-token-gram hashes: element p = hash of tokens[p .. p+k).
+    * Same per-word poly+mix hash and FNV-prime k-gram combine as
+    * `TextSketch.foreachShingleHash`, but order-preserving, duplicate-keeping
+    * and with NO short-document fallback (fewer than k tokens → empty array):
+    * substring-level dedup needs the gram's token offset, and a short document
+    * has no L-token substring to deduplicate. */
+  def tokenGramHashes(text: UTF8String, k: Int): Array[Long] = {
+    val ws = tokens(text.toString)
+    if (ws.length < k) return Array.emptyLongArray
+    val wh = new Array[Long](ws.length)
+    var w = 0
+    while (w < ws.length) {
+      val word = ws(w)
+      var h = 1125899906842597L
+      var j = 0
+      // fold codepoints (BMP fast path matches TextSketch.codePoints)
+      while (j < word.length) {
+        val c = word.charAt(j)
+        if (Character.isHighSurrogate(c) && j + 1 < word.length) {
+          h = 31 * h + word.codePointAt(j); j += 2
+        } else { h = 31 * h + c; j += 1 }
+      }
+      wh(w) = TextSketch.mix64(h)
+      w += 1
+    }
+    val out = new Array[Long](ws.length - k + 1)
+    var p = 0
+    while (p + k <= ws.length) {
+      var h = 0L
+      var q = 0
+      while (q < k) { h = h * 0x100000001b3L + wh(p + q); q += 1 }
+      out(p) = TextSketch.mix64(h)
+      p += 1
+    }
+    out
+  }
+
+  /** Remove the 0-based token ranges [starts(i), ends(i)) — sorted, disjoint —
+    * and join the surviving tokens with single spaces (the normalized surface
+    * both the engine and the DuckDB oracle reconstruct). */
+  def dropTokenSpans(text: UTF8String,
+      starts: org.apache.spark.sql.catalyst.util.ArrayData,
+      ends: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val ws = tokens(text.toString)
+    val ns = starts.numElements()
+    val sb = new java.lang.StringBuilder(text.numBytes())
+    var si = 0
+    var i = 0
+    while (i < ws.length) {
+      while (si < ns && i >= ends.getInt(si)) si += 1
+      val covered = si < ns && i >= starts.getInt(si)
+      if (!covered) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(ws(i))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 case class ShingleHashes(child: Expression, shingleK: Int) extends UnaryExpression {
@@ -246,6 +321,39 @@ case class ShingleHashes(child: Expression, shingleK: Int) extends UnaryExpressi
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** Positional L-token-gram hashes (array index = token offset) — the
+  * substring-dedup candidate kernel; mirrored by SketchSql positional CTEs. */
+case class TokenGramHashes(child: Expression, gramK: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextSketchMore.tokenGramHashes(input.asInstanceOf[UTF8String], gramK))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextSketchMore.tokenGramHashes($c, $gramK))")
+  override protected def withNewChildInternal(newChild: Expression): TokenGramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "token_gram_hashes"
+}
+
+/** Clip sorted disjoint 0-based token ranges [starts(i), ends(i)) out of the
+  * text; surviving tokens re-join on single spaces. */
+case class DropTokenSpans(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any, s: Any, e: Any): Any =
+    TextSketchMore.dropTokenSpans(t.asInstanceOf[UTF8String],
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      e.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s, e) =>
+      s"graft.functions.TextSketchMore.dropTokenSpans($t, $s, $e)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): DropTokenSpans =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "drop_token_spans"
 }
 
 /** splitmix64 finalizer over a long column — the deterministic rank key for
@@ -682,6 +790,10 @@ object TextHashes {
   def mix64_col(c: Column): Column = column(Mix64(expression(c)))
   def shingle_hashes(c: Column, shingleK: Int = 3): Column =
     column(ShingleHashes(expression(c), shingleK))
+  def token_gram_hashes(c: Column, gramK: Int): Column =
+    column(TokenGramHashes(expression(c), gramK))
+  def drop_token_spans(text: Column, starts: Column, ends: Column): Column =
+    column(DropTokenSpans(expression(text), expression(starts), expression(ends)))
   def lsh_signature(c: Column, bits: Int): Column =
     column(LshSignature(expression(c), bits))
   def nearest_centroid(c: Column, centroids: Array[Array[Double]]): Column =

@@ -215,6 +215,91 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Exact substring-level dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022 — the ExactSubstr discipline):
+    * any `l`-token gram occurring in ≥ `minDocs` DISTINCT documents marks its
+    * token span as duplicated; overlapping-or-adjacent flagged spans merge per
+    * document, and the merged spans are clipped out of the text. Like the
+    * published ExactSubstr implementation, EVERY occurrence of a duplicated
+    * span is removed (symmetric and deterministic — no survivor election);
+    * whole-document dedup (exact128) runs first in a real pipeline so full
+    * duplicates don't reach this operator.
+    *
+    * Spark-first shape (the reference algorithm is a single-node suffix
+    * array, which does not distribute): positional gram hashing. The gram
+    * exchange carries (8-byte hash, id, int pos) rows — ~20 bytes per corpus
+    * token, the same asymptotic footprint as the suffix array but fully
+    * shuffle-parallel. The duplicated-gram set (distinct grams seen in ≥
+    * minDocs docs) is usually corpus-tiny; the flagged-position set after the
+    * semi-join is tiny too, so the per-document window (span merge) and the
+    * final id-keyed join + clip touch only documents that actually contain a
+    * duplicated span — everything else passes through untouched. Both gram
+    * legs recompute the scan+kernel subtree (cheaper than materializing every
+    * gram, same trade as the LSH generators); the clip itself is one codegen'd
+    * kernel pass.
+    *
+    * Output: (id, n_spans, dropped_tokens, kept_text) for every input row;
+    * kept_text for clipped documents is the surviving tokens joined by single
+    * spaces (the normalized surface the DuckDB oracle reconstructs), untouched
+    * documents keep their text verbatim. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      l: Int = 50, minDocs: Int = 2): DataFrame = {
+    import graft.functions.TextHashes.{token_gram_hashes, drop_token_spans}
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol),
+      posexplode(token_gram_hashes(col(textCol), l)).as(Seq("__pos", "__h")))
+    val dup = grams.select(col("__h"), col(idCol)).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select(col("__h"))
+    val flagged = grams.join(dup, Seq("__h"), "left_semi")
+    // gaps-and-islands span merge: a flagged position starts a new span iff it
+    // lies beyond every earlier span end (pos > max(prev pos + l)); adjacent
+    // spans merge (their union is the same contiguous dropped-token range)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = flagged
+      .withColumn("__new",
+        when(col("__pos") > coalesce(max(col("__pos") + l).over(wPrev), lit(-1)), 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + l).as("__e"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__s"))).as("__ss"),
+        sort_array(collect_list(col("__e"))).as("__es"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s")).cast("long").as("dropped_tokens"))
+    df.select(col(idCol), col(textCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dropped_tokens"), lit(0L)).as("dropped_tokens"),
+        when(col("__ss").isNull, col(textCol))
+          .otherwise(drop_token_spans(col(textCol), col("__ss"), col("__es")))
+          .as("kept_text"))
+  }
+
+  /** Semantic dedup clusters (SemDeDup, Abbas et al. 2023 — embedding-space
+    * duplicate pruning): cosine near-dup pairs → connected components →
+    * min-id survivor election, composing the capped LSH pair generator with
+    * the size-adaptive component labeler. Every input id gets a cluster label
+    * (its component minimum; singletons label themselves) and a survivor
+    * flag (id == cluster). Keeping `survivor = 1` rows is the SemDeDup prune. */
+  def semanticClusters(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8, maxBucket: Int = 0,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val pairs = Similarity.cosineNearDups(df, idCol, vecCol, threshold, bits, maxBucket)
+    val comps = connectedComponents(pairs, "a", "b", driverEdgeLimit = driverEdgeLimit)
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"),
+        when(coalesce(col("component"), col(idCol)) === col(idCol), lit(1L))
+          .otherwise(lit(0L)).as("survivor"))
+  }
+
   /** Connected components over a near-dup PAIR graph — the step that turns
     * candidate pairs (MinHash/SimHash/winnowing output) into dedup clusters:
     * every node gets the minimum id reachable from it as its component label,

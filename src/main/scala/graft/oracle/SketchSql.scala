@@ -261,6 +261,59 @@ object SketchSql {
        |  SELECT w.id, e.v FROM reach w JOIN cedges e ON w.r = e.u)
        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin
 
+  /** q36 oracle: exact substring-level dedup (Lee et al. 2022 ExactSubstr
+    * semantics over word grams) — positional L-token-gram hashes (the same
+    * per-word poly+mix and FNV-prime combine as `shingleCte`, but
+    * order-preserving, duplicate-keeping, no short-doc fallback), grams in ≥
+    * `minDocs` distinct docs flag their token span, overlapping-or-adjacent
+    * spans merge per doc (gaps-and-islands), merged spans clip out and the
+    * survivors re-join on single spaces. Fixture matches the query side: docs
+    * with doc_id % 10 = 3 carry the first document's leading `snip` words
+    * appended (the planted cross-document spans). */
+  def substringDedupOracle(l: Int, minDocs: Int, snip: Int): String = {
+    // LINEAR Horner fold via list_reduce (the nested foldLeft form embeds its
+    // accumulator 3x per level through wrapMulConst — 3^l SQL blow-up at l=15)
+    val comb = s"list_reduce(list_prepend(CAST(0 AS UBIGINT), " +
+      s"list_slice(wh, p, p + ${l - 1})), " +
+      s"(a, c) -> ${wrapAdd(wrapMulConst("a", 0x100000001b3L), "c")})"
+    s"""WITH sn AS (
+       |  SELECT array_to_string(list_filter(string_split(text, ' '), w -> len(w) > 0)[1:$snip], ' ') AS sn
+       |  FROM documents ORDER BY doc_id LIMIT 1),
+       |src AS (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN doc_id % 10 = 3 THEN text || ' ' || sn.sn ELSE text END AS text
+       |  FROM documents, sn),
+       |wrds AS (SELECT id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws, text FROM src),
+       |whash AS (SELECT id, list_transform(ws, w -> ${mix64(polyCharHash("w"))}) AS wh, ws FROM wrds),
+       |grams AS (
+       |  SELECT id, CASE WHEN len(ws) >= $l THEN
+       |      list_transform(range(1, len(ws) - ${l - 1} + 1), p -> ${mix64(comb)})
+       |    ELSE [] END AS hs
+       |  FROM whash),
+       |g AS (SELECT id, unnest(hs) AS h, unnest(range(len(hs))) AS pos FROM grams),
+       |dup AS (SELECT h FROM (SELECT h, count(DISTINCT id) AS d FROM g GROUP BY h) WHERE d >= $minDocs),
+       |flag AS (SELECT id, pos FROM g JOIN dup USING (h)),
+       |isl AS (SELECT id, pos,
+       |    CASE WHEN pos > coalesce(max(pos + $l) OVER (PARTITION BY id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS f
+       |  FROM flag),
+       |isl2 AS (SELECT id, pos, SUM(f) OVER (PARTITION BY id ORDER BY pos) AS grp FROM isl),
+       |spans AS (SELECT id, grp, min(pos) AS s, max(pos) + $l AS e FROM isl2 GROUP BY id, grp),
+       |perdoc AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dropped_tokens,
+       |    list(s ORDER BY s) AS ss, list(e ORDER BY s) AS es
+       |  FROM spans GROUP BY id)
+       |SELECT w.id AS doc_id,
+       |  coalesce(p.n_spans, 0) AS n_spans,
+       |  coalesce(p.dropped_tokens, 0) AS dropped_tokens,
+       |  CASE WHEN p.ss IS NULL THEN w.text
+       |    ELSE coalesce(array_to_string(flatten(list_transform(range(0, len(p.ss) + 1),
+       |      i -> list_slice(w.ws, CASE WHEN i = 0 THEN 1 ELSE p.es[i] + 1 END,
+       |                            CASE WHEN i < len(p.ss) THEN p.ss[i + 1] ELSE len(w.ws) END))), ' '), '')
+       |  END AS kept_text
+       |FROM wrds w LEFT JOIN perdoc p ON w.id = p.id""".stripMargin
+  }
+
   /** Random-hyperplane LSH signature over a DOUBLE[] expression — mirrors the
     * native LshSignature expression: bit p set iff sum_d v[d]*sign(d,p) > 0
     * where sign(d,p) = +1 when mix64((d)*K1 + p*K2) has even parity (d

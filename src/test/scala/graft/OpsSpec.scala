@@ -233,6 +233,59 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.contains((100L, 101L))) // cold pair survives the cap
   }
 
+  test("substring dedup clips planted cross-doc spans and merges overlaps") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ") // 8-token duplicated run
+    val fixture = Seq(
+      (0L, s"alpha beta $shared gamma delta"),
+      (1L, s"one two three $shared four five six seven"),
+      (2L, "totally unrelated words that repeat nothing from the others at all"),
+      (3L, "tiny doc") // below l tokens: no grams, passes through
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(fixture, "doc_id", "text", l = 6, minDocs = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // grams of length 6 inside the 8-token shared run appear in docs 0 and 1;
+    // doc 0: positions 2..4 flag -> merged span [2, 10) = the shared run exactly
+    assert(out(0L) == ((1L, 8L, "alpha beta gamma delta")))
+    assert(out(1L) == ((1L, 8L, "one two three four five six seven")))
+    assert(out(2L) == ((0L, 0L, "totally unrelated words that repeat nothing from the others at all")))
+    assert(out(3L) == ((0L, 0L, "tiny doc")))
+  }
+
+  test("substring dedup drop_token_spans kernel handles edges") {
+    import graft.functions.TextSketchMore
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def drop(t: String, ss: Array[Int], es: Array[Int]): String =
+      TextSketchMore.dropTokenSpans(UTF8String.fromString(t),
+        new GenericArrayData(ss), new GenericArrayData(es)).toString
+    assert(drop("a b c d e", Array(1), Array(3)) == "a d e")
+    assert(drop("a b c", Array(0), Array(3)) == "") // whole doc clipped
+    assert(drop("a  b   c", Array(1), Array(2)) == "a c") // empty tokens dropped
+    assert(drop("a b c", Array[Int](), Array[Int]()) == "a b c")
+    // two disjoint spans incl. tail
+    assert(drop("t0 t1 t2 t3 t4 t5", Array(1, 3), Array(2, 6)) == "t0 t2")
+  }
+
+  test("semantic clusters: twins cluster to min id, survivors elected") {
+    import spark.implicits._
+    // pairwise-orthogonal one-hots (cosine 0 across ids) + scaled twins of
+    // ids 0 and 1 (cosine exactly 1 with their originals)
+    val base = (0L until 4L).map(i =>
+      (i, Array.tabulate(8)(d => if (d == i) 1.0f else 0.0f)))
+    val twins = (0L until 2L).map(i =>
+      (i + 100L, Array.tabulate(8)(d => if (d == i) 2.0f else 0.0f)))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val out = Dedup.semanticClusters(df, "vec_id", "embedding",
+      threshold = 0.9999, bits = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L)._1 == 0L && out(100L)._1 == 0L) // scaled twin joins its original
+    assert(out(1L)._1 == 1L && out(101L)._1 == 1L)
+    assert(out(0L)._2 == 1L && out(100L)._2 == 0L) // min-id survivor election
+    assert(out(2L) == ((2L, 1L))) // singleton: own cluster, survivor
+    assert(out.size == 6)
+  }
+
   test("as-of join attaches the latest prior right value") {
     import spark.implicits._
     def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
