@@ -253,10 +253,16 @@ object SparkEntry {
       // joins the corpus here for its 7 CCITT-G4 scans.
       import s.implicits._
       val _ = dir
+      // the corpus has no JBIG2 instance, so a deterministic arithmetic-coded
+      // generic-region PDF (Jbig2Synth encoder, round 4) joins it — its
+      // decoded dims and mean gray are pinned literals in the oracle
+      val synthetic = s.createDataset(Seq(
+        ("synthetic/jbig2.pdf", graft.testgen.Jbig2Synth.pdfWithJbig2(64, 48, seed = 5))))
       s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
         .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
+        .union(synthetic)
         .flatMap { case (path, bytes) =>
           val paper = path.split('/').last.stripSuffix(".pdf")
           graft.pdf.PdfImages.list(graft.pdf.PdfDocument.open(bytes)).map { i =>
@@ -761,6 +767,7 @@ object SparkEntry {
         |) AS t(paper, exact_floor_ok)""".stripMargin,
     "q61_pdf_images" ->
       """SELECT * FROM (VALUES
+        | ('jbig2', 0, 'ImJ', 64, 48, 1, 'DeviceGray', 'JBIG2Decode', 64, 48, 3, 158),
         | ('test24', 0, 'Im1', 353, 274, 8, 'DeviceRGB', 'DCTDecode', 353, 274, 3, 204),
         | ('test24', 4, 'Im2', 497, 345, 8, 'DeviceRGB', 'DCTDecode', 497, 345, 3, 242),
         | ('test24', 4, 'Im3', 496, 291, 8, 'DeviceRGB', 'DCTDecode', 496, 291, 3, 238),

@@ -298,12 +298,20 @@ final class PdfDocument private (val file: PdfFile) {
   /** Reading-order page text through the line assembler (y-clustering +
     * metric-based word-gap inference) — the library's user-facing extraction
     * surface for whole PDF files. */
-  def extractPageText(i: Int): String =
+  def extractPageText(i: Int): String = {
     // fake spaces ON: intra-run kern word gaps are invisible to the line
     // assembler (it only sees run-boundary geometry); leading fake spaces sit
     // at the previous run's end x, so the assembler's gap test sees no gap and
     // does not double them
-    graft.extract.LineAssembler.assemble(evalPage(i).runs).text
+    val text = graft.extract.LineAssembler.assemble(evalPage(i).runs).text
+    // bidi per assembled line, ON the reading-order surface ONLY — the
+    // reference applies its bidi transform in getTextContent
+    // (pdf.combined.js:46033-46045) and never in the SVG path, so the tspan/
+    // golden surface stays byte-identical while document text reads RTL
+    // scripts in logical order
+    if (text.isEmpty) text
+    else text.linesIterator.map(graft.extract.Bidi.reverseIfRtl(_)).mkString("\n")
+  }
 
   /** Whole-document text, pages joined by a blank line. */
   def extractText: String = pages.indices.map(extractPageText).mkString("\n\n")

@@ -255,7 +255,29 @@ object PdfImages {
             rawLayout(file, d).flatMap { case (comps, palette) =>
               rawToImage(payload, w, h, math.max(1, bpc), comps, palette)
             }
-          case _ => None // JPX/JBIG2: no JDK codec — metadata-only
+          case "JBIG2Decode" =>
+            // arithmetic generic regions decode for REAL (graft.pdf.Jbig2 —
+            // MQ decoder + template 0-3 generic region from the public spec);
+            // symbol-coded / MMR streams return None → metadata-only row.
+            // JBIG2 convention: decoded 1 = black (the filter's output maps
+            // to gray 0, the same inversion every conformant viewer applies)
+            Jbig2.decodeEmbedded(payload, w, h).map { bits =>
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  row(x) = if (bits(y * w + x) != 0) 0x000000 else 0xffffff
+                  x += 1
+                }
+                img.setRGB(0, y, w, 1, row, 0, w)
+                y += 1
+              }
+              img
+            }
+          case _ => None // JPX: no JDK codec — metadata-only
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     decoded match {

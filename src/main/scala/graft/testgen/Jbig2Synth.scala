@@ -1,0 +1,211 @@
+package graft.testgen
+
+import graft.pdf.Jbig2
+
+/** Deterministic JBIG2 ENCODER for fixtures (T.88 Annex E encoder procedures
+  * + generic region coding): the decoding lane needs real arithmetic-coded
+  * streams to decode, and no JDK codec can produce them. Encodes a bitmap as
+  * one immediate generic region segment in the PDF-embedded format (no file
+  * header), which `Jbig2.decodeEmbedded` — and any conformant decoder — reads
+  * back. Test/synthesis support, not a product surface.
+  */
+object Jbig2Synth {
+
+  /** MQ arithmetic encoder (T.88 E.3.5-E.3.8: CODEMPS/CODELPS, BYTEOUT with
+    * 0xFF stuffing, SETBITS flush). A carry that would propagate into the
+    * conventionally-discarded sentinel byte materializes as a real leading
+    * byte instead (the code string the arithmetic actually requires). */
+  final class MqEncoder {
+    private var a = 0x8000
+    private var c = 0L
+    private var ct = 12
+    private val bytes = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+    def encode(cx: Array[Int], i: Int, d: Int): Unit = {
+      var icx = cx(i) >> 1
+      var mps = cx(i) & 1
+      val qe = Jbig2.Qe(icx)
+      if (d == mps) {
+        // CODEMPS
+        a -= qe
+        if ((a & 0x8000) == 0) {
+          if (a < qe) a = qe else c += qe
+          icx = Jbig2.Nmps(icx)
+          renorm()
+        } else c += qe
+      } else {
+        // CODELPS
+        a -= qe
+        if (a < qe) c += qe else a = qe
+        if (Jbig2.Switch(icx) == 1) mps = 1 - mps
+        icx = Jbig2.Nlps(icx)
+        renorm()
+      }
+      cx(i) = (icx << 1) | mps
+    }
+
+    private def renorm(): Unit = {
+      var go = true
+      while (go) {
+        a = (a << 1) & 0xffff
+        c = (c << 1) & 0xfffffffL // 28-bit register, carry handled in byteOut
+        ct -= 1
+        if (ct == 0) byteOut()
+        go = (a & 0x8000) == 0
+      }
+    }
+
+    private def byteOut(): Unit = {
+      val b = if (bytes.isEmpty) 0 else bytes.last
+      if (b == 0xff) {
+        bytes += (c >> 20).toInt
+        c &= 0xfffff
+        ct = 7
+      } else if (c < 0x8000000L) {
+        bytes += (c >> 19).toInt
+        c &= 0x7ffff
+        ct = 8
+      } else {
+        // carry into the previous byte
+        if (bytes.isEmpty) bytes += 1 else bytes(bytes.length - 1) = b + 1
+        if (bytes.last == 0xff) {
+          c &= 0x7ffffff
+          bytes += (c >> 20).toInt
+          c &= 0xfffff
+          ct = 7
+        } else {
+          bytes += ((c & 0x7ffffffL) >> 19).toInt
+          c &= 0x7ffff
+          ct = 8
+        }
+      }
+    }
+
+    /** FLUSH (E.3.8): SETBITS (pick a code value inside the final interval
+      * [C, C+A) with maximal trailing ones) then two byte-outs and the FF AC
+      * terminator. C stays below 2^(28-CT) between byte-outs, so the shifts
+      * never overflow the 28-bit register. */
+    def flush(): Array[Byte] = {
+      val tempc = c + a
+      c |= 0xffffL
+      if (c >= tempc) c -= 0x8000
+      c <<= ct
+      byteOut()
+      c <<= ct
+      byteOut()
+      if (bytes.isEmpty || bytes.last != 0xff) bytes += 0xff
+      bytes += 0xac
+      bytes.map(_.toByte).toArray
+    }
+  }
+
+  /** Encode a bitmap (row-major, nonzero = black) as a generic region with
+    * `template` (nominal AT positions) and no TPGDON — the exact inverse of
+    * `Jbig2.decodeGenericRegion` context formation. */
+  def encodeGenericRegion(bitmap: Array[Byte], w: Int, h: Int, template: Int = 0): Array[Byte] = {
+    val at = nominalAt(template)
+    val tmpl = Jbig2.templatePoints(template, at)
+    val cx = new Array[Int](1 << 16)
+    val enc = new MqEncoder
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var ctx = 0
+        var t = 0
+        while (t < tmpl.length) {
+          val (dx, dy) = tmpl(t)
+          val xx = x + dx
+          val yy = y + dy
+          val bit =
+            if (xx < 0 || xx >= w || yy < 0) 0
+            else if (bitmap(yy * w + xx) != 0) 1 else 0
+          ctx = (ctx << 1) | bit
+          t += 1
+        }
+        enc.encode(cx, ctx, if (bitmap(y * w + x) != 0) 1 else 0)
+        x += 1
+      }
+      y += 1
+    }
+    enc.flush()
+  }
+
+  def nominalAt(template: Int): Array[(Int, Int)] = template match {
+    case 0 => Array((3, -1), (-3, -1), (2, -2), (-2, -2))
+    case 2 => Array((2, -1))
+    case 3 => Array((2, -1))
+    case _ => Array((3, -1))
+  }
+
+  /** Wrap an encoded generic region as a PDF-embedded JBIG2 stream: one
+    * immediate generic region segment (type 38) covering the full image. */
+  def embeddedStream(bitmap: Array[Byte], w: Int, h: Int, template: Int = 0): Array[Byte] = {
+    val mq = encodeGenericRegion(bitmap, w, h, template)
+    val at = nominalAt(template)
+    val nAt = at.length
+    val dataLen = 18 + 2 * nAt + mq.length
+    val out = java.nio.ByteBuffer.allocate(11 + 4 + dataLen)
+    out.putInt(0) // segment number
+    out.put(38.toByte) // flags: type 38 (immediate generic region), 1-byte page assoc
+    out.put(0.toByte) // referred-to: count 0, no retain bits
+    out.put(1.toByte) // page association
+    out.putInt(dataLen)
+    out.putInt(w).putInt(h).putInt(0).putInt(0) // region info at (0,0)
+    out.put(0.toByte) // external combination operator: OR
+    out.put(((template & 3) << 1).toByte) // generic flags: MMR=0, TPGDON=0
+    at.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
+    out.put(mq)
+    out.array()
+  }
+
+  /** Minimal one-page PDF carrying one JBIG2-encoded image XObject — the
+    * corpus-side fixture for the raster decode lane (the reference corpus has
+    * no JBIG2 instance and no JDK codec can author one). */
+  def pdfWithJbig2(w: Int, h: Int, seed: Long): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val stream = embeddedStream(testBitmap(w, h, seed), w, h)
+    val sb = new StringBuilder
+    stream.foreach(b => sb.append((b & 0xff).toChar)) // latin-1-preserved bytes
+    val content = s"q $w 0 0 $h 100 600 cm /ImJ Do Q"
+    (s"""%PDF-1.4
+       |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]
+       |  /Resources << /XObject << /ImJ 4 0 R >> >> /Contents 5 0 R >> endobj
+       |4 0 obj << /Type /XObject /Subtype /Image /Width $w /Height $h
+       |  /BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /JBIG2Decode
+       |  /Length ${stream.length} >>
+       |stream
+       |${sb.toString}
+       |endstream
+       |endobj
+       |5 0 obj << /Length ${content.length} >>
+       |stream
+       |$content
+       |endstream
+       |endobj
+       |trailer << /Size 6 /Root 1 0 R >>
+       |startxref
+       |0
+       |%%EOF
+       |""").stripMargin.getBytes(ISO_8859_1)
+  }
+
+  /** Deterministic test bitmap: diagonal bands + a filled box, seeded. */
+  def testBitmap(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val b = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val band = ((x + 2 * y + seed) % 11) < 4
+        val box = x >= w / 4 && x < w / 2 && y >= h / 4 && y < h / 2
+        b(y * w + x) = if (band ^ box) 1 else 0
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+}

@@ -1,0 +1,100 @@
+package graft.pdf
+
+import graft.testgen.Jbig2Synth
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JBIG2 generic-region lane: MQ coder pair consistency, bitmap round-trips
+  * across templates and shapes, embedded segment parsing, corrupt-stream
+  * robustness. */
+class Jbig2Spec extends AnyFunSuite {
+
+  test("MQ coder round-trips arbitrary bit/context sequences") {
+    // deterministic pseudo-random bits + contexts: the strongest internal
+    // consistency gate for the coder pair (every state transition exercised)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 2000 + trial * 500
+      val bits = Array.fill(n)(if (rnd.nextInt(10) < (trial + 1) * 2) 1 else 0)
+      val ctxs = Array.fill(n)(rnd.nextInt(512))
+      val enc = new Jbig2Synth.MqEncoder
+      val cxE = new Array[Int](512)
+      var i = 0
+      while (i < n) { enc.encode(cxE, ctxs(i), bits(i)); i += 1 }
+      val stream = enc.flush()
+      val dec = new Jbig2.MqDecoder(stream, 0, stream.length)
+      val cxD = new Array[Int](512)
+      i = 0
+      while (i < n) {
+        assert(dec.decode(cxD, ctxs(i)) == bits(i), s"trial $trial bit $i")
+        i += 1
+      }
+    }
+  }
+
+  test("generic region round-trips across all four templates") {
+    for (template <- 0 to 3) {
+      val (w, h) = (61, 37) // non-byte-aligned on purpose
+      val bmp = Jbig2Synth.testBitmap(w, h, seed = 7 + template)
+      val mq = Jbig2Synth.encodeGenericRegion(bmp, w, h, template)
+      val back = Jbig2.decodeGenericRegion(mq, 0, mq.length, w, h, template,
+        Jbig2Synth.nominalAt(template), tpgdon = false)
+      assert(back.toSeq == bmp.toSeq, s"template $template")
+      assert(mq.length < w * h / 4, s"template $template: compression happened (${mq.length})")
+    }
+  }
+
+  test("degenerate bitmaps: all-white, all-black, single column/row") {
+    for ((w, h, fill) <- Seq((64, 64, 0), (64, 64, 1), (1, 40, 1), (40, 1, 0))) {
+      val bmp = Array.fill[Byte](w * h)(fill.toByte)
+      val mq = Jbig2Synth.encodeGenericRegion(bmp, w, h, 0)
+      val back = Jbig2.decodeGenericRegion(mq, 0, mq.length, w, h, 0,
+        Jbig2Synth.nominalAt(0), tpgdon = false)
+      assert(back.toSeq == bmp.toSeq, s"$w x $h fill=$fill")
+    }
+  }
+
+  test("embedded segment stream decodes to the page bitmap") {
+    val (w, h) = (48, 32)
+    val bmp = Jbig2Synth.testBitmap(w, h, seed = 3)
+    val stream = Jbig2Synth.embeddedStream(bmp, w, h)
+    val out = Jbig2.decodeEmbedded(stream, w, h)
+    assert(out.isDefined)
+    assert(out.get.toSeq == bmp.toSeq)
+  }
+
+  test("synthetic JBIG2 PDF decodes through the full raster lane") {
+    val pdf = Jbig2Synth.pdfWithJbig2(64, 48, seed = 5)
+    val doc = PdfDocument.open(pdf)
+    val imgs = PdfImages.list(doc)
+    assert(imgs.length == 1)
+    val i = imgs.head
+    assert((i.name, i.width, i.height, i.bpc, i.colorSpace, i.filter) ==
+      (("ImJ", 64, 48, 1, "DeviceGray", "JBIG2Decode")))
+    assert((i.decodedW, i.decodedH) == ((64, 48)))
+    // pin the decoded content: mean gray over the full tap grid must match
+    // the source bitmap's white fraction exactly
+    val bmp = Jbig2Synth.testBitmap(64, 48, seed = 5)
+    val white = bmp.count(_ == 0)
+    val expected = math.round(255.0 * white / bmp.length).toInt
+    info(s"grayMean=${i.grayMean} expected=$expected")
+    assert(i.grayMean == expected)
+  }
+
+  test("corrupt / truncated / foreign streams never throw") {
+    val (w, h) = (32, 32)
+    val good = Jbig2Synth.embeddedStream(Jbig2Synth.testBitmap(w, h, 1), w, h)
+    for (cut <- Seq(0, 3, 10, good.length / 2, good.length - 1)) {
+      val res = Jbig2.decodeEmbedded(good.take(cut), w, h) // must not throw
+      assert(res.isEmpty || res.get.length == w * h)
+    }
+    val garbage = Array.tabulate[Byte](200)(i => (i * 37).toByte)
+    assert(Jbig2.decodeEmbedded(garbage, w, h).isEmpty ||
+      Jbig2.decodeEmbedded(garbage, w, h).get.length == w * h)
+    // flipped bytes inside the MQ data: decoder still terminates with a
+    // full-size (wrong-content) bitmap — never-fail discipline
+    val bent = good.clone()
+    bent(good.length - 5) = (bent(good.length - 5) ^ 0x55).toByte
+    val r = Jbig2.decodeEmbedded(bent, w, h)
+    assert(r.isEmpty || r.get.length == w * h)
+  }
+}
