@@ -100,31 +100,54 @@ object Jbig2Synth {
   }
 
   /** Encode a bitmap (row-major, nonzero = black) as a generic region with
-    * `template` (nominal AT positions) and no TPGDON — the exact inverse of
-    * `Jbig2.decodeGenericRegion` context formation. */
-  def encodeGenericRegion(bitmap: Array[Byte], w: Int, h: Int, template: Int = 0): Array[Byte] = {
+    * `template` (nominal AT positions) — the exact inverse of
+    * `Jbig2.decodeGenericRegion` context formation. With `tpgdon`, rows equal
+    * to their predecessor (and leading all-zero rows) encode as one typical-
+    * prediction pseudo-pixel instead of per-pixel decisions (6.2.5.7). */
+  def encodeGenericRegion(bitmap: Array[Byte], w: Int, h: Int, template: Int = 0,
+      tpgdon: Boolean = false): Array[Byte] = {
     val at = nominalAt(template)
     val tmpl = Jbig2.templatePoints(template, at)
+    val ltpCx = template match {
+      case 0 => 0x9b25; case 1 => 0x0795; case 2 => 0x00e5; case _ => 0x0195
+    }
     val cx = new Array[Int](1 << 16)
     val enc = new MqEncoder
+    var ltp = false
     var y = 0
     while (y < h) {
-      var x = 0
-      while (x < w) {
-        var ctx = 0
-        var t = 0
-        while (t < tmpl.length) {
-          val (dx, dy) = tmpl(t)
-          val xx = x + dx
-          val yy = y + dy
-          val bit =
-            if (xx < 0 || xx >= w || yy < 0) 0
-            else if (bitmap(yy * w + xx) != 0) 1 else 0
-          ctx = (ctx << 1) | bit
-          t += 1
+      var skipRow = false
+      if (tpgdon) {
+        var typical = true
+        var x = 0
+        while (typical && x < w) {
+          val prev = if (y > 0 && bitmap((y - 1) * w + x) != 0) 1 else 0
+          val cur = if (bitmap(y * w + x) != 0) 1 else 0
+          typical = prev == cur
+          x += 1
         }
-        enc.encode(cx, ctx, if (bitmap(y * w + x) != 0) 1 else 0)
-        x += 1
+        enc.encode(cx, ltpCx, if (typical != ltp) 1 else 0)
+        ltp = typical
+        skipRow = ltp
+      }
+      if (!skipRow) {
+        var x = 0
+        while (x < w) {
+          var ctx = 0
+          var t = 0
+          while (t < tmpl.length) {
+            val (dx, dy) = tmpl(t)
+            val xx = x + dx
+            val yy = y + dy
+            val bit =
+              if (xx < 0 || xx >= w || yy < 0) 0
+              else if (bitmap(yy * w + xx) != 0) 1 else 0
+            ctx = (ctx << 1) | bit
+            t += 1
+          }
+          enc.encode(cx, ctx, if (bitmap(y * w + x) != 0) 1 else 0)
+          x += 1
+        }
       }
       y += 1
     }
@@ -138,22 +161,34 @@ object Jbig2Synth {
     case _ => Array((3, -1))
   }
 
-  /** Wrap an encoded generic region as a PDF-embedded JBIG2 stream: one
-    * immediate generic region segment (type 38) covering the full image. */
-  def embeddedStream(bitmap: Array[Byte], w: Int, h: Int, template: Int = 0): Array[Byte] = {
-    val mq = encodeGenericRegion(bitmap, w, h, template)
+  /** Wrap an encoded generic region as a PDF-embedded JBIG2 stream: a page
+    * information segment (type 48 — conformant decoders require it before any
+    * region lands on the page) followed by one immediate generic region
+    * segment (type 38) covering the full image. */
+  def embeddedStream(bitmap: Array[Byte], w: Int, h: Int, template: Int = 0,
+      tpgdon: Boolean = false): Array[Byte] = {
+    val mq = encodeGenericRegion(bitmap, w, h, template, tpgdon)
     val at = nominalAt(template)
     val nAt = at.length
+    val pageLen = 19 // page info (7.4.8): w, h, xres, yres, flags, striping
     val dataLen = 18 + 2 * nAt + mq.length
-    val out = java.nio.ByteBuffer.allocate(11 + 4 + dataLen)
-    out.putInt(0) // segment number
+    val out = java.nio.ByteBuffer.allocate((11 + 4 + pageLen) + (11 + 4 + dataLen))
+    out.putInt(0) // page info: segment number 0
+    out.put(48.toByte) // type 48, 1-byte page association
+    out.put(0.toByte) // referred-to: count 0
+    out.put(1.toByte) // page association
+    out.putInt(pageLen)
+    out.putInt(w).putInt(h).putInt(0).putInt(0) // page dims, unknown resolution
+    out.put(0.toByte) // page flags: default pixel 0, OR combination
+    out.putShort(0.toShort) // no striping
+    out.putInt(1) // region: segment number 1
     out.put(38.toByte) // flags: type 38 (immediate generic region), 1-byte page assoc
     out.put(0.toByte) // referred-to: count 0, no retain bits
     out.put(1.toByte) // page association
     out.putInt(dataLen)
     out.putInt(w).putInt(h).putInt(0).putInt(0) // region info at (0,0)
     out.put(0.toByte) // external combination operator: OR
-    out.put(((template & 3) << 1).toByte) // generic flags: MMR=0, TPGDON=0
+    out.put((((template & 3) << 1) | (if (tpgdon) 8 else 0)).toByte) // generic flags: MMR=0
     at.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
     out.put(mq)
     out.array()
