@@ -1,9 +1,18 @@
 package graft.extract
 
-/** Flag-gated bidi-lite (reference `bidi`, pdf.combined.js:1788-1990: UAX#9-lite
-  * with a 30% RTL-character heuristic). The golden corpus is pure LTR, so this
-  * stays OFF by default (`Extractor` does not call it); it exists for RTL
-  * payload deployments and is exercised by unit tests only.
+/** Bidi-lite (reference `bidi`, pdf.combined.js:1788-1990: UAX#9-lite with a
+  * 30% RTL-character heuristic). Applied per line on the document-text
+  * reading-order surface (`PdfDocument.extractPageText`) — the reference runs
+  * its bidi transform in getTextContent and never in the SVG path, so the
+  * golden/tspan surface stays untouched.
+  *
+  * The transform is a visual→logical flip for RTL-dominant lines that is
+  * RUN-aware, not a whole-line character reverse: maximal runs of
+  * strongly-LTR characters and European digits keep their internal order
+  * (a Latin word or a number embedded in a Hebrew line must not come out
+  * letter-reversed — the reference's level-based reorder preserves them too),
+  * while everything else reverses with bracket mirroring. Code points are the
+  * iteration unit, so surrogate pairs survive intact.
   */
 object Bidi {
 
@@ -29,18 +38,41 @@ object Bidi {
     if (strong == 0) 0.0 else rtl.toDouble / strong
   }
 
-  /** Reverse with bracket mirroring when the 30% heuristic fires (the
+  /** Strongly-LTR or European-digit code point — keeps internal run order. */
+  private def keepsOrder(cp: Int): Boolean = {
+    val d = Character.getDirectionality(cp)
+    d == Character.DIRECTIONALITY_LEFT_TO_RIGHT ||
+      d == Character.DIRECTIONALITY_EUROPEAN_NUMBER
+  }
+
+  /** Run-aware visual→logical flip when the 30% heuristic fires (the
     * reference's threshold); otherwise identity. */
   def reverseIfRtl(s: String, threshold: Double = 0.3): String =
     if (rtlRatio(s) < threshold) s
     else {
-      val sb = new StringBuilder(s.length)
-      var i = s.length - 1
-      while (i >= 0) {
-        val c = s.charAt(i)
-        sb.append(mirrored.getOrElse(c, c))
-        i -= 1
+      // atoms: an LTR/digit run stays one atom (internal order kept); every
+      // other code point is its own atom (mirror-mapped). Atom ORDER reverses.
+      val atoms = scala.collection.mutable.ArrayBuffer.empty[String]
+      val n = s.length
+      var i = 0
+      while (i < n) {
+        val cp = s.codePointAt(i)
+        if (keepsOrder(cp)) {
+          var j = i
+          while (j < n && keepsOrder(s.codePointAt(j))) j += Character.charCount(s.codePointAt(j))
+          atoms += s.substring(i, j)
+          i = j
+        } else {
+          val cc = Character.charCount(cp)
+          val piece = s.substring(i, i + cc)
+          atoms += (if (cc == 1) mirrored.get(piece.charAt(0)).map(_.toString).getOrElse(piece)
+                    else piece)
+          i += cc
+        }
       }
+      val sb = new StringBuilder(n)
+      var k = atoms.length - 1
+      while (k >= 0) { sb.append(atoms(k)); k -= 1 }
       sb.toString
     }
 }

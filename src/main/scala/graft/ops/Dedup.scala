@@ -243,14 +243,22 @@ object Dedup {
     * spaces (the normalized surface the DuckDB oracle reconstructs), untouched
     * documents keep their text verbatim. */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
-      l: Int = 50, minDocs: Int = 2): DataFrame = {
+      l: Int = 50, minDocs: Int = 2, maxDocs: Long = 0L): DataFrame = {
     import graft.functions.TextHashes.{token_gram_hashes, drop_token_spans}
     import org.apache.spark.sql.expressions.Window
     val grams = df.select(col(idCol),
       posexplode(token_gram_hashes(col(textCol), l)).as(Seq("__pos", "__h")))
+    // `maxDocs > 0` excludes grams present in MORE than maxDocs documents
+    // from span flagging — the capBuckets discipline for this operator: a
+    // boilerplate gram (license header, template banner) shared by millions
+    // of documents would otherwise flood the flagged-position set with
+    // corpus-sized fan-out, and clipping boilerplate is a different operation
+    // (quality filtering) than removing duplicated content. 0 = uncapped
+    // (exact Lee et al. semantics, used by the oracle-verified query).
     val dup = grams.select(col("__h"), col(idCol)).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__d"))
-      .filter(col("__d") >= minDocs)
+      .filter(col("__d") >= minDocs &&
+        (if (maxDocs > 0) col("__d") <= maxDocs else lit(true)))
       .select(col("__h"))
     val flagged = grams.join(dup, Seq("__h"), "left_semi")
     // gaps-and-islands span merge: a flagged position starts a new span iff it

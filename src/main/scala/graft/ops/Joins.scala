@@ -59,17 +59,30 @@ object Joins {
   /** Skew-salted equi-join: replicate the (small) right side `salt` times and
     * scatter the left side across the replicas, so one hot key spreads over
     * `salt` reducers instead of melting a single one. AQE's skew-join split is
-    * the runtime fallback; explicit salting is the planned-for-it version. */
+    * the runtime fallback; explicit salting is the planned-for-it version.
+    *
+    * The salt is a CONTENT hash of the left row (`saltCols`, defaulting to
+    * every hashable left column), so row→partition placement is stable across
+    * task retries (rand() re-draws on retry and can double-place or drop rows
+    * under speculative execution). Hashing the join key alone would be a
+    * no-op — every row of the hot key would land in one salt bucket — so the
+    * payload columns must participate. Content determinism has one corollary:
+    * byte-identical duplicate rows co-locate by construction. A corpus whose
+    * hot key is dominated by FULL duplicates should pass a unique row id as
+    * `saltCols` (or exact-dedup first — this engine's pipelines do). */
   def salted(
       left: DataFrame, right: DataFrame,
-      key: String, salt: Int = 8): DataFrame = {
-    // deterministic salt: hash of the whole left row, so row→partition
-    // placement is stable across task retries (rand() re-draws on retry and
-    // can double-place or drop rows under speculative execution). Hashing the
-    // join key ALONE would be a no-op — every row of the hot key would land in
-    // one salt bucket — so the payload columns must participate.
+      key: String, salt: Int = 8, saltCols: Seq[String] = Nil): DataFrame = {
+    // xxhash64 cannot hash MapType columns — exclude them from the default
+    // salt input instead of failing analysis
+    val hashable =
+      if (saltCols.nonEmpty) saltCols
+      else left.schema.fields.collect {
+        case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+      }.toSeq
+    require(hashable.nonEmpty, "salted join needs at least one hashable salt column")
     val saltedLeft = left.withColumn(
-      "__salt", pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong)))
+      "__salt", pmod(xxhash64(hashable.map(col): _*), lit(salt.toLong)))
     val explodedRight = right
       .withColumn("__salt", explode(sequence(lit(0L), lit(salt - 1L))))
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")

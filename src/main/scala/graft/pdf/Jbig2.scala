@@ -137,8 +137,9 @@ object Jbig2 {
     (fixedTemplate(template) ++ at.take(atCount(template)))
       .sortBy { case (dx, dy) => (dy, dx) }
 
-  /** TPGDON pseudo-pixel contexts per template (6.2.5.7). */
-  private def ltpContext(template: Int): Int = template match {
+  /** TPGDON pseudo-pixel contexts per template (6.2.5.7) — the single
+    * definition both the decoder and the fixture encoder share. */
+  private[graft] def ltpContext(template: Int): Int = template match {
     case 0 => 0x9b25
     case 1 => 0x0795
     case 2 => 0x00e5

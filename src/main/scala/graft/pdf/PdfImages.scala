@@ -69,10 +69,12 @@ object PdfImages {
               rows.getOrElseUpdate(prefix + name, describe(file, prefix + name, page, s))
             case Some(PName("Form")) =>
               // cycle guard covers BOTH reference shapes: indirect forms key
-              // on (num, gen), direct stream values on object identity (a
-              // self-referencing direct form previously re-walked to the
-              // depth cap instead of being cut at first recurrence)
-              val cycleKey: Any = refKey.getOrElse(System.identityHashCode(s))
+              // on (num, gen), direct stream values on reference identity (an
+              // identity WRAPPER, not identityHashCode — hash codes collide;
+              // eq does not). Direct values cannot syntactically
+              // self-reference, so for them this is belt-and-braces under the
+              // depth cap, but it must never skip a distinct sibling form.
+              val cycleKey: Any = refKey.getOrElse(new IdentityKey(s))
               if (seen.add(cycleKey)) {
                 // nested images keep a path-qualified name so two forms' /Im0
                 // don't collide in the per-page listing
@@ -84,6 +86,16 @@ object PdfImages {
           }
         case _ => ()
       }
+    }
+  }
+
+  /** Reference-equality set key: hashes by identity, equals by `eq` — unlike
+    * a bare identityHashCode, two distinct objects can never collide. */
+  private final class IdentityKey(val o: AnyRef) {
+    override def hashCode: Int = System.identityHashCode(o)
+    override def equals(that: Any): Boolean = that match {
+      case k: IdentityKey => k.o eq o
+      case _ => false
     }
   }
 

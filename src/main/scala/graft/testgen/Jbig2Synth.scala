@@ -108,9 +108,7 @@ object Jbig2Synth {
       tpgdon: Boolean = false): Array[Byte] = {
     val at = nominalAt(template)
     val tmpl = Jbig2.templatePoints(template, at)
-    val ltpCx = template match {
-      case 0 => 0x9b25; case 1 => 0x0795; case 2 => 0x00e5; case _ => 0x0195
-    }
+    val ltpCx = Jbig2.ltpContext(template)
     val cx = new Array[Int](1 << 16)
     val enc = new MqEncoder
     var ltp = false
@@ -200,10 +198,11 @@ object Jbig2Synth {
   def pdfWithJbig2(w: Int, h: Int, seed: Long): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val stream = embeddedStream(testBitmap(w, h, seed), w, h)
-    val sb = new StringBuilder
-    stream.foreach(b => sb.append((b & 0xff).toChar)) // latin-1-preserved bytes
     val content = s"q $w 0 0 $h 100 600 cm /ImJ Do Q"
-    (s"""%PDF-1.4
+    // the binary stream is appended as RAW BYTES, never routed through
+    // stripMargin — stripMargin eats "newline, low bytes, |" sequences, which
+    // arithmetic-coded data will eventually contain
+    val head = (s"""%PDF-1.4
        |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
        |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
        |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]
@@ -212,7 +211,8 @@ object Jbig2Synth {
        |  /BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /JBIG2Decode
        |  /Length ${stream.length} >>
        |stream
-       |${sb.toString}
+       |""").stripMargin
+    val tail = (s"""
        |endstream
        |endobj
        |5 0 obj << /Length ${content.length} >>
@@ -224,7 +224,12 @@ object Jbig2Synth {
        |startxref
        |0
        |%%EOF
-       |""").stripMargin.getBytes(ISO_8859_1)
+       |""").stripMargin
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head.getBytes(ISO_8859_1))
+    out.write(stream)
+    out.write(tail.getBytes(ISO_8859_1))
+    out.toByteArray
   }
 
   /** Deterministic test bitmap: diagonal bands + a filled box, seeded. */

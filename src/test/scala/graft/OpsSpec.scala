@@ -252,6 +252,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, "tiny doc")))
   }
 
+  test("substring dedup maxDocs cap excludes boilerplate grams") {
+    import spark.implicits._
+    val boiler = (1 to 7).map(i => s"b$i").mkString(" ") // in EVERY doc
+    val fixture = (0L until 6L).map(i =>
+      (i, s"$boiler unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e unique${i}f")
+    ).toDF("doc_id", "text")
+    // uncapped: the 7-token boilerplate head is flagged in all 6 docs
+    val uncapped = Dedup.substringDedup(fixture, "doc_id", "text", l = 6, minDocs = 2)
+      .filter(col("n_spans") > 0).count()
+    assert(uncapped == 6L)
+    // capped at 4 docs: the 6-doc gram is boilerplate, nothing flags
+    val capped = Dedup.substringDedup(fixture, "doc_id", "text", l = 6, minDocs = 2, maxDocs = 4)
+      .filter(col("n_spans") > 0).count()
+    assert(capped == 0L)
+  }
+
   test("substring dedup drop_token_spans kernel handles edges") {
     import graft.functions.TextSketchMore
     import org.apache.spark.sql.catalyst.util.GenericArrayData

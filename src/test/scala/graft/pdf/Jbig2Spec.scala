@@ -117,6 +117,21 @@ class Jbig2Spec extends AnyFunSuite {
     assert(i.grayMean == expected)
   }
 
+  test("pdfWithJbig2 is binary-safe for arbitrary seeds and dims (stripMargin regression)") {
+    // the PDF wrapper must never route the arithmetic-coded bytes through
+    // string templating — a "newline, low bytes, |" sequence in the stream
+    // would be eaten by stripMargin, corrupting the stream and the /Length
+    for ((w, h, seed) <- Seq((64, 48, 5L), (61, 37, 11L), (80, 40, 123L), (33, 57, 999L))) {
+      val doc = PdfDocument.open(Jbig2Synth.pdfWithJbig2(w, h, seed))
+      val imgs = PdfImages.list(doc)
+      assert(imgs.length == 1, s"seed=$seed")
+      assert((imgs.head.decodedW, imgs.head.decodedH) == ((w, h)), s"seed=$seed")
+      val bmp = Jbig2Synth.testBitmap(w, h, seed)
+      val expected = math.round(255.0 * bmp.count(_ == 0) / bmp.length).toInt
+      assert(imgs.head.grayMean == expected, s"seed=$seed") // decoded CONTENT pinned
+    }
+  }
+
   test("corrupt / truncated / foreign streams never throw") {
     val (w, h) = (32, 32)
     val good = Jbig2Synth.embeddedStream(Jbig2Synth.testBitmap(w, h, 1), w, h)
