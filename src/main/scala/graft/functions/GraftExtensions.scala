@@ -35,5 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
       info("winnow_fingerprint", "winnow_fingerprint(text) - rolling-hash fingerprint"),
       es => WinnowFingerprint(es.head, 16)))
+    ext.injectFunction((FunctionIdentifier("token_gram_hashes"),
+      info("token_gram_hashes", "token_gram_hashes(text) - positional 50-token-gram hashes"),
+      es => TokenGramHashes(es.head, 50)))
+    ext.injectFunction((FunctionIdentifier("drop_token_spans"),
+      info("drop_token_spans", "drop_token_spans(text, starts, ends) - clip token ranges"),
+      es => DropTokenSpans(es(0), es(1), es(2))))
   }
 }

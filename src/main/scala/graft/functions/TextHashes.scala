@@ -818,6 +818,10 @@ object TextHashes {
       es => WinnowFingerprint(es.head, 16), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
       es => ShingleHashes(es.head, 3), "scala_udf")
+    reg.createOrReplaceTempFunction("token_gram_hashes",
+      es => TokenGramHashes(es.head, 50), "scala_udf")
+    reg.createOrReplaceTempFunction("drop_token_spans",
+      es => DropTokenSpans(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("extract_text", es => ExtractText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_spans", es => ExtractSpans(es.head), "scala_udf")
   }

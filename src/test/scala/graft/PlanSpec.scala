@@ -74,6 +74,13 @@ class PlanSpec extends AnyFunSuite {
     assert(spans.length == 1 && spans(0).getInt(0) == 0 && spans(0).getInt(1) == 2)
     assert(r.getLong(1) == graft.functions.TextSketch.simhash(
       org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+    // round-4 kernels through SQL: positional grams + span clip
+    val sub = s2.sql(
+      "SELECT size(token_gram_hashes('a b c')) AS n, " +
+        "drop_token_spans('a b c d', array(1), array(3)) AS kept")
+      .collect()(0)
+    assert(sub.getInt(0) == 0) // 3 tokens < default l=50 -> no grams
+    assert(sub.getString(1) == "a d")
   }
 
   test("q20 exact dedup: single shuffle with partial aggregation below it") {
@@ -102,6 +109,26 @@ class PlanSpec extends AnyFunSuite {
     assert(hashed.nonEmpty, planned.toString)
     hashed.foreach { e =>
       assert(!e.child.output.exists(_.name == "text"), e.child.output.mkString(","))
+    }
+  }
+
+  test("q36 substring dedup: gram exchanges carry (hash, id, pos) only, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.ops.Dedup.substringDedup(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", l = 15)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, root.toString)
+    // every shuffle in the operator is narrow: the gram dup-count exchange and
+    // the per-doc span-merge exchange move ids/hashes/positions, NEVER text —
+    // the text rides only the final broadcast/id-keyed join back to the source
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        e.child.output.mkString(","))
     }
   }
 
