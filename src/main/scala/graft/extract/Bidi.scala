@@ -7,12 +7,15 @@ package graft.extract
   * golden/tspan surface stays untouched.
   *
   * The transform is a visual→logical flip for RTL-dominant lines that is
-  * RUN-aware, not a whole-line character reverse: maximal runs of
-  * strongly-LTR characters and European digits keep their internal order
-  * (a Latin word or a number embedded in a Hebrew line must not come out
-  * letter-reversed — the reference's level-based reorder preserves them too),
-  * while everything else reverses with bracket mirroring. Code points are the
-  * iteration unit, so surrogate pairs survive intact.
+  * RUN-aware, not a whole-line character reverse. Kept-order runs follow the
+  * UAX#9 classes the reference's level reorder would keep left-to-right:
+  * strongly-LTR letters, European AND Arabic-Indic digits (EN/AN — rule W2's
+  * AN runs still read high-to-low), common separators BETWEEN two run members
+  * (rule W4: "12.5", "1,000" stay numbers), and combining marks on a run
+  * member. Combining marks elsewhere attach to their base code point (NSM
+  * rule), so niqqud/harakat never detach under reversal. Everything else is a
+  * single code point whose order flips with bracket mirroring; surrogate
+  * pairs ride whole code points and cannot split.
   */
 object Bidi {
 
@@ -20,9 +23,17 @@ object Bidi {
     (c >= 0x0590 && c <= 0x08ff) || // Hebrew, Arabic, Syriac, …
       (c >= 0xfb1d && c <= 0xfdff) || (c >= 0xfe70 && c <= 0xfeff)
 
-  private val mirrored = Map(
-    '(' -> ')', ')' -> '(', '[' -> ']', ']' -> '[',
-    '{' -> '}', '}' -> '{', '<' -> '>', '>' -> '<')
+  private def mirror(c: Char): Char = c match {
+    case '(' => ')'
+    case ')' => '('
+    case '[' => ']'
+    case ']' => '['
+    case '{' => '}'
+    case '}' => '{'
+    case '<' => '>'
+    case '>' => '<'
+    case other => other
+  }
 
   /** RTL fraction over strong-direction characters. */
   def rtlRatio(s: String): Double = {
@@ -38,41 +49,64 @@ object Bidi {
     if (strong == 0) 0.0 else rtl.toDouble / strong
   }
 
-  /** Strongly-LTR or European-digit code point — keeps internal run order. */
-  private def keepsOrder(cp: Int): Boolean = {
-    val d = Character.getDirectionality(cp)
+  // UAX#9 class tests over the JDK directionality byte
+  private def isRunMember(d: Byte): Boolean =
     d == Character.DIRECTIONALITY_LEFT_TO_RIGHT ||
-      d == Character.DIRECTIONALITY_EUROPEAN_NUMBER
-  }
+      d == Character.DIRECTIONALITY_EUROPEAN_NUMBER ||
+      d == Character.DIRECTIONALITY_ARABIC_NUMBER
+  private def isNsm(d: Byte): Boolean =
+    d == Character.DIRECTIONALITY_NONSPACING_MARK
+  private def isSep(d: Byte): Boolean =
+    d == Character.DIRECTIONALITY_COMMON_NUMBER_SEPARATOR ||
+      d == Character.DIRECTIONALITY_EUROPEAN_NUMBER_SEPARATOR
 
   /** Run-aware visual→logical flip when the 30% heuristic fires (the
-    * reference's threshold); otherwise identity. */
+    * reference's threshold); otherwise identity. Two passes, no per-atom
+    * allocation: atom boundaries collect into an int array, then one
+    * StringBuilder emits them in reverse order. */
   def reverseIfRtl(s: String, threshold: Double = 0.3): String =
     if (rtlRatio(s) < threshold) s
     else {
-      // atoms: an LTR/digit run stays one atom (internal order kept); every
-      // other code point is its own atom (mirror-mapped). Atom ORDER reverses.
-      val atoms = scala.collection.mutable.ArrayBuffer.empty[String]
       val n = s.length
+      val bounds = new Array[Int](2 * n + 2)
+      var m = 0
       var i = 0
       while (i < n) {
         val cp = s.codePointAt(i)
-        if (keepsOrder(cp)) {
-          var j = i
-          while (j < n && keepsOrder(s.codePointAt(j))) j += Character.charCount(s.codePointAt(j))
-          atoms += s.substring(i, j)
-          i = j
+        var j = i + Character.charCount(cp)
+        if (isRunMember(Character.getDirectionality(cp))) {
+          // kept-order run: letters/digits, marks on them, separators between
+          var done = false
+          while (!done && j < n) {
+            val cj = s.codePointAt(j)
+            val dj = Character.getDirectionality(cj)
+            if (isRunMember(dj) || isNsm(dj)) j += Character.charCount(cj)
+            else if (isSep(dj)) {
+              val k2 = j + Character.charCount(cj)
+              if (k2 < n && isRunMember(Character.getDirectionality(s.codePointAt(k2))))
+                j = k2 // separator BETWEEN members stays inside the run (W4)
+              else done = true
+            } else done = true
+          }
         } else {
-          val cc = Character.charCount(cp)
-          val piece = s.substring(i, i + cc)
-          atoms += (if (cc == 1) mirrored.get(piece.charAt(0)).map(_.toString).getOrElse(piece)
-                    else piece)
-          i += cc
+          // single code point; combining marks stay glued to their base
+          while (j < n && isNsm(Character.getDirectionality(s.codePointAt(j))))
+            j += Character.charCount(s.codePointAt(j))
         }
+        bounds(2 * m) = i
+        bounds(2 * m + 1) = j
+        m += 1
+        i = j
       }
-      val sb = new StringBuilder(n)
-      var k = atoms.length - 1
-      while (k >= 0) { sb.append(atoms(k)); k -= 1 }
+      val sb = new java.lang.StringBuilder(n)
+      var k = m - 1
+      while (k >= 0) {
+        val st = bounds(2 * k)
+        val en = bounds(2 * k + 1)
+        if (en - st == 1) sb.append(mirror(s.charAt(st)))
+        else sb.append(s, st, en)
+        k -= 1
+      }
       sb.toString
     }
 }

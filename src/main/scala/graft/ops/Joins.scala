@@ -73,14 +73,28 @@ object Joins {
   def salted(
       left: DataFrame, right: DataFrame,
       key: String, salt: Int = 8, saltCols: Seq[String] = Nil): DataFrame = {
-    // xxhash64 cannot hash MapType columns — exclude them from the default
-    // salt input instead of failing analysis
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    // xxhash64 rejects MapType ANYWHERE in a column's type tree — exclude such
+    // columns from the default salt input instead of failing analysis
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case a: ArrayType => containsMap(a.elementType)
+      case st: StructType => st.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
     val hashable =
       if (saltCols.nonEmpty) saltCols
       else left.schema.fields.collect {
-        case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+        case f if !containsMap(f.dataType) => f.name
       }.toSeq
     require(hashable.nonEmpty, "salted join needs at least one hashable salt column")
+    // a salt that is a pure function of the join key puts the whole hot key in
+    // ONE bucket — the exact melt this operator exists to prevent — while still
+    // paying the salt-fold right-side replication. Refuse instead of silently
+    // degrading; the caller adds a unique id (or any payload column) to fix it.
+    require(saltCols.nonEmpty || hashable != Seq(key),
+      s"left side has no hashable non-key columns: a key-only salt cannot " +
+        s"spread the hot key — pass saltCols with a unique row id")
     val saltedLeft = left.withColumn(
       "__salt", pmod(xxhash64(hashable.map(col): _*), lit(salt.toLong)))
     val explodedRight = right
