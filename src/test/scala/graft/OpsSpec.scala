@@ -268,6 +268,73 @@ class OpsSpec extends AnyFunSuite {
     assert(capped == 0L)
   }
 
+  test("substringDedup matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 24).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val l = 4 + trial // gram lengths 4, 5, 6
+      val base = (0L until 18L).map { id =>
+        val n = 3 + rnd.nextInt(30)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // plant shared spans: doc 100 gets doc 0's middle, doc 101 gets doc 1's tail
+      val extra = Seq(
+        (100L, ("x0 " + base(0)._2.split(" ").slice(2, 2 + l + 3).mkString(" ") + " y0")),
+        (101L, base(1)._2.split(" ").takeRight(l + 2).mkString(" ") + " z1 z2"))
+      val docs = base ++ extra
+      // brute force: gram string -> distinct docs; flag positions; merge; clip
+      val gramDocs = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.Set[Long]]
+      val toks = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }.toMap
+      toks.foreach { case (id, ws) =>
+        (0 to ws.length - l).foreach { p =>
+          gramDocs.getOrElseUpdate(ws.slice(p, p + l).mkString(" "),
+            scala.collection.mutable.Set.empty) += id
+        }
+      }
+      val expected = docs.map { case (id, t) =>
+        val ws = toks(id)
+        val flagged = (0 to ws.length - l).filter(p =>
+          ws.length >= l && gramDocs(ws.slice(p, p + l).mkString(" ")).size >= 2)
+        val dropped = Array.fill(ws.length)(false)
+        flagged.foreach(p => (p until p + l).foreach(i => dropped(i) = true))
+        // spans = maximal dropped runs (overlap-or-adjacent merged by construction)
+        var spans = 0
+        var i = 0
+        while (i < ws.length) {
+          if (dropped(i) && (i == 0 || !dropped(i - 1))) spans += 1
+          i += 1
+        }
+        val kept = ws.zipWithIndex.collect { case (w, j) if !dropped(j) => w }.mkString(" ")
+        id -> ((spans.toLong, dropped.count(identity).toLong,
+          if (flagged.isEmpty) t else kept))
+      }.toMap
+      val got = Dedup.substringDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        l = l, minDocs = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == expected, s"trial $trial l=$l")
+    }
+  }
+
+  test("packers: budget invariant holds on random instances; BFD deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 60L).map(i => (i % 4, i, 1L + rnd.nextInt(14)))
+    val df = rows.toDF("conv", "doc_id", "tokens")
+    val tok = rows.map(r => (r._1, r._2) -> r._3).toMap
+    for (packed <- Seq(
+      graft.ops.Sampling.packSequences(df, "conv", "doc_id", "tokens", budget = 20L),
+      graft.ops.Sampling.packSequencesBfd(df, "conv", "doc_id", "tokens", budget = 20L))) {
+      val out = packed.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+      assert(out.length == 60)
+      // per (conv, bin): token sum <= budget unless the bin is one oversized doc
+      out.groupBy { case ((c, _), b) => (c, b) }.foreach { case (_, members) =>
+        val s = members.map { case (k, _) => tok(k) }.sum
+        assert(s <= 20L || members.length == 1)
+      }
+    }
+  }
+
   test("substring dedup drop_token_spans kernel handles edges") {
     import graft.functions.TextSketchMore
     import org.apache.spark.sql.catalyst.util.GenericArrayData
