@@ -253,11 +253,14 @@ object SparkEntry {
       // joins the corpus here for its 7 CCITT-G4 scans.
       import s.implicits._
       val _ = dir
-      // the corpus has no JBIG2 instance, so a deterministic arithmetic-coded
-      // generic-region PDF (Jbig2Synth encoder, round 4) joins it — its
-      // decoded dims and mean gray are pinned literals in the oracle
+      // the corpus has no JBIG2 instance, so two deterministic arithmetic-coded
+      // PDFs (Jbig2Synth encoder, round 4) join it — a generic-region page and
+      // a symbol-dictionary/text-region page; decoded dims and mean gray are
+      // pinned literals in the oracle
       val synthetic = s.createDataset(Seq(
-        ("synthetic/jbig2.pdf", graft.testgen.Jbig2Synth.pdfWithJbig2(64, 48, seed = 5))))
+        ("synthetic/jbig2.pdf", graft.testgen.Jbig2Synth.pdfWithJbig2(64, 48, seed = 5)),
+        ("synthetic/jbig2text.pdf",
+          graft.testgen.Jbig2Synth.pdfWithJbig2(40, 24, seed = 0, symbolCoded = true))))
       s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
         .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
         .select(col("path"), col("content"))
@@ -768,6 +771,7 @@ object SparkEntry {
     "q61_pdf_images" ->
       """SELECT * FROM (VALUES
         | ('jbig2', 0, 'ImJ', 64, 48, 1, 'DeviceGray', 'JBIG2Decode', 64, 48, 3, 158),
+        | ('jbig2text', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 231),
         | ('test24', 0, 'Im1', 353, 274, 8, 'DeviceRGB', 'DCTDecode', 353, 274, 3, 204),
         | ('test24', 4, 'Im2', 497, 345, 8, 'DeviceRGB', 'DCTDecode', 497, 345, 3, 242),
         | ('test24', 4, 'Im3', 496, 291, 8, 'DeviceRGB', 'DCTDecode', 496, 291, 3, 238),

@@ -153,10 +153,20 @@ object Jbig2 {
       data: Array[Byte], start: Int, end: Int,
       w: Int, h: Int, template: Int, at: Array[(Int, Int)],
       tpgdon: Boolean): Array[Byte] = {
-    require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024, s"region $w x $h")
-    val bitmap = new Array[Byte](w * h)
     val cx = new Array[Int](1 << 16)
     val mq = new MqDecoder(data, start, end)
+    decodeGenericInto(mq, cx, w, h, template, at, tpgdon)
+  }
+
+  /** Core generic-bitmap procedure over a CALLER-OWNED decoder and context
+    * set — symbol dictionaries decode many small bitmaps from one arithmetic
+    * stream with one shared generic context (6.5.8.1). */
+  private[graft] def decodeGenericInto(
+      mq: MqDecoder, cx: Array[Int],
+      w: Int, h: Int, template: Int, at: Array[(Int, Int)],
+      tpgdon: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024, s"region $w x $h")
+    val bitmap = new Array[Byte](w * h)
     val tmpl = templatePoints(template, at)
     val ltpCx = ltpContext(template)
     var ltp = false
@@ -190,9 +200,235 @@ object Jbig2 {
     bitmap
   }
 
+  /** Arithmetic integer decoding procedure (T.88 Annex A.2): one 512-slot
+    * context set per IAx procedure; returns None for OOB. */
+  private[graft] final class IntCtx {
+    val cx = new Array[Int](512)
+  }
+
+  private[graft] def decodeInt(mq: MqDecoder, ctx: IntCtx): Option[Int] = {
+    var prev = 1
+    def bit(): Int = {
+      val b = mq.decode(ctx.cx, prev)
+      prev = if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+      b
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    val s = bit()
+    val v =
+      if (bit() == 0) bits(2)
+      else if (bit() == 0) bits(4) + 4
+      else if (bit() == 0) bits(6) + 20
+      else if (bit() == 0) bits(8) + 84
+      else if (bit() == 0) bits(12) + 340
+      else bits(32) + 4436
+    if (s == 1 && v == 0) None // OOB
+    else Some(if (s == 1) -v else v)
+  }
+
+  /** Symbol-ID decoding procedure (A.3): SYMCODELEN-bit tree walk. */
+  private[graft] def decodeIaid(mq: MqDecoder, cx: Array[Int], symCodeLen: Int): Int = {
+    var prev = 1
+    var i = 0
+    while (i < symCodeLen) {
+      prev = (prev << 1) | mq.decode(cx, prev)
+      i += 1
+    }
+    prev - (1 << symCodeLen)
+  }
+
+  private[graft] final case class Bitmap(w: Int, h: Int, bits: Array[Byte])
+
   private def be32(d: Array[Byte], i: Int): Long =
     ((d(i) & 0xffL) << 24) | ((d(i + 1) & 0xffL) << 16) |
       ((d(i + 2) & 0xffL) << 8) | (d(i + 3) & 0xffL)
+
+  /** ceil(log2(n)) with the interchange convention log2(1) = 0 (the symbol
+    * code length both the spec flow and public decoders use). */
+  private[graft] def ceilLog2(x: Int): Int = {
+    var n = 1
+    var i = 0
+    while (x > n) { n <<= 1; i += 1 }
+    i
+  }
+
+  private val MaxSymbols = 1 << 16
+  private val MaxSymbolDim = 4096
+
+  /** Symbol dictionary segment (6.5, arithmetic direct coding): decodes
+    * `numNewSyms` bitmaps grouped in delta-height classes from one arithmetic
+    * stream (ONE shared generic context across all symbol bitmaps, 6.5.8.1),
+    * then the export-flag runs select from input ++ new. Huffman and
+    * refinement/aggregation coding return None (disclosed cut — the caller
+    * keeps the metadata-only row). */
+  private[graft] def decodeSymbolDict(
+      data: Array[Byte], start: Int, end: Int,
+      inputSyms: Vector[Bitmap]): Option[Vector[Bitmap]] = {
+    if (start + 2 > end) return None
+    val flags = ((data(start) & 0xff) << 8) | (data(start + 1) & 0xff)
+    val huffman = (flags & 1) != 0
+    val refAgg = (flags & 2) != 0
+    val template = (flags >> 10) & 3
+    if (huffman || refAgg) return None
+    var p = start + 2
+    val nAt = atCount(template)
+    if (p + 2 * nAt + 8 > end) return None
+    val at = Array.tabulate(nAt)(i => (data(p + 2 * i).toInt, data(p + 2 * i + 1).toInt))
+    p += 2 * nAt
+    val numExSyms = be32(data, p).toInt
+    val numNewSyms = be32(data, p + 4).toInt
+    p += 8
+    if (numNewSyms < 0 || numNewSyms > MaxSymbols ||
+      numExSyms < 0 || numExSyms > MaxSymbols) return None
+    val mq = new MqDecoder(data, p, end)
+    val iadh = new IntCtx
+    val iadw = new IntCtx
+    val iaex = new IntCtx
+    val genCx = new Array[Int](1 << 16)
+    val newSyms = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
+    var hcHeight = 0
+    while (newSyms.length < numNewSyms) {
+      hcHeight += decodeInt(mq, iadh).getOrElse(return None)
+      if (hcHeight <= 0 || hcHeight > MaxSymbolDim) return None
+      var symWidth = 0
+      var endClass = false
+      while (!endClass) {
+        decodeInt(mq, iadw) match {
+          case None => endClass = true // OOB: height class complete
+          case Some(dw) =>
+            symWidth += dw
+            if (symWidth <= 0 || symWidth > MaxSymbolDim ||
+              newSyms.length >= numNewSyms) return None
+            newSyms += Bitmap(symWidth, hcHeight,
+              decodeGenericInto(mq, genCx, symWidth, hcHeight, template, at, tpgdon = false))
+        }
+      }
+    }
+    // 6.5.10 export flags: alternating runs over input ++ new
+    val all = inputSyms ++ newSyms
+    val exported = Vector.newBuilder[Bitmap]
+    var exIndex = 0
+    var curFlag = false
+    while (exIndex < all.length) {
+      val run = decodeInt(mq, iaex).getOrElse(return None)
+      if (run < 0 || exIndex + run > all.length) return None
+      if (curFlag) (exIndex until exIndex + run).foreach(i => exported += all(i))
+      exIndex += run
+      curFlag = !curFlag
+    }
+    Some(exported.result())
+  }
+
+  /** Text region segment decoding (6.4, arithmetic, no refinement): places
+    * symbol-dictionary bitmaps at arithmetic-coded strip coordinates. The
+    * control flow — strip loop, per-strip OOB terminator, reference-corner
+    * offsets, transposed axis swap — follows the spec as interpreted by the
+    * interchange-validated public decoders (the reference's own
+    * decodeTextRegion, pdf.combined.js:10066-10190, is the cross-validation
+    * target). Returns the region bitmap or None for unsupported coding. */
+  private[graft] def decodeTextRegion(
+      data: Array[Byte], start: Int, end: Int,
+      syms: Vector[Bitmap]): Option[(Int, Int, Int, Int, Array[Byte])] = {
+    if (start + 17 + 2 + 4 > end) return None
+    val rw = be32(data, start).toInt
+    val rh = be32(data, start + 4).toInt
+    val rx = be32(data, start + 8).toInt
+    val ry = be32(data, start + 12).toInt
+    var p = start + 17
+    val flags = ((data(p) & 0xff) << 8) | (data(p + 1) & 0xff)
+    p += 2
+    val huffman = (flags & 1) != 0
+    val refine = (flags & 2) != 0
+    val strips = 1 << ((flags >> 2) & 3)
+    val refCorner = (flags >> 4) & 3 // 0 BL, 1 TL, 2 BR, 3 TR
+    val transposed = (flags & 0x40) != 0
+    val combOp = (flags >> 7) & 3
+    val defPixel = (flags >> 9) & 1
+    val dsOffset = (flags << 17) >> 27 // signed 5-bit, bits 10-14
+    if (huffman || refine || combOp != 0) return None
+    val numInstances = be32(data, p).toInt
+    p += 4
+    if (rw <= 0 || rh <= 0 || rw.toLong * rh > 64L * 1024 * 1024 ||
+      numInstances < 0 || numInstances > (1 << 24) || syms.isEmpty) return None
+    val symCodeLen = ceilLog2(syms.length)
+    val region = new Array[Byte](rw * rh)
+    if (defPixel != 0) java.util.Arrays.fill(region, 1.toByte)
+    val mq = new MqDecoder(data, p, end)
+    val iadt = new IntCtx
+    val iafs = new IntCtx
+    val iads = new IntCtx
+    val iait = new IntCtx
+    val iaidCx = new Array[Int](1 << (symCodeLen + 1))
+    var stripT = -decodeInt(mq, iadt).getOrElse(return None)
+    var firstS = 0
+    var inst = 0
+    while (inst < numInstances) {
+      stripT += decodeInt(mq, iadt).getOrElse(return None)
+      firstS += decodeInt(mq, iafs).getOrElse(return None)
+      var curS = firstS
+      var endStrip = false
+      while (!endStrip) {
+        val curT = if (strips == 1) 0 else decodeInt(mq, iait).getOrElse(return None)
+        val t = strips * stripT + curT
+        val id = decodeIaid(mq, iaidCx, symCodeLen)
+        if (id < 0 || id >= syms.length) return None
+        val sym = syms(id)
+        // reference-corner offsets (bit 0 = top-aligned, bit 1 = right-aligned)
+        val offT = t - (if ((refCorner & 1) != 0) 0 else sym.h)
+        val offS = curS - (if ((refCorner & 2) != 0) sym.w else 0)
+        if (!transposed) {
+          var t2 = 0
+          while (t2 < sym.h) {
+            val yy = offT + t2
+            if (yy >= 0 && yy < rh) {
+              var s2 = 0
+              while (s2 < sym.w) {
+                val xx = offS + s2
+                if (xx >= 0 && xx < rw && sym.bits(t2 * sym.w + s2) != 0)
+                  region(yy * rw + xx) = 1
+                s2 += 1
+              }
+            }
+            t2 += 1
+          }
+          curS += sym.w - 1
+        } else {
+          // transposed: S runs down rows, T across columns
+          var s2 = 0
+          while (s2 < sym.h) {
+            val yy = offS + s2
+            if (yy >= 0 && yy < rh) {
+              var t2 = 0
+              while (t2 < sym.w) {
+                val xx = offT + t2
+                if (xx >= 0 && xx < rw && sym.bits(s2 * sym.w + t2) != 0)
+                  region(yy * rw + xx) = 1
+                t2 += 1
+              }
+            }
+            s2 += 1
+          }
+          curS += sym.h - 1
+        }
+        inst += 1
+        // every strip — including the last — terminates with an OOB IADS; a
+        // malformed stream that keeps yielding values past the declared
+        // instance count stops here instead of looping (never-fail bound)
+        decodeInt(mq, iads) match {
+          case None => endStrip = true
+          case Some(ds) =>
+            if (inst >= numInstances) endStrip = true
+            else curS += ds + dsOffset
+        }
+      }
+    }
+    Some((rw, rh, rx, ry, region))
+  }
 
   /** Decode a PDF-embedded JBIG2 stream (segment headers per 7.2, no file
     * header) into a `width`×`height` page bitmap (row-major, 1 = black).
@@ -204,7 +440,30 @@ object Jbig2 {
   def decodeEmbedded(data: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
     try {
       if (width <= 0 || height <= 0 || width.toLong * height > 64L * 1024 * 1024) return None
+      // segment number -> exported symbol bitmaps (symbol dictionaries)
+      val dicts = scala.collection.mutable.HashMap.empty[Long, Vector[Bitmap]]
       var out: Array[Byte] = null
+      def page(): Array[Byte] = {
+        if (out == null) out = new Array[Byte](width * height)
+        out
+      }
+      def compose(rw: Int, rh: Int, rx: Int, ry: Int, bmp: Array[Byte]): Unit = {
+        val buf = page()
+        var yy = 0
+        while (yy < rh) {
+          val py = ry + yy
+          if (py >= 0 && py < height) {
+            var xx = 0
+            while (xx < rw) {
+              val px = rx + xx
+              if (px >= 0 && px < width && bmp(yy * rw + xx) != 0)
+                buf(py * width + px) = 1
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+      }
       var off = 0
       var safe = true
       while (safe && off + 11 <= data.length) {
@@ -222,7 +481,18 @@ object Jbig2 {
         } else p += 1
         if (refCount < 0 || refCount > 1000000) return Option(out).filter(_ != null)
         val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
-        p += refCount * refSize
+        if (p + refCount.toLong * refSize > data.length) return Option(out).filter(_ != null)
+        val referred = new Array[Long](refCount)
+        var r = 0
+        while (r < refCount) {
+          referred(r) = refSize match {
+            case 1 => data(p) & 0xffL
+            case 2 => ((data(p) & 0xffL) << 8) | (data(p + 1) & 0xffL)
+            case _ => be32(data, p)
+          }
+          p += refSize
+          r += 1
+        }
         p += (if (pa4) 4 else 1)
         if (p + 4 > data.length) return Option(out).filter(_ != null)
         val dataLen = be32(data, p)
@@ -230,7 +500,17 @@ object Jbig2 {
         if (dataLen == 0xffffffffL || p + dataLen > data.length) safe = false
         else {
           val segEnd = p + dataLen.toInt
-          if ((segType == 36 || segType == 38 || segType == 39) && dataLen >= 18) {
+          if (segType == 0) {
+            // symbol dictionary: inputs = exported symbols of referred dicts
+            val inputs = referred.toVector.flatMap(n => dicts.getOrElse(n, Vector.empty))
+            decodeSymbolDict(data, p, segEnd, inputs)
+              .foreach(ex => dicts(segNum) = ex)
+          } else if (segType == 4 || segType == 6 || segType == 7) {
+            val inputs = referred.toVector.flatMap(n => dicts.getOrElse(n, Vector.empty))
+            decodeTextRegion(data, p, segEnd, inputs).foreach {
+              case (rw, rh, rx, ry, bmp) => compose(rw, rh, rx, ry, bmp)
+            }
+          } else if ((segType == 36 || segType == 38 || segType == 39) && dataLen >= 18) {
             // region segment info (7.4.1) + generic region flags (7.4.6)
             val rw = be32(data, p).toInt
             val rh = be32(data, p + 4).toInt
@@ -248,21 +528,7 @@ object Jbig2 {
                   (data(atOff + 2 * i).toInt, data(atOff + 2 * i + 1).toInt))
                 val bmp = decodeGenericRegion(
                   data, atOff + 2 * nAt, segEnd, rw, rh, template, at, tpgdon)
-                if (out == null) out = new Array[Byte](width * height)
-                var yy = 0
-                while (yy < rh) {
-                  val py = ry + yy
-                  if (py >= 0 && py < height) {
-                    var xx = 0
-                    while (xx < rw) {
-                      val px = rx + xx
-                      if (px >= 0 && px < width && bmp(yy * rw + xx) != 0)
-                        out(py * width + px) = 1
-                      xx += 1
-                    }
-                  }
-                  yy += 1
-                }
+                compose(rw, rh, rx, ry, bmp)
               }
             }
           }

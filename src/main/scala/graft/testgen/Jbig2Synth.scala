@@ -106,11 +106,20 @@ object Jbig2Synth {
     * prediction pseudo-pixel instead of per-pixel decisions (6.2.5.7). */
   def encodeGenericRegion(bitmap: Array[Byte], w: Int, h: Int, template: Int = 0,
       tpgdon: Boolean = false): Array[Byte] = {
+    val enc = new MqEncoder
+    encodeGenericInto(enc, new Array[Int](1 << 16), bitmap, w, h, template, tpgdon)
+    enc.flush()
+  }
+
+  /** Generic-bitmap encode over a caller-owned encoder/context — symbol
+    * dictionaries encode many bitmaps into one arithmetic stream with one
+    * shared generic context (the encode mirror of Jbig2.decodeGenericInto). */
+  private def encodeGenericInto(enc: MqEncoder, cx: Array[Int],
+      bitmap: Array[Byte], w: Int, h: Int, template: Int,
+      tpgdon: Boolean): Unit = {
     val at = nominalAt(template)
     val tmpl = Jbig2.templatePoints(template, at)
     val ltpCx = Jbig2.ltpContext(template)
-    val cx = new Array[Int](1 << 16)
-    val enc = new MqEncoder
     var ltp = false
     var y = 0
     while (y < h) {
@@ -149,7 +158,6 @@ object Jbig2Synth {
       }
       y += 1
     }
-    enc.flush()
   }
 
   def nominalAt(template: Int): Array[(Int, Int)] = template match {
@@ -157,6 +165,182 @@ object Jbig2Synth {
     case 2 => Array((2, -1))
     case 3 => Array((2, -1))
     case _ => Array((3, -1))
+  }
+
+  // ── symbol-coded JBIG2 (T.88 6.4/6.5 encode side) ─────────────────────────
+
+  /** Arithmetic integer ENCODING procedure (mirror of Jbig2.decodeInt /
+    * T.88 A.2-A.3): sign bit, range-prefix bits, fixed-width value bits, all
+    * MQ-coded against the running PREV context. None encodes OOB. */
+  private def encodeInt(enc: MqEncoder, cx: Array[Int], value: Option[Int]): Unit = {
+    var prev = 1
+    def bit(b: Int): Unit = {
+      enc.encode(cx, prev, b)
+      prev = if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+    value match {
+      case None => bit(1); bit(0); bits(0, 2) // OOB = negative zero
+      case Some(x) =>
+        bit(if (x < 0) 1 else 0)
+        val v = math.abs(x.toLong)
+        if (v <= 3) { bit(0); bits(v, 2) }
+        else if (v <= 19) { bit(1); bit(0); bits(v - 4, 4) }
+        else if (v <= 83) { bit(1); bit(1); bit(0); bits(v - 20, 6) }
+        else if (v <= 339) { bit(1); bit(1); bit(1); bit(0); bits(v - 84, 8) }
+        else if (v <= 4435) { bit(1); bit(1); bit(1); bit(1); bit(0); bits(v - 340, 12) }
+        else { bit(1); bit(1); bit(1); bit(1); bit(1); bits(v - 4436, 32) }
+    }
+  }
+
+  /** Symbol-ID encode: SYMCODELEN bits of the id, MSB first, tree contexts. */
+  private def encodeIaid(enc: MqEncoder, cx: Array[Int], symCodeLen: Int, id: Int): Unit = {
+    var prev = 1
+    var k = symCodeLen - 1
+    while (k >= 0) {
+      val b = (id >>> k) & 1
+      enc.encode(cx, prev, b)
+      prev = (prev << 1) | b
+      k -= 1
+    }
+  }
+
+  /** A glyph bitmap from an ASCII art pattern ('#' = black). */
+  def glyph(rows: Seq[String]): Jbig2.Bitmap = {
+    val h = rows.length
+    val w = rows.head.length
+    val bits = new Array[Byte](w * h)
+    rows.zipWithIndex.foreach { case (r, y) =>
+      r.zipWithIndex.foreach { case (c, x) => if (c == '#') bits(y * w + x) = 1 }
+    }
+    Jbig2.Bitmap(w, h, bits)
+  }
+
+  /** Symbol dictionary segment DATA (7.4.3): glyphs MUST be ordered by
+    * non-decreasing height (height classes); all are exported. */
+  def encodeSymbolDictData(glyphs: Seq[Jbig2.Bitmap], template: Int = 0): Array[Byte] = {
+    require(glyphs.nonEmpty && glyphs.sliding(2).forall {
+      case Seq(a, b) => a.h <= b.h
+      case _ => true
+    }, "glyphs must be sorted by height")
+    val enc = new MqEncoder
+    val iadh = new Array[Int](512)
+    val iadw = new Array[Int](512)
+    val iaex = new Array[Int](512)
+    val genCx = new Array[Int](1 << 16)
+    var i = 0
+    var prevH = 0
+    while (i < glyphs.length) {
+      val h = glyphs(i).h
+      encodeInt(enc, iadh, Some(h - prevH)) // IADH
+      prevH = h
+      var prevW = 0
+      while (i < glyphs.length && glyphs(i).h == h) {
+        encodeInt(enc, iadw, Some(glyphs(i).w - prevW)) // IADW
+        prevW = glyphs(i).w
+        encodeGenericInto(enc, genCx, glyphs(i).bits, glyphs(i).w, h, template, tpgdon = false)
+        i += 1
+      }
+      encodeInt(enc, iadw, None) // OOB ends the height class
+    }
+    // export all: run of 0 unexported, then run of all exported
+    encodeInt(enc, iaex, Some(0))
+    encodeInt(enc, iaex, Some(glyphs.length))
+    val mq = enc.flush()
+    val at = nominalAt(template)
+    val out = java.nio.ByteBuffer.allocate(2 + 2 * at.length + 8 + mq.length)
+    out.putShort(((template & 3) << 10).toShort) // flags: SDHUFF=0, REFAGG=0
+    at.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
+    out.putInt(glyphs.length) // SDNUMEXSYMS
+    out.putInt(glyphs.length) // SDNUMNEWSYMS
+    out.put(mq)
+    out.array()
+  }
+
+  /** Text region segment DATA (7.4.4): place glyph instances (symbol id,
+    * x, y of the glyph's top-left) with the given reference corner. Strips of
+    * size 1; every strip — including the last — ends with an OOB IADS, the
+    * interchange contract. */
+  def encodeTextRegionData(rw: Int, rh: Int,
+      glyphs: Seq[Jbig2.Bitmap], instances: Seq[(Int, Int, Int)],
+      refCorner: Int = 1): Array[Byte] = {
+    val symCodeLen = Jbig2.ceilLog2(glyphs.length)
+    val enc = new MqEncoder
+    val iadt = new Array[Int](512)
+    val iafs = new Array[Int](512)
+    val iads = new Array[Int](512)
+    val iaidCx = new Array[Int](1 << (symCodeLen + 1))
+    // decoder coordinates: t = y + (bottom corners: glyph height);
+    // curS references the right edge for right corners
+    def tOf(inst: (Int, Int, Int)) =
+      inst._3 + (if ((refCorner & 1) != 0) 0 else glyphs(inst._1).h)
+    def sOf(inst: (Int, Int, Int)) =
+      inst._2 + (if ((refCorner & 2) != 0) glyphs(inst._1).w else 0)
+    val strips = instances.groupBy(tOf).toSeq.sortBy(_._1)
+      .map { case (t, is) => (t, is.sortBy(_._2)) }
+    encodeInt(enc, iadt, Some(0)) // STRIPT init: stripT = -0
+    var stripT = 0
+    var firstS = 0
+    strips.foreach { case (t, is) =>
+      encodeInt(enc, iadt, Some(t - stripT)) // IADT
+      stripT = t
+      var curS = 0
+      is.zipWithIndex.foreach { case (inst, k) =>
+        val s = sOf(inst)
+        if (k == 0) {
+          encodeInt(enc, iafs, Some(s - firstS)) // IAFS
+          firstS = s
+          curS = s
+        } else {
+          encodeInt(enc, iads, Some(s - curS)) // IADS (dsOffset 0)
+          curS = s
+        }
+        // strips == 1: no IAIT
+        encodeIaid(enc, iaidCx, symCodeLen, inst._1)
+        curS += glyphs(inst._1).w - 1 // decoder post-draw advance
+      }
+      encodeInt(enc, iads, None) // OOB terminates the strip
+    }
+    val mq = enc.flush()
+    val flags = (refCorner & 3) << 4 // SBHUFF=0 REFINE=0 LOGSBSTRIPS=0 COMB=OR
+    val out = java.nio.ByteBuffer.allocate(17 + 2 + 4 + mq.length)
+    out.putInt(rw).putInt(rh).putInt(0).putInt(0)
+    out.put(0.toByte) // region combination operator: OR
+    out.putShort(flags.toShort)
+    out.putInt(instances.length)
+    out.put(mq)
+    out.array()
+  }
+
+  private def segment(number: Int, segType: Int, referred: Seq[Int],
+      data: Array[Byte]): Array[Byte] = {
+    require(number <= 256 && referred.forall(_ <= 256) && referred.length <= 4)
+    val out = java.nio.ByteBuffer.allocate(5 + 1 + referred.length + 1 + 4 + data.length)
+    out.putInt(number)
+    out.put(segType.toByte) // 1-byte page association
+    out.put((referred.length << 5).toByte) // count + no retain bits
+    referred.foreach(r => out.put(r.toByte))
+    out.put(1.toByte) // page association
+    out.putInt(data.length)
+    out.put(data)
+    out.array()
+  }
+
+  /** PDF-embedded symbol-coded JBIG2 stream: page info + one symbol
+    * dictionary + one immediate text region referring to it. */
+  def embeddedTextStream(w: Int, h: Int, glyphs: Seq[Jbig2.Bitmap],
+      instances: Seq[(Int, Int, Int)], refCorner: Int = 1): Array[Byte] = {
+    val page = java.nio.ByteBuffer.allocate(19)
+      .putInt(w).putInt(h).putInt(0).putInt(0)
+      .put(0.toByte).putShort(0.toShort).array()
+    val dict = encodeSymbolDictData(glyphs)
+    val text = encodeTextRegionData(w, h, glyphs, instances, refCorner)
+    segment(0, 48, Nil, page) ++
+      segment(1, 0, Nil, dict) ++
+      segment(2, 6, Seq(1), text)
   }
 
   /** Wrap an encoded generic region as a PDF-embedded JBIG2 stream: a page
@@ -192,12 +376,28 @@ object Jbig2Synth {
     out.array()
   }
 
+  /** Deterministic symbol-coded page: three glyphs laid out as two text
+    * lines — the symbol-dictionary/text-region analogue of `testBitmap`. */
+  def textStream(w: Int, h: Int): Array[Byte] = {
+    val glyphs = Seq(
+      glyph(Seq(".##.", "#..#", "####", "#..#", "#..#")),
+      glyph(Seq("###.", "#..#", "###.", "#..#", "###.")),
+      glyph(Seq(".####.", "#....#", "#.....", "#.....", "#....#", ".####.", "......")))
+    val instances = Seq(
+      (0, 2, 3), (1, 8, 3), (0, 14, 3), (2, 20, 2),
+      (1, 4, 12), (2, 12, 11), (0, 20, 13))
+    embeddedTextStream(w, h, glyphs, instances)
+  }
+
   /** Minimal one-page PDF carrying one JBIG2-encoded image XObject — the
     * corpus-side fixture for the raster decode lane (the reference corpus has
-    * no JBIG2 instance and no JDK codec can author one). */
-  def pdfWithJbig2(w: Int, h: Int, seed: Long): Array[Byte] = {
+    * no JBIG2 instance and no JDK codec can author one). `symbolCoded` swaps
+    * the generic-region payload for the symbol-dictionary + text-region one. */
+  def pdfWithJbig2(w: Int, h: Int, seed: Long, symbolCoded: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
-    val stream = embeddedStream(testBitmap(w, h, seed), w, h)
+    val stream =
+      if (symbolCoded) textStream(w, h)
+      else embeddedStream(testBitmap(w, h, seed), w, h)
     val content = s"q $w 0 0 $h 100 600 cm /ImJ Do Q"
     // the binary stream is appended as RAW BYTES, never routed through
     // stripMargin — stripMargin eats "newline, low bytes, |" sequences, which

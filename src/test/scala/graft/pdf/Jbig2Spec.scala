@@ -8,8 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * robustness.
   *
   * Interop evidence (run once, out-of-band — node + the reference's vendored
-  * decoder): `Jbig2Synth.embeddedStream` output for templates 0-3 and for
-  * TPGDON streams was fed to the reference's OWN independent JBIG2
+  * decoder): `Jbig2Synth.embeddedStream` output for templates 0-3 and TPGDON,
+  * and `Jbig2Synth.embeddedTextStream` symbol-coded output at reference
+  * corners BL/TL/TR, were fed to the reference's OWN independent JBIG2
   * implementation (pdf.combined.js Jbig2Image.parseChunks, lines 9603-10685)
   * — 0 mismatched pixels on every stream. That pins this codec pair's bit
   * conventions (context order, MQ procedures, segment headers) to the
@@ -117,6 +118,62 @@ class Jbig2Spec extends AnyFunSuite {
     assert(i.grayMean == expected)
   }
 
+  test("symbol-coded text region round-trips (dictionary + placement)") {
+    val glyphs = Seq(
+      Jbig2Synth.glyph(Seq(
+        ".##.",
+        "#..#",
+        "####",
+        "#..#",
+        "#..#")),
+      Jbig2Synth.glyph(Seq(
+        "###.",
+        "#..#",
+        "###.",
+        "#..#",
+        "###.")),
+      Jbig2Synth.glyph(Seq(
+        ".####.",
+        "#....#",
+        "#.....",
+        "#.....",
+        "#....#",
+        ".####.",
+        "......")))
+    val (w, h) = (40, 24)
+    // two "text lines" incl. a repeated glyph and the taller C
+    val instances = Seq((0, 2, 3), (1, 8, 3), (0, 14, 3), (2, 20, 2), (1, 4, 12), (2, 12, 11))
+    val expected = new Array[Byte](w * h)
+    instances.foreach { case (id, x, y) =>
+      val g = glyphs(id)
+      for (yy <- 0 until g.h; xx <- 0 until g.w)
+        if (g.bits(yy * g.w + xx) != 0 && y + yy < h && x + xx < w)
+          expected((y + yy) * w + (x + xx)) = 1
+    }
+    for (refCorner <- Seq(1, 0, 3)) { // top-left, bottom-left, top-right
+      val stream = Jbig2Synth.embeddedTextStream(w, h, glyphs, instances, refCorner)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.isDefined, s"corner $refCorner")
+      assert(out.get.toSeq == expected.toSeq, s"corner $refCorner")
+    }
+  }
+
+  test("symbol-coded stream survives truncation/mutation without throwing") {
+    val glyphs = Seq(Jbig2Synth.glyph(Seq("##", "##")))
+    val stream = Jbig2Synth.embeddedTextStream(16, 8, glyphs, Seq((0, 1, 1), (0, 6, 3)))
+    for (cut <- Seq(0, 5, stream.length / 2, stream.length - 2)) {
+      val r = Jbig2.decodeEmbedded(stream.take(cut), 16, 8)
+      assert(r.isEmpty || r.get.length == 16 * 8)
+    }
+    val rnd = new scala.util.Random(5)
+    (0 until 40).foreach { k =>
+      val b = stream.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val r = Jbig2.decodeEmbedded(b, 16, 8)
+      assert(r.isEmpty || r.get.length == 16 * 8, s"mutation $k")
+    }
+  }
+
   test("pdfWithJbig2 is binary-safe for arbitrary seeds and dims (stripMargin regression)") {
     // the PDF wrapper must never route the arithmetic-coded bytes through
     // string templating — a "newline, low bytes, |" sequence in the stream
@@ -130,6 +187,19 @@ class Jbig2Spec extends AnyFunSuite {
       val expected = math.round(255.0 * bmp.count(_ == 0) / bmp.length).toInt
       assert(imgs.head.grayMean == expected, s"seed=$seed") // decoded CONTENT pinned
     }
+  }
+
+  test("symbol-coded JBIG2 PDF decodes through the full raster lane") {
+    val (w, h) = (40, 24)
+    val doc = PdfDocument.open(Jbig2Synth.pdfWithJbig2(w, h, seed = 0, symbolCoded = true))
+    val imgs = PdfImages.list(doc)
+    assert(imgs.length == 1)
+    assert((imgs.head.decodedW, imgs.head.decodedH) == ((w, h)))
+    val expected = Jbig2.decodeEmbedded(Jbig2Synth.textStream(w, h), w, h).get
+    val white = expected.count(_ == 0)
+    val mean = math.round(255.0 * white / expected.length).toInt
+    info(s"grayMean=${imgs.head.grayMean} expected=$mean")
+    assert(imgs.head.grayMean == mean)
   }
 
   test("corrupt / truncated / foreign streams never throw") {
