@@ -248,6 +248,32 @@ object Jbig2 {
     ((d(i) & 0xffL) << 24) | ((d(i + 1) & 0xffL) << 16) |
       ((d(i + 2) & 0xffL) << 8) | (d(i + 3) & 0xffL)
 
+  /** MMR (T.6/G4) generic-region payload → row-major 1=black bitmap via the
+    * JDK fax decompressor (single-strip TIFF wrap, photometric WhiteIsZero —
+    * G4 black runs come back as dark pixels). */
+  private[graft] def decodeMmr(data: Array[Byte], start: Int, end: Int,
+      w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val payload = java.util.Arrays.copyOfRange(data, start, end)
+      val tiff = PdfImages.wrapCcittAsTiff(payload, w, h, k = -1,
+        blackIs1 = false, byteAlign = false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tiff)))
+        .filter(img => img.getWidth == w && img.getHeight == h)
+        .map { img =>
+          val out = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              if ((img.getRGB(x, y) & 0xff) < 128) out(y * w + x) = 1
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** ceil(log2(n)) with the interchange convention log2(1) = 0 (the symbol
     * code length both the spec flow and public decoders use). */
   private[graft] def ceilLog2(x: Int): Int = {
@@ -520,15 +546,24 @@ object Jbig2 {
             val mmr = (gFlags & 1) != 0
             val template = (gFlags >> 1) & 3
             val tpgdon = (gFlags & 8) != 0
-            if (!mmr && rw > 0 && rh > 0 && rw.toLong * rh <= 64L * 1024 * 1024) {
-              val nAt = atCount(template)
-              val atOff = p + 18
-              if (atOff + 2 * nAt <= segEnd) {
-                val at = Array.tabulate(nAt)(i =>
-                  (data(atOff + 2 * i).toInt, data(atOff + 2 * i + 1).toInt))
-                val bmp = decodeGenericRegion(
-                  data, atOff + 2 * nAt, segEnd, rw, rh, template, at, tpgdon)
-                compose(rw, rh, rx, ry, bmp)
+            if (rw > 0 && rh > 0 && rw.toLong * rh <= 64L * 1024 * 1024) {
+              if (!mmr) {
+                val nAt = atCount(template)
+                val atOff = p + 18
+                if (atOff + 2 * nAt <= segEnd) {
+                  val at = Array.tabulate(nAt)(i =>
+                    (data(atOff + 2 * i).toInt, data(atOff + 2 * i + 1).toInt))
+                  val bmp = decodeGenericRegion(
+                    data, atOff + 2 * nAt, segEnd, rw, rh, template, at, tpgdon)
+                  compose(rw, rh, rx, ry, bmp)
+                }
+              } else {
+                // MMR = ITU-T T.6 (G4) coding (6.2.6) — decoded by the JDK's
+                // fax decompressor through the same single-strip TIFF wrap
+                // the CCITTFaxDecode lane uses. This EXCEEDS the reference,
+                // whose decoder errors out on MMR regions.
+                decodeMmr(data, p + 18, segEnd, rw, rh)
+                  .foreach(bmp => compose(rw, rh, rx, ry, bmp))
               }
             }
           }

@@ -376,6 +376,115 @@ object Jbig2Synth {
     out.array()
   }
 
+  /** Raw T.6 (G4) coding of a bitmap through the JDK TIFF writer
+    * (compression "CCITT T.6"), strip bytes extracted back out of the written
+    * container — an independent codec authors the MMR fixture payload. */
+  def encodeMmrG4(bitmap: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
+    def write(invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val black = (bitmap(y * w + x) != 0) ^ invert
+          img.setRGB(x, y, if (black) 0x000000 else 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      try {
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType("CCITT T.6")
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(img, null, null), param)
+      } finally { writer.dispose(); ios.close() }
+      baos.toByteArray
+    }
+    val tiff = write(invert = false)
+    // parse the container for photometric + the single strip
+    val le = tiff(0) == 'I'.toByte
+    def u16(i: Int) = if (le) (tiff(i) & 0xff) | ((tiff(i + 1) & 0xff) << 8)
+      else ((tiff(i) & 0xff) << 8) | (tiff(i + 1) & 0xff)
+    def u32(i: Int) = if (le) (tiff(i) & 0xffL) | ((tiff(i + 1) & 0xffL) << 8) |
+      ((tiff(i + 2) & 0xffL) << 16) | ((tiff(i + 3) & 0xffL) << 24)
+      else ((tiff(i) & 0xffL) << 24) | ((tiff(i + 1) & 0xffL) << 16) |
+        ((tiff(i + 2) & 0xffL) << 8) | (tiff(i + 3) & 0xffL)
+    val ifd = u32(4).toInt
+    val nTags = u16(ifd)
+    var photometric = 0L
+    var stripOff = -1L
+    var stripLen = -1L
+    var stripCount = 1L
+    (0 until nTags).foreach { t =>
+      val base = ifd + 2 + t * 12
+      val id = u16(base)
+      val typ = u16(base + 2)
+      val count = u32(base + 4)
+      val value = if (typ == 3) u16(base + 8).toLong else u32(base + 8)
+      id match {
+        case 262 => photometric = value
+        case 273 => stripOff = value; stripCount = count
+        case 279 => stripLen = value
+        case _ => ()
+      }
+    }
+    require(stripCount == 1 && stripOff > 0 && stripLen > 0,
+      s"expected one strip (got $stripCount) — raise the fixture if the JDK writer splits")
+    if (photometric == 1) {
+      // writer chose BlackIsZero: its G4 "white" runs are our black — rewrite
+      // with inverted pixels so the raw payload matches WhiteIsZero semantics
+      val t2 = write(invert = true)
+      return encodeMmrFromTiff(t2)
+    }
+    java.util.Arrays.copyOfRange(tiff, stripOff.toInt, (stripOff + stripLen).toInt)
+  }
+
+  /** Strip extraction for the inverted-rewrite path (same parse as above). */
+  private def encodeMmrFromTiff(tiff: Array[Byte]): Array[Byte] = {
+    val le = tiff(0) == 'I'.toByte
+    def u16(i: Int) = if (le) (tiff(i) & 0xff) | ((tiff(i + 1) & 0xff) << 8)
+      else ((tiff(i) & 0xff) << 8) | (tiff(i + 1) & 0xff)
+    def u32(i: Int) = if (le) (tiff(i) & 0xffL) | ((tiff(i + 1) & 0xffL) << 8) |
+      ((tiff(i + 2) & 0xffL) << 16) | ((tiff(i + 3) & 0xffL) << 24)
+      else ((tiff(i) & 0xffL) << 24) | ((tiff(i + 1) & 0xffL) << 16) |
+        ((tiff(i + 2) & 0xffL) << 8) | (tiff(i + 3) & 0xffL)
+    val ifd = u32(4).toInt
+    val nTags = u16(ifd)
+    var stripOff = -1L
+    var stripLen = -1L
+    (0 until nTags).foreach { t =>
+      val base = ifd + 2 + t * 12
+      val typ = u16(base + 2)
+      val value = if (typ == 3) u16(base + 8).toLong else u32(base + 8)
+      u16(base) match {
+        case 273 => stripOff = value
+        case 279 => stripLen = value
+        case _ => ()
+      }
+    }
+    java.util.Arrays.copyOfRange(tiff, stripOff.toInt, (stripOff + stripLen).toInt)
+  }
+
+  /** PDF-embedded MMR-coded generic region stream (gFlags bit 0 set, no AT). */
+  def embeddedMmrStream(bitmap: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val g4 = encodeMmrG4(bitmap, w, h)
+    val page = java.nio.ByteBuffer.allocate(19)
+      .putInt(w).putInt(h).putInt(0).putInt(0)
+      .put(0.toByte).putShort(0.toShort).array()
+    val region = java.nio.ByteBuffer.allocate(18 + g4.length)
+      .putInt(w).putInt(h).putInt(0).putInt(0)
+      .put(0.toByte) // combination op OR
+      .put(1.toByte) // generic flags: MMR
+      .put(g4).array()
+    segment(0, 48, Nil, page) ++ segment(1, 38, Nil, region)
+  }
+
   /** Deterministic symbol-coded page: three glyphs laid out as two text
     * lines — the symbol-dictionary/text-region analogue of `testBitmap`. */
   def textStream(w: Int, h: Int): Array[Byte] = {
@@ -393,10 +502,12 @@ object Jbig2Synth {
     * corpus-side fixture for the raster decode lane (the reference corpus has
     * no JBIG2 instance and no JDK codec can author one). `symbolCoded` swaps
     * the generic-region payload for the symbol-dictionary + text-region one. */
-  def pdfWithJbig2(w: Int, h: Int, seed: Long, symbolCoded: Boolean = false): Array[Byte] = {
+  def pdfWithJbig2(w: Int, h: Int, seed: Long, symbolCoded: Boolean = false,
+      mmr: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val stream =
       if (symbolCoded) textStream(w, h)
+      else if (mmr) embeddedMmrStream(testBitmap(w, h, seed), w, h)
       else embeddedStream(testBitmap(w, h, seed), w, h)
     val content = s"q $w 0 0 $h 100 600 cm /ImJ Do Q"
     // the binary stream is appended as RAW BYTES, never routed through

@@ -158,6 +158,26 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
+  test("MMR (T.6) generic region round-trips via the JDK fax codec") {
+    // the reference's decoder ERRORS on MMR — this lane exceeds it
+    for ((w, h, seed) <- Seq((61, 37, 4L), (64, 48, 9L), (33, 17, 2L))) {
+      val bmp = Jbig2Synth.testBitmap(w, h, seed)
+      val stream = Jbig2Synth.embeddedMmrStream(bmp, w, h)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.isDefined, s"$w x $h seed=$seed")
+      assert(out.get.toSeq == bmp.toSeq, s"$w x $h seed=$seed")
+    }
+    // corrupt MMR payload never throws
+    val good = Jbig2Synth.embeddedMmrStream(Jbig2Synth.testBitmap(32, 16, 1), 32, 16)
+    val rnd = new scala.util.Random(3)
+    (0 until 30).foreach { k =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val r = Jbig2.decodeEmbedded(b, 32, 16)
+      assert(r.isEmpty || r.get.length == 32 * 16, s"mutation $k")
+    }
+  }
+
   test("symbol-coded stream survives truncation/mutation without throwing") {
     val glyphs = Seq(Jbig2Synth.glyph(Seq("##", "##")))
     val stream = Jbig2Synth.embeddedTextStream(16, 8, glyphs, Seq((0, 1, 1), (0, 6, 3)))
