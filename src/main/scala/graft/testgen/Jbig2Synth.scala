@@ -273,12 +273,13 @@ object Jbig2Synth {
     val iafs = new Array[Int](512)
     val iads = new Array[Int](512)
     val iaidCx = new Array[Int](1 << (symCodeLen + 1))
-    // decoder coordinates: t = y + (bottom corners: glyph height);
-    // curS references the right edge for right corners
+    // decoder coordinates (spec-correct corners, T.88 6.4.5): a bottom corner
+    // puts the glyph's bottom ROW at t (t = y + h - 1); a right corner puts
+    // its right COLUMN at curS (curS = x + w - 1)
     def tOf(inst: (Int, Int, Int)) =
-      inst._3 + (if ((refCorner & 1) != 0) 0 else glyphs(inst._1).h)
+      inst._3 + (if ((refCorner & 1) != 0) 0 else glyphs(inst._1).h - 1)
     def sOf(inst: (Int, Int, Int)) =
-      inst._2 + (if ((refCorner & 2) != 0) glyphs(inst._1).w else 0)
+      inst._2 + (if ((refCorner & 2) != 0) glyphs(inst._1).w - 1 else 0)
     val strips = instances.groupBy(tOf).toSeq.sortBy(_._1)
       .map { case (t, is) => (t, is.sortBy(_._2)) }
     encodeInt(enc, iadt, Some(0)) // STRIPT init: stripT = -0
@@ -317,7 +318,7 @@ object Jbig2Synth {
 
   private def segment(number: Int, segType: Int, referred: Seq[Int],
       data: Array[Byte]): Array[Byte] = {
-    require(number <= 256 && referred.forall(_ <= 256) && referred.length <= 4)
+    require(number <= 255 && referred.forall(_ <= 255) && referred.length <= 4)
     val out = java.nio.ByteBuffer.allocate(5 + 1 + referred.length + 1 + 4 + data.length)
     out.putInt(number)
     out.put(segType.toByte) // 1-byte page association
@@ -406,8 +407,17 @@ object Jbig2Synth {
       } finally { writer.dispose(); ios.close() }
       baos.toByteArray
     }
-    val tiff = write(invert = false)
-    // parse the container for photometric + the single strip
+    val first = write(invert = false)
+    val (photometric, _, _) = parseTiff(first)
+    // photometric 1 (BlackIsZero) would swap the codec's white/black run
+    // semantics vs the WhiteIsZero wrap the decoder uses — rewrite inverted
+    val tiff = if (photometric == 1) write(invert = true) else first
+    val (_, stripOff, stripLen) = parseTiff(tiff)
+    java.util.Arrays.copyOfRange(tiff, stripOff.toInt, (stripOff + stripLen).toInt)
+  }
+
+  /** Single-strip TIFF container parse → (photometric, stripOffset, stripLen). */
+  private def parseTiff(tiff: Array[Byte]): (Long, Long, Long) = {
     val le = tiff(0) == 'I'.toByte
     def u16(i: Int) = if (le) (tiff(i) & 0xff) | ((tiff(i + 1) & 0xff) << 8)
       else ((tiff(i) & 0xff) << 8) | (tiff(i + 1) & 0xff)
@@ -436,39 +446,7 @@ object Jbig2Synth {
     }
     require(stripCount == 1 && stripOff > 0 && stripLen > 0,
       s"expected one strip (got $stripCount) — raise the fixture if the JDK writer splits")
-    if (photometric == 1) {
-      // writer chose BlackIsZero: its G4 "white" runs are our black — rewrite
-      // with inverted pixels so the raw payload matches WhiteIsZero semantics
-      val t2 = write(invert = true)
-      return encodeMmrFromTiff(t2)
-    }
-    java.util.Arrays.copyOfRange(tiff, stripOff.toInt, (stripOff + stripLen).toInt)
-  }
-
-  /** Strip extraction for the inverted-rewrite path (same parse as above). */
-  private def encodeMmrFromTiff(tiff: Array[Byte]): Array[Byte] = {
-    val le = tiff(0) == 'I'.toByte
-    def u16(i: Int) = if (le) (tiff(i) & 0xff) | ((tiff(i + 1) & 0xff) << 8)
-      else ((tiff(i) & 0xff) << 8) | (tiff(i + 1) & 0xff)
-    def u32(i: Int) = if (le) (tiff(i) & 0xffL) | ((tiff(i + 1) & 0xffL) << 8) |
-      ((tiff(i + 2) & 0xffL) << 16) | ((tiff(i + 3) & 0xffL) << 24)
-      else ((tiff(i) & 0xffL) << 24) | ((tiff(i + 1) & 0xffL) << 16) |
-        ((tiff(i + 2) & 0xffL) << 8) | (tiff(i + 3) & 0xffL)
-    val ifd = u32(4).toInt
-    val nTags = u16(ifd)
-    var stripOff = -1L
-    var stripLen = -1L
-    (0 until nTags).foreach { t =>
-      val base = ifd + 2 + t * 12
-      val typ = u16(base + 2)
-      val value = if (typ == 3) u16(base + 8).toLong else u32(base + 8)
-      u16(base) match {
-        case 273 => stripOff = value
-        case 279 => stripLen = value
-        case _ => ()
-      }
-    }
-    java.util.Arrays.copyOfRange(tiff, stripOff.toInt, (stripOff + stripLen).toInt)
+    (photometric, stripOff, stripLen)
   }
 
   /** PDF-embedded MMR-coded generic region stream (gFlags bit 0 set, no AT). */

@@ -9,10 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Interop evidence (run once, out-of-band — node + the reference's vendored
   * decoder): `Jbig2Synth.embeddedStream` output for templates 0-3 and TPGDON,
-  * and `Jbig2Synth.embeddedTextStream` symbol-coded output at reference
-  * corners BL/TL/TR, were fed to the reference's OWN independent JBIG2
+  * and `Jbig2Synth.embeddedTextStream` symbol-coded output at the TOP-LEFT
+  * reference corner, were fed to the reference's OWN independent JBIG2
   * implementation (pdf.combined.js Jbig2Image.parseChunks, lines 9603-10685)
-  * — 0 mismatched pixels on every stream. That pins this codec pair's bit
+  * — 0 mismatched pixels on every such stream. Bottom/right corners follow
+  * T.88 6.4.5 exactly (bottom row / right column AT the coordinate) and
+  * therefore differ from the vendored decoder by one row/column — the
+  * vendored build carries a known corner off-by-one that upstream pdf.js
+  * later fixed, so the divergence is deliberate and spec-true (measured: the
+  * same streams show only the one-row/col shift against it). That pins this codec pair's bit
   * conventions (context order, MQ procedures, segment headers) to the
   * interchange behavior of a conformant third-party decoder, not just to
   * internal round-trip consistency. */
