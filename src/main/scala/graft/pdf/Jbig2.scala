@@ -9,12 +9,17 @@ package graft.pdf
   * segment headers; PDF 32000-1 §7.4.7 embeds segments with no file header)
   * with referred-segment symbol wiring and page-info defaults/operators.
   *
-  * Scope (disclosed): huffman-coded tables and refinement/aggregate coding
-  * return None — the caller keeps the metadata-only row. The reference
-  * carries a decoder inside its vendored pdf.combined.js (9603-10685, stream
-  * wiring 22530-22556) — cited as the semantic contract; this implementation
-  * is from the public spec and EXCEEDS the reference on MMR (which its
-  * decoder rejects) and on spec-correct reference-corner placement.
+  * Refinement coding (6.3) is supported where it occurs inline: REFAGG
+  * symbol dictionaries on the single-instance path and per-instance text
+  * region refinement (IARI/IARDW/IARDH/IARDX/IARDY).
+  *
+  * Scope (disclosed): huffman-coded tables, multi-instance aggregation
+  * (IAAI > 1) and TPGRON return None — the caller keeps the metadata-only
+  * row. The reference carries a decoder inside its vendored pdf.combined.js
+  * (9603-10685, stream wiring 22530-22556) — cited as the semantic contract;
+  * this implementation is from the public spec and EXCEEDS the reference on
+  * MMR (which its decoder rejects) and on spec-correct reference-corner
+  * placement.
   *
   * Context bit order: template pixels (nominal fixed positions plus the AT
   * pixels at their signalled offsets) are ordered row-major — by dy then dx —
@@ -246,6 +251,65 @@ object Jbig2 {
 
   private[graft] final case class Bitmap(w: Int, h: Int, bits: Array[Byte])
 
+  // ── refinement coding (6.3): template pixel lists in CONTEXT ORDER (not
+  // coordinate-sorted — refinement contexts concatenate the coding-bitmap
+  // pixels then the reference-bitmap pixels, with the AT pixels appended to
+  // each list for template 0) ───────────────────────────────────────────────
+  private val RefinementCoding: Array[Array[(Int, Int)]] = Array(
+    Array((0, -1), (1, -1), (-1, 0)),
+    Array((-1, -1), (0, -1), (1, -1), (-1, 0)))
+  private val RefinementReference: Array[Array[(Int, Int)]] = Array(
+    Array((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)),
+    Array((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)))
+
+  /** Generic refinement region decoding (6.3.5.6, arithmetic, no TPGRON):
+    * each pixel's context concatenates neighbors in the bitmap being decoded
+    * with pixels of the reference bitmap displaced by (dx, dy) — T.88 sign
+    * convention: the reference pixel for (x, y) is (x − dx, y − dy). One 8K
+    * context set shared per segment ('GR'). */
+  private[graft] def decodeRefinementInto(
+      mq: MqDecoder, cx: Array[Int],
+      w: Int, h: Int, rTemplate: Int, ref: Bitmap,
+      dx: Int, dy: Int, at: Array[(Int, Int)]): Array[Byte] = {
+    require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024, s"refinement $w x $h")
+    val coding =
+      if (rTemplate == 0) RefinementCoding(0) :+ at(0) else RefinementCoding(1)
+    val refT =
+      if (rTemplate == 0) RefinementReference(0) :+ at(1) else RefinementReference(1)
+    val bitmap = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var ctx = 0
+        var k = 0
+        while (k < coding.length) {
+          val (tx, ty) = coding(k)
+          val j0 = x + tx
+          val i0 = y + ty
+          val bit = if (i0 < 0 || j0 < 0 || j0 >= w) 0 else bitmap(i0 * w + j0)
+          ctx = (ctx << 1) | bit
+          k += 1
+        }
+        k = 0
+        while (k < refT.length) {
+          val (tx, ty) = refT(k)
+          val j0 = x + tx - dx
+          val i0 = y + ty - dy
+          val bit =
+            if (i0 < 0 || i0 >= ref.h || j0 < 0 || j0 >= ref.w) 0
+            else ref.bits(i0 * ref.w + j0)
+          ctx = (ctx << 1) | bit
+          k += 1
+        }
+        bitmap(y * w + x) = mq.decode(cx, ctx).toByte
+        x += 1
+      }
+      y += 1
+    }
+    bitmap
+  }
+
   private def be32(d: Array[Byte], i: Int): Long =
     ((d(i) & 0xffL) << 24) | ((d(i + 1) & 0xffL) << 16) |
       ((d(i + 2) & 0xffL) << 8) | (d(i + 3) & 0xffL)
@@ -302,12 +366,21 @@ object Jbig2 {
     val huffman = (flags & 1) != 0
     val refAgg = (flags & 2) != 0
     val template = (flags >> 10) & 3
-    if (huffman || refAgg) return None
+    val rTemplate = (flags >> 12) & 1
+    if (huffman) return None
     var p = start + 2
     val nAt = atCount(template)
     if (p + 2 * nAt + 8 > end) return None
     val at = Array.tabulate(nAt)(i => (data(p + 2 * i).toInt, data(p + 2 * i + 1).toInt))
     p += 2 * nAt
+    // refinement AT pixels follow the generic AT when REFAGG with template 0
+    val rAt: Array[(Int, Int)] =
+      if (refAgg && rTemplate == 0) {
+        if (p + 4 + 8 > end) return None
+        val a = Array((data(p).toInt, data(p + 1).toInt), (data(p + 2).toInt, data(p + 3).toInt))
+        p += 4
+        a
+      } else Array((0, 0), (0, 0))
     val numExSyms = be32(data, p).toInt
     val numNewSyms = be32(data, p + 4).toInt
     p += 8
@@ -318,7 +391,13 @@ object Jbig2 {
     val iadh = new IntCtx
     val iadw = new IntCtx
     val iaex = new IntCtx
+    val iaai = new IntCtx
+    val iardx = new IntCtx
+    val iardy = new IntCtx
+    val symCodeLen = ceilLog2(inputSyms.length + numNewSyms)
+    val iaidCx = new Array[Int](1 << (symCodeLen + 1))
     val genCx = new Array[Int](1 << 16)
+    val grCx = new Array[Int](1 << 13)
     val newSyms = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
     var hcHeight = 0
     // progress + resource bounds: past end-of-data the MQ decoder serves 0xFF
@@ -343,8 +422,29 @@ object Jbig2 {
             if (symWidth <= 0 || symWidth > MaxSymbolDim ||
               newSyms.length >= numNewSyms ||
               totalPixels > 16L * 1024 * 1024) return None
-            newSyms += Bitmap(symWidth, hcHeight,
-              decodeGenericInto(mq, genCx, symWidth, hcHeight, template, at, tpgdon = false))
+            if (!refAgg) {
+              newSyms += Bitmap(symWidth, hcHeight,
+                decodeGenericInto(mq, genCx, symWidth, hcHeight, template, at, tpgdon = false))
+            } else {
+              // 6.5.8.2 refinement/aggregate coding: the single-instance path
+              // refines an already-available symbol; true aggregation
+              // (several text instances composing one symbol) stays a
+              // disclosed cut
+              val nInst = decodeInt(mq, iaai).getOrElse(return None)
+              if (nInst != 1) return None
+              val id = decodeIaid(mq, iaidCx, symCodeLen)
+              val avail = inputSyms.length + newSyms.length
+              if (id < 0 || id >= avail) return None
+              val refSym =
+                if (id < inputSyms.length) inputSyms(id)
+                else newSyms(id - inputSyms.length)
+              val rdx = decodeInt(mq, iardx).getOrElse(return None)
+              val rdy = decodeInt(mq, iardy).getOrElse(return None)
+              if (math.abs(rdx) > MaxSymbolDim || math.abs(rdy) > MaxSymbolDim) return None
+              newSyms += Bitmap(symWidth, hcHeight,
+                decodeRefinementInto(mq, grCx, symWidth, hcHeight, rTemplate,
+                  refSym, rdx, rdy, rAt))
+            }
         }
       }
     }
@@ -392,7 +492,15 @@ object Jbig2 {
     val combOp = (flags >> 7) & 3
     val defPixel = (flags >> 9) & 1
     val dsOffset = (flags << 17) >> 27 // signed 5-bit, bits 10-14
-    if (huffman || refine || combOp != 0) return None
+    val rTemplate = (flags >> 15) & 1
+    if (huffman || combOp != 0) return None
+    val rAt: Array[(Int, Int)] =
+      if (refine && rTemplate == 0) {
+        if (p + 4 + 4 > end) return None
+        val a = Array((data(p).toInt, data(p + 1).toInt), (data(p + 2).toInt, data(p + 3).toInt))
+        p += 4
+        a
+      } else Array((0, 0), (0, 0))
     val numInstances = be32(data, p).toInt
     p += 4
     if (rw <= 0 || rh <= 0 || rw.toLong * rh > 64L * 1024 * 1024 ||
@@ -405,6 +513,12 @@ object Jbig2 {
     val iafs = new IntCtx
     val iads = new IntCtx
     val iait = new IntCtx
+    val iari = new IntCtx
+    val iardw = new IntCtx
+    val iardh = new IntCtx
+    val iardx = new IntCtx
+    val iardy = new IntCtx
+    val grCx = new Array[Int](1 << 13)
     val iaidCx = new Array[Int](1 << (symCodeLen + 1))
     var stripT = -decodeInt(mq, iadt).getOrElse(return None)
     var firstS = 0
@@ -420,7 +534,25 @@ object Jbig2 {
         val t = strips * stripT + curT
         val id = decodeIaid(mq, iaidCx, symCodeLen)
         if (id < 0 || id >= syms.length) return None
-        val sym = syms(id)
+        val sym0 = syms(id)
+        // 6.4.11: per-instance refinement — IARI selects it, the deltas
+        // resize and displace the reference symbol
+        val sym =
+          if (!refine) sym0
+          else decodeInt(mq, iari) match {
+            case None => return None
+            case Some(0) => sym0
+            case Some(_) =>
+              val rdw = decodeInt(mq, iardw).getOrElse(return None)
+              val rdh = decodeInt(mq, iardh).getOrElse(return None)
+              val rdx = decodeInt(mq, iardx).getOrElse(return None)
+              val rdy = decodeInt(mq, iardy).getOrElse(return None)
+              val nw = sym0.w + rdw
+              val nh = sym0.h + rdh
+              if (nw <= 0 || nh <= 0 || nw > MaxSymbolDim || nh > MaxSymbolDim) return None
+              Bitmap(nw, nh, decodeRefinementInto(mq, grCx, nw, nh, rTemplate,
+                sym0, (rdw >> 1) + rdx, (rdh >> 1) + rdy, rAt))
+          }
         drawnPixels += sym.w.toLong * sym.h
         if (drawnPixels > 256L * 1024 * 1024) return None // work bound
         // reference-corner offsets (bit 0 = top-aligned, bit 1 = right-

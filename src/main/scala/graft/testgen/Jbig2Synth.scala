@@ -219,6 +219,175 @@ object Jbig2Synth {
     Jbig2.Bitmap(w, h, bits)
   }
 
+  /** Refinement-bitmap encode (mirror of Jbig2.decodeRefinementInto — same
+    * context order and spec sign convention for the reference displacement). */
+  private def encodeRefinementInto(enc: MqEncoder, cx: Array[Int],
+      bitmap: Array[Byte], w: Int, h: Int, rTemplate: Int,
+      ref: Jbig2.Bitmap, dx: Int, dy: Int, rAt: Array[(Int, Int)]): Unit = {
+    val coding =
+      if (rTemplate == 0) Array((0, -1), (1, -1), (-1, 0), rAt(0))
+      else Array((-1, -1), (0, -1), (1, -1), (-1, 0))
+    val refT =
+      if (rTemplate == 0)
+        Array((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1), rAt(1))
+      else Array((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var ctx = 0
+        coding.foreach { case (tx, ty) =>
+          val j0 = x + tx
+          val i0 = y + ty
+          val bit = if (i0 < 0 || j0 < 0 || j0 >= w) 0
+            else if (bitmap(i0 * w + j0) != 0) 1 else 0
+          ctx = (ctx << 1) | bit
+        }
+        refT.foreach { case (tx, ty) =>
+          val j0 = x + tx - dx
+          val i0 = y + ty - dy
+          val bit = if (i0 < 0 || i0 >= ref.h || j0 < 0 || j0 >= ref.w) 0
+            else if (ref.bits(i0 * ref.w + j0) != 0) 1 else 0
+          ctx = (ctx << 1) | bit
+        }
+        enc.encode(cx, ctx, if (bitmap(y * w + x) != 0) 1 else 0)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private val NominalRefAt = Array((-2, -1), (-2, -2))
+
+  /** REFAGG symbol dictionary DATA (7.4.3, refinement/aggregate with one
+    * instance per symbol): each new symbol refines an already-available one
+    * (`refId` indexes input ++ new-so-far). Input symbols are not exported. */
+  def encodeRefAggDictData(inputs: Seq[Jbig2.Bitmap],
+      newSyms: Seq[(Jbig2.Bitmap, Int, Int, Int)], // (bitmap, refId, rdx, rdy)
+      rTemplate: Int = 0): Array[Byte] = {
+    val inputCount = inputs.length
+    def resolveRef(refId: Int): Jbig2.Bitmap =
+      if (refId < inputCount) inputs(refId)
+      else newSyms(refId - inputCount)._1
+    require(newSyms.nonEmpty && newSyms.map(_._1).sliding(2).forall {
+      case Seq(a, b) => a.h <= b.h
+      case _ => true
+    }, "new symbols must be sorted by height")
+    val template = 0
+    val symCodeLen = Jbig2.ceilLog2(inputCount + newSyms.length)
+    val enc = new MqEncoder
+    val iadh = new Array[Int](512)
+    val iadw = new Array[Int](512)
+    val iaex = new Array[Int](512)
+    val iaai = new Array[Int](512)
+    val iardx = new Array[Int](512)
+    val iardy = new Array[Int](512)
+    val iaidCx = new Array[Int](1 << (symCodeLen + 1))
+    val grCx = new Array[Int](1 << 13)
+    var i = 0
+    var prevH = 0
+    while (i < newSyms.length) {
+      val h = newSyms(i)._1.h
+      encodeInt(enc, iadh, Some(h - prevH))
+      prevH = h
+      var prevW = 0
+      while (i < newSyms.length && newSyms(i)._1.h == h) {
+        val (bm, refId, rdx, rdy) = newSyms(i)
+        encodeInt(enc, iadw, Some(bm.w - prevW))
+        prevW = bm.w
+        encodeInt(enc, iaai, Some(1)) // single-instance refinement
+        encodeIaid(enc, iaidCx, symCodeLen, refId)
+        encodeInt(enc, iardx, Some(rdx))
+        encodeInt(enc, iardy, Some(rdy))
+        // the decode-side reference set is input ++ new-so-far; the caller's
+        // refId must point at a symbol already decoded — enforced here too
+        require(refId >= 0 && refId < inputCount + i, s"refId $refId not yet available")
+        encodeRefinementInto(enc, grCx, bm.bits, bm.w, bm.h, rTemplate,
+          resolveRef(refId), rdx, rdy, NominalRefAt)
+        i += 1
+      }
+      encodeInt(enc, iadw, None)
+    }
+    encodeInt(enc, iaex, Some(inputCount)) // inputs: not exported
+    encodeInt(enc, iaex, Some(newSyms.length)) // new: exported
+    val mq = enc.flush()
+    val at = nominalAt(template)
+    val flags = 2 | ((template & 3) << 10) | ((rTemplate & 1) << 12) // REFAGG
+    val rAtBytes = if (rTemplate == 0) 4 else 0
+    val out = java.nio.ByteBuffer.allocate(2 + 2 * at.length + rAtBytes + 8 + mq.length)
+    out.putShort(flags.toShort)
+    at.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
+    if (rTemplate == 0)
+      NominalRefAt.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
+    out.putInt(newSyms.length) // SDNUMEXSYMS
+    out.putInt(newSyms.length) // SDNUMNEWSYMS
+    out.put(mq)
+    out.array()
+  }
+
+  /** Text region DATA with per-instance refinement: `refined` replaces the
+    * dictionary glyph for that instance (rdw/rdh from the dims, rdx=rdy=0). */
+  def encodeTextRegionRefineData(rw: Int, rh: Int,
+      glyphs: Seq[Jbig2.Bitmap],
+      instances: Seq[(Int, Int, Int, Option[Jbig2.Bitmap])],
+      rTemplate: Int = 0): Array[Byte] = {
+    val symCodeLen = Jbig2.ceilLog2(glyphs.length)
+    val enc = new MqEncoder
+    val iadt = new Array[Int](512)
+    val iafs = new Array[Int](512)
+    val iads = new Array[Int](512)
+    val iari = new Array[Int](512)
+    val iardw = new Array[Int](512)
+    val iardh = new Array[Int](512)
+    val iardx = new Array[Int](512)
+    val iardy = new Array[Int](512)
+    val grCx = new Array[Int](1 << 13)
+    val iaidCx = new Array[Int](1 << (symCodeLen + 1))
+    val strips = instances.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (t, is) => (t, is.sortBy(_._2)) } // TL corner: t = y
+    encodeInt(enc, iadt, Some(0))
+    var stripT = 0
+    var firstS = 0
+    strips.foreach { case (t, is) =>
+      encodeInt(enc, iadt, Some(t - stripT))
+      stripT = t
+      var curS = 0
+      is.zipWithIndex.foreach { case ((id, x, _, refinedOpt), k) =>
+        if (k == 0) { encodeInt(enc, iafs, Some(x - firstS)); firstS = x; curS = x }
+        else { encodeInt(enc, iads, Some(x - curS)); curS = x }
+        encodeIaid(enc, iaidCx, symCodeLen, id)
+        val drawn = refinedOpt match {
+          case None => encodeInt(enc, iari, Some(0)); glyphs(id)
+          case Some(r) =>
+            encodeInt(enc, iari, Some(1))
+            val rdw = r.w - glyphs(id).w
+            val rdh = r.h - glyphs(id).h
+            encodeInt(enc, iardw, Some(rdw))
+            encodeInt(enc, iardh, Some(rdh))
+            encodeInt(enc, iardx, Some(-(rdw >> 1))) // net offset 0 after (rdw>>1)+rdx
+            encodeInt(enc, iardy, Some(-(rdh >> 1)))
+            encodeRefinementInto(enc, grCx, r.bits, r.w, r.h, rTemplate,
+              glyphs(id), 0, 0, NominalRefAt)
+            r
+        }
+        curS += drawn.w - 1
+      }
+      encodeInt(enc, iads, None)
+    }
+    val mq = enc.flush()
+    val flags = 2 | (1 << 4) | ((rTemplate & 1) << 15) // REFINE, TL corner
+    val rAtBytes = if (rTemplate == 0) 4 else 0
+    val out = java.nio.ByteBuffer.allocate(17 + 2 + rAtBytes + 4 + mq.length)
+    out.putInt(rw).putInt(rh).putInt(0).putInt(0)
+    out.put(0.toByte)
+    out.putShort(flags.toShort)
+    if (rTemplate == 0)
+      NominalRefAt.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
+    out.putInt(instances.length)
+    out.put(mq)
+    out.array()
+  }
+
   /** Symbol dictionary segment DATA (7.4.3): glyphs MUST be ordered by
     * non-decreasing height (height classes); all are exported. */
   def encodeSymbolDictData(glyphs: Seq[Jbig2.Bitmap], template: Int = 0): Array[Byte] = {
@@ -316,7 +485,7 @@ object Jbig2Synth {
     out.array()
   }
 
-  private def segment(number: Int, segType: Int, referred: Seq[Int],
+  private[graft] def segment(number: Int, segType: Int, referred: Seq[Int],
       data: Array[Byte]): Array[Byte] = {
     require(number <= 255 && referred.forall(_ <= 255) && referred.length <= 4)
     val out = java.nio.ByteBuffer.allocate(5 + 1 + referred.length + 1 + 4 + data.length)

@@ -1,0 +1,110 @@
+package graft.pdf
+
+import graft.testgen.Jbig2Synth
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Refinement coding (T.88 6.3): REFAGG symbol dictionaries (single-instance
+  * refinement of input/new symbols) and per-instance text-region refinement.
+  * Offsets follow the spec sign (reference pixel at x−dx, y−dy); zero-offset
+  * streams coincide with the vendored decoder's convention and are the node
+  * cross-validation vehicle. */
+class Jbig2RefineSpec extends AnyFunSuite {
+
+  private val gA = Jbig2Synth.glyph(Seq(".##.", "#..#", "####", "#..#", "#..#"))
+  private val gB = Jbig2Synth.glyph(Seq("###.", "#..#", "###.", "#..#", "###."))
+  private def flip(g: Jbig2.Bitmap, x: Int, y: Int): Jbig2.Bitmap = {
+    val b = g.bits.clone()
+    b(y * g.w + x) = (1 - b(y * g.w + x)).toByte
+    Jbig2.Bitmap(g.w, g.h, b)
+  }
+
+  private def pageSeg(w: Int, h: Int): Array[Byte] =
+    Jbig2Synth.segment(0, 48, Nil,
+      java.nio.ByteBuffer.allocate(19).putInt(w).putInt(h).putInt(0).putInt(0)
+        .put(0.toByte).putShort(0.toShort).array())
+
+  test("REFAGG dictionary: new symbols refine dictionary inputs, round-trip") {
+    val (w, h) = (32, 16)
+    val aP = flip(gA, 1, 1)
+    val bP = flip(gB, 2, 3)
+    val dict1 = Jbig2Synth.segment(1, 0, Nil, Jbig2Synth.encodeSymbolDictData(Seq(gA, gB)))
+    val dict2 = Jbig2Synth.segment(2, 0, Seq(1),
+      Jbig2Synth.encodeRefAggDictData(Seq(gA, gB), Seq((aP, 0, 0, 0), (bP, 1, 0, 0))))
+    // text region sees dict1 ++ dict2 exports: A, B, A', B'
+    val instances = Seq((0, 1, 2), (1, 7, 2), (2, 13, 2), (3, 19, 2))
+    val text = Jbig2Synth.segment(3, 6, Seq(1, 2),
+      Jbig2Synth.encodeTextRegionData(w, h, Seq(gA, gB, aP, bP), instances))
+    val stream = pageSeg(w, h) ++ dict1 ++ dict2 ++ text
+    val out = Jbig2.decodeEmbedded(stream, w, h)
+    assert(out.isDefined)
+    val expected = new Array[Byte](w * h)
+    val glyphs = Seq(gA, gB, aP, bP)
+    instances.foreach { case (id, x, y) =>
+      val g = glyphs(id)
+      for (yy <- 0 until g.h; xx <- 0 until g.w)
+        if (g.bits(yy * g.w + xx) != 0) expected((y + yy) * w + (x + xx)) = 1
+    }
+    assert(out.get.toSeq == expected.toSeq)
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/jb_refagg.bin"), stream)
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/jb_refaggbmp.bin"), out.get)
+  }
+
+  test("REFAGG with nonzero displacement round-trips (spec sign convention)") {
+    // refine gA against itself displaced by (rdx=1, rdy=-1): the reference
+    // pixel for (x, y) is (x-1, y+1) per the spec sign — encoder and decoder
+    // share it, so the round-trip pins the convention end-to-end
+    val (w, h) = (16, 10)
+    val target = flip(gA, 3, 4)
+    val dict1 = Jbig2Synth.segment(1, 0, Nil, Jbig2Synth.encodeSymbolDictData(Seq(gA)))
+    val dict2 = Jbig2Synth.segment(2, 0, Seq(1),
+      Jbig2Synth.encodeRefAggDictData(Seq(gA), Seq((target, 0, 1, -1))))
+    // text sees gA (dict1) then target (dict2): draw the refined one
+    val text = Jbig2Synth.segment(3, 6, Seq(1, 2),
+      Jbig2Synth.encodeTextRegionData(w, h, Seq(gA, target), Seq((1, 2, 2))))
+    val out = Jbig2.decodeEmbedded(pageSeg(w, h) ++ dict1 ++ dict2 ++ text, w, h)
+    assert(out.isDefined)
+    val expected = new Array[Byte](w * h)
+    for (yy <- 0 until target.h; xx <- 0 until target.w)
+      if (target.bits(yy * target.w + xx) != 0) expected((2 + yy) * w + (2 + xx)) = 1
+    assert(out.get.toSeq == expected.toSeq)
+  }
+
+  test("text region per-instance refinement round-trips") {
+    val (w, h) = (24, 10)
+    val aP = flip(gA, 2, 2)
+    val dict = Jbig2Synth.segment(1, 0, Nil, Jbig2Synth.encodeSymbolDictData(Seq(gA)))
+    val text = Jbig2Synth.segment(2, 6, Seq(1),
+      Jbig2Synth.encodeTextRegionRefineData(w, h, Seq(gA),
+        Seq((0, 1, 2, None), (0, 8, 2, Some(aP)), (0, 15, 2, None))))
+    val stream = pageSeg(w, h) ++ dict ++ text
+    val out = Jbig2.decodeEmbedded(stream, w, h)
+    assert(out.isDefined)
+    val expected = new Array[Byte](w * h)
+    Seq((gA, 1, 2), (aP, 8, 2), (gA, 15, 2)).foreach { case (g, x, y) =>
+      for (yy <- 0 until g.h; xx <- 0 until g.w)
+        if (g.bits(yy * g.w + xx) != 0) expected((y + yy) * w + (x + xx)) = 1
+    }
+    assert(out.get.toSeq == expected.toSeq)
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/jb_refine.bin"), stream)
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/jb_refinebmp.bin"), out.get)
+  }
+
+  test("refinement with size delta (rdw/rdh) round-trips") {
+    val (w, h) = (20, 12)
+    // refined instance is one column wider than the dictionary glyph
+    val wide = Jbig2.Bitmap(gA.w + 1, gA.h,
+      Array.tabulate[Byte]((gA.w + 1) * gA.h) { i =>
+        val y = i / (gA.w + 1); val x = i % (gA.w + 1)
+        if (x < gA.w) gA.bits(y * gA.w + x) else (if (y % 2 == 0) 1 else 0)
+      })
+    val dict = Jbig2Synth.segment(1, 0, Nil, Jbig2Synth.encodeSymbolDictData(Seq(gA)))
+    val text = Jbig2Synth.segment(2, 6, Seq(1),
+      Jbig2Synth.encodeTextRegionRefineData(w, h, Seq(gA), Seq((0, 2, 3, Some(wide)))))
+    val out = Jbig2.decodeEmbedded(pageSeg(w, h) ++ dict ++ text, w, h)
+    assert(out.isDefined)
+    val expected = new Array[Byte](w * h)
+    for (yy <- 0 until wide.h; xx <- 0 until wide.w)
+      if (wide.bits(yy * wide.w + xx) != 0) expected((3 + yy) * w + (2 + xx)) = 1
+    assert(out.get.toSeq == expected.toSeq)
+  }
+}

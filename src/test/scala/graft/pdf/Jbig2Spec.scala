@@ -9,8 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Interop evidence (run once, out-of-band — node + the reference's vendored
   * decoder): `Jbig2Synth.embeddedStream` output for templates 0-3 and TPGDON,
-  * and `Jbig2Synth.embeddedTextStream` symbol-coded output at the TOP-LEFT
-  * reference corner, were fed to the reference's OWN independent JBIG2
+  * `Jbig2Synth.embeddedTextStream` symbol-coded output at the TOP-LEFT
+  * reference corner, and the refinement streams (REFAGG dictionary +
+  * per-instance text refinement, zero displacement) from Jbig2RefineSpec,
+  * were fed to the reference's OWN independent JBIG2
   * implementation (pdf.combined.js Jbig2Image.parseChunks, lines 9603-10685)
   * — 0 mismatched pixels on every such stream. Bottom/right corners follow
   * T.88 6.4.5 exactly (bottom row / right column AT the coordinate) and
