@@ -255,10 +255,10 @@ object Jbig2 {
   // coordinate-sorted — refinement contexts concatenate the coding-bitmap
   // pixels then the reference-bitmap pixels, with the AT pixels appended to
   // each list for template 0) ───────────────────────────────────────────────
-  private val RefinementCoding: Array[Array[(Int, Int)]] = Array(
+  private[graft] val RefinementCoding: Array[Array[(Int, Int)]] = Array(
     Array((0, -1), (1, -1), (-1, 0)),
     Array((-1, -1), (0, -1), (1, -1), (-1, 0)))
-  private val RefinementReference: Array[Array[(Int, Int)]] = Array(
+  private[graft] val RefinementReference: Array[Array[(Int, Int)]] = Array(
     Array((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)),
     Array((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)))
 
@@ -287,7 +287,9 @@ object Jbig2 {
           val (tx, ty) = coding(k)
           val j0 = x + tx
           val i0 = y + ty
-          val bit = if (i0 < 0 || j0 < 0 || j0 >= w) 0 else bitmap(i0 * w + j0)
+          // both bounds: a signalled AT pixel can point DOWN (positive dy)
+          val bit = if (i0 < 0 || i0 >= h || j0 < 0 || j0 >= w) 0
+            else bitmap(i0 * w + j0)
           ctx = (ctx << 1) | bit
           k += 1
         }
@@ -391,13 +393,15 @@ object Jbig2 {
     val iadh = new IntCtx
     val iadw = new IntCtx
     val iaex = new IntCtx
-    val iaai = new IntCtx
-    val iardx = new IntCtx
-    val iardy = new IntCtx
     val symCodeLen = ceilLog2(inputSyms.length + numNewSyms)
-    val iaidCx = new Array[Int](1 << (symCodeLen + 1))
-    val genCx = new Array[Int](1 << 16)
-    val grCx = new Array[Int](1 << 13)
+    // refinement-only state allocated only on the REFAGG path (a plain
+    // dictionary must not pay the grCx/iaidCx footprint per segment)
+    lazy val iaai = new IntCtx
+    lazy val iardx = new IntCtx
+    lazy val iardy = new IntCtx
+    lazy val iaidCx = new Array[Int](1 << (symCodeLen + 1))
+    lazy val grCx = new Array[Int](1 << 13)
+    val genCx = if (refAgg) null else new Array[Int](1 << 16)
     val newSyms = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
     var hcHeight = 0
     // progress + resource bounds: past end-of-data the MQ decoder serves 0xFF
@@ -513,12 +517,12 @@ object Jbig2 {
     val iafs = new IntCtx
     val iads = new IntCtx
     val iait = new IntCtx
-    val iari = new IntCtx
-    val iardw = new IntCtx
-    val iardh = new IntCtx
-    val iardx = new IntCtx
-    val iardy = new IntCtx
-    val grCx = new Array[Int](1 << 13)
+    lazy val iari = new IntCtx
+    lazy val iardw = new IntCtx
+    lazy val iardh = new IntCtx
+    lazy val iardx = new IntCtx
+    lazy val iardy = new IntCtx
+    lazy val grCx = new Array[Int](1 << 13)
     val iaidCx = new Array[Int](1 << (symCodeLen + 1))
     var stripT = -decodeInt(mq, iadt).getOrElse(return None)
     var firstS = 0

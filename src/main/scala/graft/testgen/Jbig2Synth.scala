@@ -224,13 +224,14 @@ object Jbig2Synth {
   private def encodeRefinementInto(enc: MqEncoder, cx: Array[Int],
       bitmap: Array[Byte], w: Int, h: Int, rTemplate: Int,
       ref: Jbig2.Bitmap, dx: Int, dy: Int, rAt: Array[(Int, Int)]): Unit = {
+    // the template lists are the decoder's own (shared — a matched-pair edit
+    // cannot silently diverge)
     val coding =
-      if (rTemplate == 0) Array((0, -1), (1, -1), (-1, 0), rAt(0))
-      else Array((-1, -1), (0, -1), (1, -1), (-1, 0))
+      if (rTemplate == 0) Jbig2.RefinementCoding(0) :+ rAt(0)
+      else Jbig2.RefinementCoding(1)
     val refT =
-      if (rTemplate == 0)
-        Array((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1), rAt(1))
-      else Array((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1))
+      if (rTemplate == 0) Jbig2.RefinementReference(0) :+ rAt(1)
+      else Jbig2.RefinementReference(1)
     var y = 0
     while (y < h) {
       var x = 0
@@ -239,7 +240,7 @@ object Jbig2Synth {
         coding.foreach { case (tx, ty) =>
           val j0 = x + tx
           val i0 = y + ty
-          val bit = if (i0 < 0 || j0 < 0 || j0 >= w) 0
+          val bit = if (i0 < 0 || i0 >= h || j0 < 0 || j0 >= w) 0
             else if (bitmap(i0 * w + j0) != 0) 1 else 0
           ctx = (ctx << 1) | bit
         }

@@ -18,6 +18,14 @@ class Jbig2RefineSpec extends AnyFunSuite {
     Jbig2.Bitmap(g.w, g.h, b)
   }
 
+  /** Cross-validation artifacts are written only when explicitly requested
+    * (out-of-band node runs), never as a permanent test side effect. */
+  private def dump(tag: String, stream: Array[Byte], bmp: Array[Byte]): Unit =
+    if (sys.env.contains("GRAFT_DUMP_JBIG2")) {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/jb_$tag.bin"), stream)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/jb_${tag}bmp.bin"), bmp)
+    }
+
   private def pageSeg(w: Int, h: Int): Array[Byte] =
     Jbig2Synth.segment(0, 48, Nil,
       java.nio.ByteBuffer.allocate(19).putInt(w).putInt(h).putInt(0).putInt(0)
@@ -45,8 +53,7 @@ class Jbig2RefineSpec extends AnyFunSuite {
         if (g.bits(yy * g.w + xx) != 0) expected((y + yy) * w + (x + xx)) = 1
     }
     assert(out.get.toSeq == expected.toSeq)
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/jb_refagg.bin"), stream)
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/jb_refaggbmp.bin"), out.get)
+    dump("refagg", stream, out.get)
   }
 
   test("REFAGG with nonzero displacement round-trips (spec sign convention)") {
@@ -85,8 +92,36 @@ class Jbig2RefineSpec extends AnyFunSuite {
         if (g.bits(yy * g.w + xx) != 0) expected((y + yy) * w + (x + xx)) = 1
     }
     assert(out.get.toSeq == expected.toSeq)
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/jb_refine.bin"), stream)
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/jb_refinebmp.bin"), out.get)
+    dump("refine", stream, out.get)
+  }
+
+  test("refinement template 1 round-trips (dictionary and text paths)") {
+    // the 10-bit template-1 context and the rAt-absent header layout
+    val (w, h) = (20, 10)
+    val aP = flip(gA, 1, 3)
+    val dict1 = Jbig2Synth.segment(1, 0, Nil, Jbig2Synth.encodeSymbolDictData(Seq(gA)))
+    val dict2 = Jbig2Synth.segment(2, 0, Seq(1),
+      Jbig2Synth.encodeRefAggDictData(Seq(gA), Seq((aP, 0, 0, 0)), rTemplate = 1))
+    val text = Jbig2Synth.segment(3, 6, Seq(1, 2),
+      Jbig2Synth.encodeTextRegionData(w, h, Seq(gA, aP), Seq((1, 2, 2))))
+    val out = Jbig2.decodeEmbedded(pageSeg(w, h) ++ dict1 ++ dict2 ++ text, w, h)
+    assert(out.isDefined)
+    val expected = new Array[Byte](w * h)
+    for (yy <- 0 until aP.h; xx <- 0 until aP.w)
+      if (aP.bits(yy * aP.w + xx) != 0) expected((2 + yy) * w + (2 + xx)) = 1
+    assert(out.get.toSeq == expected.toSeq)
+    // text-path template 1
+    val dictT = Jbig2Synth.segment(1, 0, Nil, Jbig2Synth.encodeSymbolDictData(Seq(gB)))
+    val bP = flip(gB, 0, 1)
+    val textT = Jbig2Synth.segment(2, 6, Seq(1),
+      Jbig2Synth.encodeTextRegionRefineData(w, h, Seq(gB),
+        Seq((0, 3, 1, Some(bP))), rTemplate = 1))
+    val outT = Jbig2.decodeEmbedded(pageSeg(w, h) ++ dictT ++ textT, w, h)
+    assert(outT.isDefined)
+    val expT = new Array[Byte](w * h)
+    for (yy <- 0 until bP.h; xx <- 0 until bP.w)
+      if (bP.bits(yy * bP.w + xx) != 0) expT((1 + yy) * w + (3 + xx)) = 1
+    assert(outT.get.toSeq == expT.toSeq)
   }
 
   test("refinement with size delta (rdw/rdh) round-trips") {
