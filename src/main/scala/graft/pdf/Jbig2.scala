@@ -10,16 +10,19 @@ package graft.pdf
   * with referred-segment symbol wiring and page-info defaults/operators.
   *
   * Refinement coding (6.3) is supported where it occurs inline: REFAGG
-  * symbol dictionaries on the single-instance path and per-instance text
+  * symbol dictionaries — both the single-instance refinement path and
+  * multi-instance aggregation (6.5.8.2.1, a composite symbol decoded as an
+  * inner text region of the dictionary stream) — and per-instance text
   * region refinement (IARI/IARDW/IARDH/IARDX/IARDY).
   *
-  * Scope (disclosed): huffman-coded tables, multi-instance aggregation
-  * (IAAI > 1) and TPGRON return None — the caller keeps the metadata-only
-  * row. The reference carries a decoder inside its vendored pdf.combined.js
-  * (9603-10685, stream wiring 22530-22556) — cited as the semantic contract;
-  * this implementation is from the public spec and EXCEEDS the reference on
-  * MMR (which its decoder rejects) and on spec-correct reference-corner
-  * placement.
+  * Scope (disclosed): huffman-coded tables, TPGRON and halftone regions
+  * return None — the caller keeps the metadata-only row; the reference's
+  * decoder cannot decode any of those either, so this engine's JBIG2
+  * coverage is a strict SUPERSET of the reference's (it additionally errors
+  * on MMR, decoded here via the JDK fax codec). The reference decoder lives
+  * in its vendored pdf.combined.js (9603-10685, stream wiring 22530-22556) —
+  * cited as the semantic contract; this implementation is from the public
+  * spec, with spec-correct reference-corner placement.
   *
   * Context bit order: template pixels (nominal fixed positions plus the AT
   * pixels at their signalled offsets) are ordered row-major — by dy then dx —
@@ -401,6 +404,7 @@ object Jbig2 {
     lazy val iardy = new IntCtx
     lazy val iaidCx = new Array[Int](1 << (symCodeLen + 1))
     lazy val grCx = new Array[Int](1 << 13)
+    lazy val aggState = new TextRegionState(symCodeLen)
     val genCx = if (refAgg) null else new Array[Int](1 << 16)
     val newSyms = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
     var hcHeight = 0
@@ -435,19 +439,32 @@ object Jbig2 {
               // (several text instances composing one symbol) stays a
               // disclosed cut
               val nInst = decodeInt(mq, iaai).getOrElse(return None)
-              if (nInst != 1) return None
-              val id = decodeIaid(mq, iaidCx, symCodeLen)
-              val avail = inputSyms.length + newSyms.length
-              if (id < 0 || id >= avail) return None
-              val refSym =
-                if (id < inputSyms.length) inputSyms(id)
-                else newSyms(id - inputSyms.length)
-              val rdx = decodeInt(mq, iardx).getOrElse(return None)
-              val rdy = decodeInt(mq, iardy).getOrElse(return None)
-              if (math.abs(rdx) > MaxSymbolDim || math.abs(rdy) > MaxSymbolDim) return None
-              newSyms += Bitmap(symWidth, hcHeight,
-                decodeRefinementInto(mq, grCx, symWidth, hcHeight, rTemplate,
-                  refSym, rdx, rdy, rAt))
+              if (nInst == 1) {
+                val id = decodeIaid(mq, iaidCx, symCodeLen)
+                val avail = inputSyms.length + newSyms.length
+                if (id < 0 || id >= avail) return None
+                val refSym =
+                  if (id < inputSyms.length) inputSyms(id)
+                  else newSyms(id - inputSyms.length)
+                val rdx = decodeInt(mq, iardx).getOrElse(return None)
+                val rdy = decodeInt(mq, iardy).getOrElse(return None)
+                if (math.abs(rdx) > MaxSymbolDim || math.abs(rdy) > MaxSymbolDim) return None
+                newSyms += Bitmap(symWidth, hcHeight,
+                  decodeRefinementInto(mq, grCx, symWidth, hcHeight, rTemplate,
+                    refSym, rdx, rdy, rAt))
+              } else {
+                // 6.5.8.2.1 multi-instance aggregation: the symbol is a text
+                // region of nInst instances over input ++ new-so-far, decoded
+                // from the SAME arithmetic stream with persistent contexts
+                if (nInst < 0 || nInst > (1 << 16)) return None
+                val avail = inputSyms ++ newSyms
+                val bmp = decodeTextRegionCore(mq, aggState,
+                  symWidth, hcHeight, 0, nInst, 1, avail, symCodeLen,
+                  transposed = false, dsOffset = 0, refCorner = 1,
+                  refine = true, rTemplate = rTemplate, rAt = rAt)
+                  .getOrElse(return None)
+                newSyms += Bitmap(symWidth, hcHeight, bmp)
+              }
             }
         }
       }
@@ -510,9 +527,17 @@ object Jbig2 {
     if (rw <= 0 || rh <= 0 || rw.toLong * rh > 64L * 1024 * 1024 ||
       numInstances < 0 || numInstances > (1 << 20) || syms.isEmpty) return None
     val symCodeLen = ceilLog2(syms.length)
-    val region = new Array[Byte](rw * rh)
-    if (defPixel != 0) java.util.Arrays.fill(region, 1.toByte)
     val mq = new MqDecoder(data, p, end)
+    val st = new TextRegionState(symCodeLen)
+    decodeTextRegionCore(mq, st, rw, rh, defPixel, numInstances, strips, syms,
+      symCodeLen, transposed, dsOffset, refCorner, refine, rTemplate, rAt)
+      .map(region => (rw, rh, rx, ry, region))
+  }
+
+  /** Context state for one text-region decode — persistent across the
+    * aggregate calls a REFAGG dictionary makes (the contexts adapt across
+    * symbols, same cache discipline as the reference's DecodingContext). */
+  private[graft] final class TextRegionState(symCodeLen: Int) {
     val iadt = new IntCtx
     val iafs = new IntCtx
     val iads = new IntCtx
@@ -524,6 +549,24 @@ object Jbig2 {
     lazy val iardy = new IntCtx
     lazy val grCx = new Array[Int](1 << 13)
     val iaidCx = new Array[Int](1 << (symCodeLen + 1))
+  }
+
+  /** The text-region instance loop (6.4.5) over a caller-owned decoder and
+    * state — shared by the segment path and by REFAGG symbol dictionaries'
+    * multi-instance aggregation (6.5.8.2.1, where a composite symbol is
+    * "a text region of its instances" decoded from the dictionary's own
+    * arithmetic stream). */
+  private[graft] def decodeTextRegionCore(
+      mq: MqDecoder, st: TextRegionState,
+      rw: Int, rh: Int, defPixel: Int, numInstances: Int, strips: Int,
+      syms: scala.collection.IndexedSeq[Bitmap], symCodeLen: Int,
+      transposed: Boolean, dsOffset: Int, refCorner: Int,
+      refine: Boolean, rTemplate: Int, rAt: Array[(Int, Int)]): Option[Array[Byte]] = {
+    if (rw <= 0 || rh <= 0 || rw.toLong * rh > 64L * 1024 * 1024 ||
+      numInstances < 0 || syms.isEmpty) return None
+    val region = new Array[Byte](rw * rh)
+    if (defPixel != 0) java.util.Arrays.fill(region, 1.toByte)
+    import st._
     var stripT = -decodeInt(mq, iadt).getOrElse(return None)
     var firstS = 0
     var inst = 0
@@ -614,7 +657,7 @@ object Jbig2 {
         }
       }
     }
-    Some((rw, rh, rx, ry, region))
+    Some(region)
   }
 
   /** Decode a PDF-embedded JBIG2 stream (segment headers per 7.2, no file

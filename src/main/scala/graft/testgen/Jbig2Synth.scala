@@ -326,6 +326,66 @@ object Jbig2Synth {
     out.array()
   }
 
+  /** REFAGG dictionary whose single new symbol is a multi-instance AGGREGATE
+    * (6.5.8.2.1): a mini text region of `instances` (id into `inputs`, x, y
+    * top-left) composed on an aggW×aggH canvas, coded inline in the
+    * dictionary's arithmetic stream. */
+  def encodeAggDictData(inputs: Seq[Jbig2.Bitmap], aggW: Int, aggH: Int,
+      instances: Seq[(Int, Int, Int)], rTemplate: Int = 0): Array[Byte] = {
+    require(inputs.nonEmpty && instances.length > 1, "aggregate needs >1 instances")
+    val template = 0
+    val symCodeLen = Jbig2.ceilLog2(inputs.length + 1)
+    val enc = new MqEncoder
+    val iadh = new Array[Int](512)
+    val iadw = new Array[Int](512)
+    val iaex = new Array[Int](512)
+    val iaai = new Array[Int](512)
+    // the aggregate's inner text region has its own persistent contexts
+    val tIadt = new Array[Int](512)
+    val tIafs = new Array[Int](512)
+    val tIads = new Array[Int](512)
+    val tIari = new Array[Int](512)
+    val tIaidCx = new Array[Int](1 << (symCodeLen + 1))
+    encodeInt(enc, iadh, Some(aggH)) // one height class
+    encodeInt(enc, iadw, Some(aggW))
+    encodeInt(enc, iaai, Some(instances.length))
+    // inner text body: strips of size 1, TL corner, refine flag ON (IARI=0
+    // per instance), dsOffset 0 — mirrors decodeTextRegionCore's reads
+    val strips = instances.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (t, is) => (t, is.sortBy(_._2)) }
+    encodeInt(enc, tIadt, Some(0))
+    var stripT = 0
+    var firstS = 0
+    strips.foreach { case (t, is) =>
+      encodeInt(enc, tIadt, Some(t - stripT))
+      stripT = t
+      var curS = 0
+      is.zipWithIndex.foreach { case ((id, x, _), k) =>
+        if (k == 0) { encodeInt(enc, tIafs, Some(x - firstS)); firstS = x; curS = x }
+        else { encodeInt(enc, tIads, Some(x - curS)); curS = x }
+        encodeIaid(enc, tIaidCx, symCodeLen, id)
+        encodeInt(enc, tIari, Some(0)) // instance not refined
+        curS += inputs(id).w - 1
+      }
+      encodeInt(enc, tIads, None)
+    }
+    encodeInt(enc, iadw, None) // height class done
+    encodeInt(enc, iaex, Some(inputs.length)) // inputs not exported
+    encodeInt(enc, iaex, Some(1)) // the aggregate is
+    val mq = enc.flush()
+    val at = nominalAt(template)
+    val flags = 2 | ((template & 3) << 10) | ((rTemplate & 1) << 12)
+    val rAtBytes = if (rTemplate == 0) 4 else 0
+    val out = java.nio.ByteBuffer.allocate(2 + 2 * at.length + rAtBytes + 8 + mq.length)
+    out.putShort(flags.toShort)
+    at.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
+    if (rTemplate == 0)
+      NominalRefAt.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
+    out.putInt(1).putInt(1) // SDNUMEXSYMS, SDNUMNEWSYMS
+    out.put(mq)
+    out.array()
+  }
+
   /** Text region DATA with per-instance refinement: `refined` replaces the
     * dictionary glyph for that instance (rdw/rdh from the dims, rdx=rdy=0). */
   def encodeTextRegionRefineData(rw: Int, rh: Int,

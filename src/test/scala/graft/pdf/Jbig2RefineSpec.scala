@@ -124,6 +124,36 @@ class Jbig2RefineSpec extends AnyFunSuite {
     assert(outT.get.toSeq == expT.toSeq)
   }
 
+  test("multi-instance aggregate symbol (IAAI > 1) round-trips") {
+    // composite symbol "AB" built from two instances of the input glyphs,
+    // decoded as an inner text region of the dictionary stream (6.5.8.2.1)
+    val (aggW, aggH) = (10, 5)
+    val aggInstances = Seq((0, 0, 0), (1, 5, 0))
+    val dict1 = Jbig2Synth.segment(1, 0, Nil, Jbig2Synth.encodeSymbolDictData(Seq(gA, gB)))
+    val dict2 = Jbig2Synth.segment(2, 0, Seq(1),
+      Jbig2Synth.encodeAggDictData(Seq(gA, gB), aggW, aggH, aggInstances))
+    // expected composite
+    val comp = new Array[Byte](aggW * aggH)
+    aggInstances.foreach { case (id, x, y) =>
+      val g = Seq(gA, gB)(id)
+      for (yy <- 0 until g.h; xx <- 0 until g.w)
+        if (g.bits(yy * g.w + xx) != 0) comp((y + yy) * aggW + (x + xx)) = 1
+    }
+    // text region draws the composite (id 2 after dict1's A, B)
+    val (w, h) = (20, 9)
+    val text = Jbig2Synth.segment(3, 6, Seq(1, 2),
+      Jbig2Synth.encodeTextRegionData(w, h,
+        Seq(gA, gB, Jbig2.Bitmap(aggW, aggH, comp)), Seq((2, 3, 2))))
+    val stream = pageSeg(w, h) ++ dict1 ++ dict2 ++ text
+    val out = Jbig2.decodeEmbedded(stream, w, h)
+    assert(out.isDefined)
+    val expected = new Array[Byte](w * h)
+    for (yy <- 0 until aggH; xx <- 0 until aggW)
+      if (comp(yy * aggW + xx) != 0) expected((2 + yy) * w + (3 + xx)) = 1
+    assert(out.get.toSeq == expected.toSeq)
+    dump("agg", stream, out.get)
+  }
+
   test("refinement with size delta (rdw/rdh) round-trips") {
     val (w, h) = (20, 12)
     // refined instance is one column wider than the dictionary glyph
