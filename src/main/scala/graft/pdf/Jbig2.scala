@@ -360,9 +360,10 @@ object Jbig2 {
   /** Symbol dictionary segment (6.5, arithmetic direct coding): decodes
     * `numNewSyms` bitmaps grouped in delta-height classes from one arithmetic
     * stream (ONE shared generic context across all symbol bitmaps, 6.5.8.1),
-    * then the export-flag runs select from input ++ new. Huffman and
-    * refinement/aggregation coding return None (disclosed cut — the caller
-    * keeps the metadata-only row). */
+    * then the export-flag runs select from input ++ new. REFAGG
+    * dictionaries decode on both refinement paths (single-instance and
+    * multi-instance aggregation); huffman coding returns None (disclosed
+    * cut — the caller keeps the metadata-only row). */
   private[graft] def decodeSymbolDict(
       data: Array[Byte], start: Int, end: Int,
       inputSyms: Vector[Bitmap]): Option[Vector[Bitmap]] = {
@@ -400,11 +401,12 @@ object Jbig2 {
     // refinement-only state allocated only on the REFAGG path (a plain
     // dictionary must not pay the grCx/iaidCx footprint per segment)
     lazy val iaai = new IntCtx
-    lazy val iardx = new IntCtx
-    lazy val iardy = new IntCtx
-    lazy val iaidCx = new Array[Int](1 << (symCodeLen + 1))
-    lazy val grCx = new Array[Int](1 << 13)
-    lazy val aggState = new TextRegionState(symCodeLen)
+    // ONE adaptive-context set for the whole dictionary (T.88 6.5.8 /
+    // the reference's per-dictionary context cache): the single-instance
+    // refinement path and multi-instance aggregation share IAID/IARDX/IARDY/
+    // GR statistics — separate sets would desynchronize a conformant stream
+    // that mixes the two paths
+    lazy val trState = new TextRegionState(symCodeLen)
     val genCx = if (refAgg) null else new Array[Int](1 << 16)
     val newSyms = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
     var hcHeight = 0
@@ -434,31 +436,37 @@ object Jbig2 {
               newSyms += Bitmap(symWidth, hcHeight,
                 decodeGenericInto(mq, genCx, symWidth, hcHeight, template, at, tpgdon = false))
             } else {
-              // 6.5.8.2 refinement/aggregate coding: the single-instance path
-              // refines an already-available symbol; true aggregation
-              // (several text instances composing one symbol) stays a
-              // disclosed cut
+              // 6.5.8.2 refinement/aggregate coding: IAAI <= 1 refines one
+              // already-available symbol (the reference routes 0 and 1 the
+              // same way); IAAI > 1 decodes the composite as an inner text
+              // region of the dictionary stream (6.5.8.2.1)
               val nInst = decodeInt(mq, iaai).getOrElse(return None)
-              if (nInst == 1) {
-                val id = decodeIaid(mq, iaidCx, symCodeLen)
+              if (nInst <= 1) {
+                val id = decodeIaid(mq, trState.iaidCx, symCodeLen)
                 val avail = inputSyms.length + newSyms.length
                 if (id < 0 || id >= avail) return None
                 val refSym =
                   if (id < inputSyms.length) inputSyms(id)
                   else newSyms(id - inputSyms.length)
-                val rdx = decodeInt(mq, iardx).getOrElse(return None)
-                val rdy = decodeInt(mq, iardy).getOrElse(return None)
+                val rdx = decodeInt(mq, trState.iardx).getOrElse(return None)
+                val rdy = decodeInt(mq, trState.iardy).getOrElse(return None)
                 if (math.abs(rdx) > MaxSymbolDim || math.abs(rdy) > MaxSymbolDim) return None
                 newSyms += Bitmap(symWidth, hcHeight,
-                  decodeRefinementInto(mq, grCx, symWidth, hcHeight, rTemplate,
+                  decodeRefinementInto(mq, trState.grCx, symWidth, hcHeight, rTemplate,
                     refSym, rdx, rdy, rAt))
               } else {
-                // 6.5.8.2.1 multi-instance aggregation: the symbol is a text
-                // region of nInst instances over input ++ new-so-far, decoded
-                // from the SAME arithmetic stream with persistent contexts
-                if (nInst < 0 || nInst > (1 << 16)) return None
-                val avail = inputSyms ++ newSyms
-                val bmp = decodeTextRegionCore(mq, aggState,
+                if (nInst > (1 << 16)) return None
+                // zero-copy index view over input ++ new-so-far
+                val inCount = inputSyms.length
+                val newSnapshot = newSyms
+                val avail: scala.collection.IndexedSeq[Bitmap] =
+                  new scala.collection.AbstractSeq[Bitmap]
+                    with scala.collection.IndexedSeq[Bitmap] {
+                    def length: Int = inCount + newSnapshot.length
+                    def apply(i: Int): Bitmap =
+                      if (i < inCount) inputSyms(i) else newSnapshot(i - inCount)
+                  }
+                val bmp = decodeTextRegionCore(mq, trState,
                   symWidth, hcHeight, 0, nInst, 1, avail, symCodeLen,
                   transposed = false, dsOffset = 0, refCorner = 1,
                   refine = true, rTemplate = rTemplate, rAt = rAt)
@@ -524,8 +532,7 @@ object Jbig2 {
       } else Array((0, 0), (0, 0))
     val numInstances = be32(data, p).toInt
     p += 4
-    if (rw <= 0 || rh <= 0 || rw.toLong * rh > 64L * 1024 * 1024 ||
-      numInstances < 0 || numInstances > (1 << 20) || syms.isEmpty) return None
+    if (numInstances < 0 || numInstances > (1 << 20) || syms.isEmpty) return None
     val symCodeLen = ceilLog2(syms.length)
     val mq = new MqDecoder(data, p, end)
     val st = new TextRegionState(symCodeLen)
@@ -549,6 +556,9 @@ object Jbig2 {
     lazy val iardy = new IntCtx
     lazy val grCx = new Array[Int](1 << 13)
     val iaidCx = new Array[Int](1 << (symCodeLen + 1))
+    // draw-work budget, cumulative across every core call sharing this state
+    // (a dictionary's aggregate symbols must not each get a fresh budget)
+    var drawnPixels: Long = 0L
   }
 
   /** The text-region instance loop (6.4.5) over a caller-owned decoder and
@@ -570,7 +580,6 @@ object Jbig2 {
     var stripT = -decodeInt(mq, iadt).getOrElse(return None)
     var firstS = 0
     var inst = 0
-    var drawnPixels = 0L
     while (inst < numInstances) {
       stripT += decodeInt(mq, iadt).getOrElse(return None)
       firstS += decodeInt(mq, iafs).getOrElse(return None)
@@ -600,8 +609,8 @@ object Jbig2 {
               Bitmap(nw, nh, decodeRefinementInto(mq, grCx, nw, nh, rTemplate,
                 sym0, (rdw >> 1) + rdx, (rdh >> 1) + rdy, rAt))
           }
-        drawnPixels += sym.w.toLong * sym.h
-        if (drawnPixels > 256L * 1024 * 1024) return None // work bound
+        st.drawnPixels += sym.w.toLong * sym.h
+        if (st.drawnPixels > 256L * 1024 * 1024) return None // work bound
         // reference-corner offsets (bit 0 = top-aligned, bit 1 = right-
         // aligned), SPEC-correct per T.88 6.4.5: a bottom corner puts the
         // symbol's BOTTOM row at T (top row = T − H + 1). The vendored

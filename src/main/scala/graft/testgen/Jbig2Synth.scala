@@ -260,57 +260,117 @@ object Jbig2Synth {
 
   private val NominalRefAt = Array((-2, -1), (-2, -2))
 
-  /** REFAGG symbol dictionary DATA (7.4.3, refinement/aggregate with one
-    * instance per symbol): each new symbol refines an already-available one
-    * (`refId` indexes input ++ new-so-far). Input symbols are not exported. */
-  def encodeRefAggDictData(inputs: Seq[Jbig2.Bitmap],
-      newSyms: Seq[(Jbig2.Bitmap, Int, Int, Int)], // (bitmap, refId, rdx, rdy)
+  /** One REFAGG dictionary entry: either a single-instance refinement of an
+    * available symbol, or a multi-instance aggregate (inner text region). */
+  sealed trait DictEntry { def w: Int; def h: Int }
+  final case class RefineOne(bm: Jbig2.Bitmap, refId: Int, rdx: Int, rdy: Int)
+      extends DictEntry {
+    def w: Int = bm.w
+    def h: Int = bm.h
+  }
+  final case class AggSym(w: Int, h: Int, instances: Seq[(Int, Int, Int)])
+      extends DictEntry
+
+  /** REFAGG symbol dictionary DATA (7.4.3): mixed single-instance refinement
+    * and multi-instance aggregation entries over ONE shared adaptive-context
+    * set (IAID/IARDX/IARDY/GR and the inner-text contexts persist across the
+    * whole dictionary — the decoder's TextRegionState discipline). Entries
+    * must be sorted by non-decreasing height; inputs are not exported. */
+  def encodeMixedDictData(inputs: Seq[Jbig2.Bitmap], entries: Seq[DictEntry],
       rTemplate: Int = 0): Array[Byte] = {
-    val inputCount = inputs.length
-    def resolveRef(refId: Int): Jbig2.Bitmap =
-      if (refId < inputCount) inputs(refId)
-      else newSyms(refId - inputCount)._1
-    require(newSyms.nonEmpty && newSyms.map(_._1).sliding(2).forall {
+    require(entries.nonEmpty && entries.sliding(2).forall {
       case Seq(a, b) => a.h <= b.h
       case _ => true
-    }, "new symbols must be sorted by height")
+    }, "entries must be sorted by height")
     val template = 0
-    val symCodeLen = Jbig2.ceilLog2(inputCount + newSyms.length)
+    val inputCount = inputs.length
+    val symCodeLen = Jbig2.ceilLog2(inputCount + entries.length)
     val enc = new MqEncoder
     val iadh = new Array[Int](512)
     val iadw = new Array[Int](512)
     val iaex = new Array[Int](512)
     val iaai = new Array[Int](512)
+    // dictionary-wide shared contexts (mirror of the decoder's trState)
     val iardx = new Array[Int](512)
     val iardy = new Array[Int](512)
     val iaidCx = new Array[Int](1 << (symCodeLen + 1))
     val grCx = new Array[Int](1 << 13)
+    val tIadt = new Array[Int](512)
+    val tIafs = new Array[Int](512)
+    val tIads = new Array[Int](512)
+    val tIari = new Array[Int](512)
+    val realized = scala.collection.mutable.ArrayBuffer.empty[Jbig2.Bitmap]
+    def avail(i: Int): Jbig2.Bitmap =
+      if (i < inputCount) inputs(i) else realized(i - inputCount)
     var i = 0
     var prevH = 0
-    while (i < newSyms.length) {
-      val h = newSyms(i)._1.h
+    while (i < entries.length) {
+      val h = entries(i).h
       encodeInt(enc, iadh, Some(h - prevH))
       prevH = h
       var prevW = 0
-      while (i < newSyms.length && newSyms(i)._1.h == h) {
-        val (bm, refId, rdx, rdy) = newSyms(i)
-        encodeInt(enc, iadw, Some(bm.w - prevW))
-        prevW = bm.w
-        encodeInt(enc, iaai, Some(1)) // single-instance refinement
-        encodeIaid(enc, iaidCx, symCodeLen, refId)
-        encodeInt(enc, iardx, Some(rdx))
-        encodeInt(enc, iardy, Some(rdy))
-        // the decode-side reference set is input ++ new-so-far; the caller's
-        // refId must point at a symbol already decoded — enforced here too
-        require(refId >= 0 && refId < inputCount + i, s"refId $refId not yet available")
-        encodeRefinementInto(enc, grCx, bm.bits, bm.w, bm.h, rTemplate,
-          resolveRef(refId), rdx, rdy, NominalRefAt)
+      while (i < entries.length && entries(i).h == h) {
+        val e = entries(i)
+        encodeInt(enc, iadw, Some(e.w - prevW))
+        prevW = e.w
+        e match {
+          case RefineOne(bm, refId, rdx, rdy) =>
+            require(refId >= 0 && refId < inputCount + realized.length,
+              s"refId $refId not yet available")
+            encodeInt(enc, iaai, Some(1))
+            encodeIaid(enc, iaidCx, symCodeLen, refId)
+            encodeInt(enc, iardx, Some(rdx))
+            encodeInt(enc, iardy, Some(rdy))
+            encodeRefinementInto(enc, grCx, bm.bits, bm.w, bm.h, rTemplate,
+              avail(refId), rdx, rdy, NominalRefAt)
+            realized += bm
+          case AggSym(w, hh, instances) =>
+            require(instances.length > 1, "aggregate needs > 1 instances")
+            encodeInt(enc, iaai, Some(instances.length))
+            // inner text body: strips of 1, TL corner, refine ON (IARI=0)
+            val strips = instances.groupBy(_._3).toSeq.sortBy(_._1)
+              .map { case (t, is) => (t, is.sortBy(_._2)) }
+            encodeInt(enc, tIadt, Some(0))
+            var stripT = 0
+            var firstS = 0
+            strips.foreach { case (t, is) =>
+              encodeInt(enc, tIadt, Some(t - stripT))
+              stripT = t
+              var curS = 0
+              is.zipWithIndex.foreach { case ((id, x, _), k) =>
+                require(id >= 0 && id < inputCount + realized.length,
+                  s"aggregate instance id $id not yet available")
+                if (k == 0) { encodeInt(enc, tIafs, Some(x - firstS)); firstS = x; curS = x }
+                else { encodeInt(enc, tIads, Some(x - curS)); curS = x }
+                encodeIaid(enc, iaidCx, symCodeLen, id)
+                encodeInt(enc, tIari, Some(0))
+                curS += avail(id).w - 1
+              }
+              encodeInt(enc, tIads, None)
+            }
+            // realize the composite so later entries can reference it
+            val comp = new Array[Byte](w * hh)
+            instances.foreach { case (id, x, y) =>
+              val g = avail(id)
+              var yy = 0
+              while (yy < g.h) {
+                var xx = 0
+                while (xx < g.w) {
+                  if (g.bits(yy * g.w + xx) != 0 && y + yy < hh && x + xx < w)
+                    comp((y + yy) * w + (x + xx)) = 1
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
+            realized += Jbig2.Bitmap(w, hh, comp)
+        }
         i += 1
       }
       encodeInt(enc, iadw, None)
     }
     encodeInt(enc, iaex, Some(inputCount)) // inputs: not exported
-    encodeInt(enc, iaex, Some(newSyms.length)) // new: exported
+    encodeInt(enc, iaex, Some(entries.length)) // new: exported
     val mq = enc.flush()
     val at = nominalAt(template)
     val flags = 2 | ((template & 3) << 10) | ((rTemplate & 1) << 12) // REFAGG
@@ -320,71 +380,24 @@ object Jbig2Synth {
     at.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
     if (rTemplate == 0)
       NominalRefAt.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
-    out.putInt(newSyms.length) // SDNUMEXSYMS
-    out.putInt(newSyms.length) // SDNUMNEWSYMS
+    out.putInt(entries.length) // SDNUMEXSYMS
+    out.putInt(entries.length) // SDNUMNEWSYMS
     out.put(mq)
     out.array()
   }
 
-  /** REFAGG dictionary whose single new symbol is a multi-instance AGGREGATE
-    * (6.5.8.2.1): a mini text region of `instances` (id into `inputs`, x, y
-    * top-left) composed on an aggW×aggH canvas, coded inline in the
-    * dictionary's arithmetic stream. */
+  /** Single-instance-only REFAGG dictionary (delegates to the mixed form). */
+  def encodeRefAggDictData(inputs: Seq[Jbig2.Bitmap],
+      newSyms: Seq[(Jbig2.Bitmap, Int, Int, Int)], // (bitmap, refId, rdx, rdy)
+      rTemplate: Int = 0): Array[Byte] =
+    encodeMixedDictData(inputs,
+      newSyms.map { case (bm, refId, rdx, rdy) => RefineOne(bm, refId, rdx, rdy) },
+      rTemplate)
+
+  /** Single-aggregate REFAGG dictionary (delegates to the mixed form). */
   def encodeAggDictData(inputs: Seq[Jbig2.Bitmap], aggW: Int, aggH: Int,
-      instances: Seq[(Int, Int, Int)], rTemplate: Int = 0): Array[Byte] = {
-    require(inputs.nonEmpty && instances.length > 1, "aggregate needs >1 instances")
-    val template = 0
-    val symCodeLen = Jbig2.ceilLog2(inputs.length + 1)
-    val enc = new MqEncoder
-    val iadh = new Array[Int](512)
-    val iadw = new Array[Int](512)
-    val iaex = new Array[Int](512)
-    val iaai = new Array[Int](512)
-    // the aggregate's inner text region has its own persistent contexts
-    val tIadt = new Array[Int](512)
-    val tIafs = new Array[Int](512)
-    val tIads = new Array[Int](512)
-    val tIari = new Array[Int](512)
-    val tIaidCx = new Array[Int](1 << (symCodeLen + 1))
-    encodeInt(enc, iadh, Some(aggH)) // one height class
-    encodeInt(enc, iadw, Some(aggW))
-    encodeInt(enc, iaai, Some(instances.length))
-    // inner text body: strips of size 1, TL corner, refine flag ON (IARI=0
-    // per instance), dsOffset 0 — mirrors decodeTextRegionCore's reads
-    val strips = instances.groupBy(_._3).toSeq.sortBy(_._1)
-      .map { case (t, is) => (t, is.sortBy(_._2)) }
-    encodeInt(enc, tIadt, Some(0))
-    var stripT = 0
-    var firstS = 0
-    strips.foreach { case (t, is) =>
-      encodeInt(enc, tIadt, Some(t - stripT))
-      stripT = t
-      var curS = 0
-      is.zipWithIndex.foreach { case ((id, x, _), k) =>
-        if (k == 0) { encodeInt(enc, tIafs, Some(x - firstS)); firstS = x; curS = x }
-        else { encodeInt(enc, tIads, Some(x - curS)); curS = x }
-        encodeIaid(enc, tIaidCx, symCodeLen, id)
-        encodeInt(enc, tIari, Some(0)) // instance not refined
-        curS += inputs(id).w - 1
-      }
-      encodeInt(enc, tIads, None)
-    }
-    encodeInt(enc, iadw, None) // height class done
-    encodeInt(enc, iaex, Some(inputs.length)) // inputs not exported
-    encodeInt(enc, iaex, Some(1)) // the aggregate is
-    val mq = enc.flush()
-    val at = nominalAt(template)
-    val flags = 2 | ((template & 3) << 10) | ((rTemplate & 1) << 12)
-    val rAtBytes = if (rTemplate == 0) 4 else 0
-    val out = java.nio.ByteBuffer.allocate(2 + 2 * at.length + rAtBytes + 8 + mq.length)
-    out.putShort(flags.toShort)
-    at.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
-    if (rTemplate == 0)
-      NominalRefAt.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
-    out.putInt(1).putInt(1) // SDNUMEXSYMS, SDNUMNEWSYMS
-    out.put(mq)
-    out.array()
-  }
+      instances: Seq[(Int, Int, Int)], rTemplate: Int = 0): Array[Byte] =
+    encodeMixedDictData(inputs, Seq(AggSym(aggW, aggH, instances)), rTemplate)
 
   /** Text region DATA with per-instance refinement: `refined` replaces the
     * dictionary glyph for that instance (rdw/rdh from the dims, rdx=rdy=0). */

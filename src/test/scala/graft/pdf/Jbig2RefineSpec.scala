@@ -154,6 +154,43 @@ class Jbig2RefineSpec extends AnyFunSuite {
     dump("agg", stream, out.get)
   }
 
+  test("MIXED dictionary: refinement then aggregation share adaptive contexts") {
+    // one dictionary whose first new symbol is a single-instance refinement
+    // and whose second is a multi-instance aggregate — the two paths MUST
+    // share IAID/IARDX/IARDY/GR statistics (T.88 6.5.8; a split context set
+    // desynchronizes exactly here)
+    val aP = flip(gA, 1, 1)
+    val (aggW, aggH) = (10, 5)
+    val aggInstances = Seq((0, 0, 0), (1, 5, 0))
+    val dict1 = Jbig2Synth.segment(1, 0, Nil, Jbig2Synth.encodeSymbolDictData(Seq(gA, gB)))
+    val dict2 = Jbig2Synth.segment(2, 0, Seq(1),
+      Jbig2Synth.encodeMixedDictData(Seq(gA, gB), Seq(
+        Jbig2Synth.RefineOne(aP, 0, 0, 0),
+        Jbig2Synth.AggSym(aggW, aggH, aggInstances))))
+    val comp = new Array[Byte](aggW * aggH)
+    aggInstances.foreach { case (id, x, y) =>
+      val g = Seq(gA, gB)(id)
+      for (yy <- 0 until g.h; xx <- 0 until g.w)
+        if (g.bits(yy * g.w + xx) != 0) comp((y + yy) * aggW + (x + xx)) = 1
+    }
+    // exports: aP (id 2 after dict1's A, B), composite (id 3)
+    val (w, h) = (24, 14)
+    val text = Jbig2Synth.segment(3, 6, Seq(1, 2),
+      Jbig2Synth.encodeTextRegionData(w, h,
+        Seq(gA, gB, aP, Jbig2.Bitmap(aggW, aggH, comp)),
+        Seq((2, 1, 1), (3, 8, 7))))
+    val stream = pageSeg(w, h) ++ dict1 ++ dict2 ++ text
+    val out = Jbig2.decodeEmbedded(stream, w, h)
+    assert(out.isDefined)
+    val expected = new Array[Byte](w * h)
+    Seq((aP, 1, 1), (Jbig2.Bitmap(aggW, aggH, comp), 8, 7)).foreach { case (g, x, y) =>
+      for (yy <- 0 until g.h; xx <- 0 until g.w)
+        if (g.bits(yy * g.w + xx) != 0) expected((y + yy) * w + (x + xx)) = 1
+    }
+    assert(out.get.toSeq == expected.toSeq)
+    dump("mixed", stream, out.get)
+  }
+
   test("refinement with size delta (rdw/rdh) round-trips") {
     val (w, h) = (20, 12)
     // refined instance is one column wider than the dictionary glyph
