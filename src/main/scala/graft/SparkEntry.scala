@@ -261,6 +261,10 @@ object SparkEntry {
         ("synthetic/jbig2.pdf", graft.testgen.Jbig2Synth.pdfWithJbig2(64, 48, seed = 5)),
         ("synthetic/jbig2text.pdf",
           graft.testgen.Jbig2Synth.pdfWithJbig2(40, 24, seed = 0, symbolCoded = true)),
+        // the same symbol-coded page with the dictionary in a /JBIG2Globals
+        // stream (DecodeParms) — the shape real multi-page scans ship
+        ("synthetic/jbig2glob.pdf",
+          graft.testgen.Jbig2Synth.pdfWithJbig2(40, 24, seed = 0, globalsSplit = true)),
         ("synthetic/jbig2mmr.pdf",
           graft.testgen.Jbig2Synth.pdfWithJbig2(64, 48, seed = 5, mmr = true))))
       s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
@@ -774,6 +778,7 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         | ('jbig2', 0, 'ImJ', 64, 48, 1, 'DeviceGray', 'JBIG2Decode', 64, 48, 3, 158),
         | ('jbig2text', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 231),
+        | ('jbig2glob', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 231),
         | ('jbig2mmr', 0, 'ImJ', 64, 48, 1, 'DeviceGray', 'JBIG2Decode', 64, 48, 3, 158),
         | ('test24', 0, 'Im1', 353, 274, 8, 'DeviceRGB', 'DCTDecode', 353, 274, 3, 204),
         | ('test24', 4, 'Im2', 497, 345, 8, 'DeviceRGB', 'DCTDecode', 497, 345, 3, 242),

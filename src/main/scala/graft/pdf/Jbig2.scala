@@ -7,7 +7,8 @@ package graft.pdf
   * real scanned text uses, incl. the arithmetic integer procedures and
   * symbol-ID tree coding), and the PDF-embedded segment stream parser (7.2
   * segment headers; PDF 32000-1 §7.4.7 embeds segments with no file header)
-  * with referred-segment symbol wiring and page-info defaults/operators.
+  * with referred-segment symbol wiring, page-info defaults/operators, and
+  * /JBIG2Globals pre-parsing (shared symbol dictionaries).
   *
   * Refinement coding (6.3) is supported where it occurs inline: REFAGG
   * symbol dictionaries — both the single-instance refinement path and
@@ -196,7 +197,10 @@ object Jbig2 {
             val xx = x + dx
             val yy = y + dy
             val bit =
-              if (xx < 0 || xx >= w || yy < 0) 0
+              // yy >= h is reachable via a signalled AT pixel with positive
+              // dy (legal signed byte) on the last rows — out of bounds reads
+              // as 0, same as the refinement path's guard
+              if (xx < 0 || xx >= w || yy < 0 || yy >= h) 0
               else bitmap(yy * w + xx)
             ctx = (ctx << 1) | bit
             t += 1
@@ -522,7 +526,9 @@ object Jbig2 {
     val defPixel = (flags >> 9) & 1
     val dsOffset = (flags << 17) >> 27 // signed 5-bit, bits 10-14
     val rTemplate = (flags >> 15) & 1
-    if (huffman || combOp != 0) return None
+    // SBCOMBOP: OR and XOR are the operators the reference draws
+    // (pdf.combined.js textRegion compose); AND/XNOR streams are skipped
+    if (huffman || (combOp != 0 && combOp != 2)) return None
     val rAt: Array[(Int, Int)] =
       if (refine && rTemplate == 0) {
         if (p + 4 + 4 > end) return None
@@ -537,7 +543,7 @@ object Jbig2 {
     val mq = new MqDecoder(data, p, end)
     val st = new TextRegionState(symCodeLen)
     decodeTextRegionCore(mq, st, rw, rh, defPixel, numInstances, strips, syms,
-      symCodeLen, transposed, dsOffset, refCorner, refine, rTemplate, rAt)
+      symCodeLen, transposed, dsOffset, refCorner, refine, rTemplate, rAt, combOp)
       .map(region => (rw, rh, rx, ry, region))
   }
 
@@ -571,7 +577,8 @@ object Jbig2 {
       rw: Int, rh: Int, defPixel: Int, numInstances: Int, strips: Int,
       syms: scala.collection.IndexedSeq[Bitmap], symCodeLen: Int,
       transposed: Boolean, dsOffset: Int, refCorner: Int,
-      refine: Boolean, rTemplate: Int, rAt: Array[(Int, Int)]): Option[Array[Byte]] = {
+      refine: Boolean, rTemplate: Int, rAt: Array[(Int, Int)],
+      combOp: Int = 0): Option[Array[Byte]] = {
     if (rw <= 0 || rh <= 0 || rw.toLong * rh > 64L * 1024 * 1024 ||
       numInstances < 0 || syms.isEmpty) return None
     val region = new Array[Byte](rw * rh)
@@ -611,25 +618,41 @@ object Jbig2 {
           }
         st.drawnPixels += sym.w.toLong * sym.h
         if (st.drawnPixels > 256L * 1024 * 1024) return None // work bound
-        // reference-corner offsets (bit 0 = top-aligned, bit 1 = right-
-        // aligned), SPEC-correct per T.88 6.4.5: a bottom corner puts the
-        // symbol's BOTTOM row at T (top row = T − H + 1). The vendored
-        // reference decoder carries a known off-by-one here (T − H; fixed in
-        // later upstream pdf.js), so node cross-validation of non-top-left
-        // corners is intentionally out of scope — top-left placement and all
-        // dictionary coding remain cross-validated.
-        val offT = t - (if ((refCorner & 1) != 0) 0 else sym.h - 1)
-        val offS = curS - (if ((refCorner & 2) != 0) sym.w - 1 else 0)
+        // reference-corner placement (bit 0 = top-aligned, bit 1 = right-
+        // aligned), SPEC-correct per T.88 6.4.5 steps 3c(vi)-(xi) as all
+        // interchange-validated decoders implement them (jbig2dec, pdfbox,
+        // pdfium): for right corners the spec advances CURS by W−1 BEFORE
+        // drawing, so the symbol's LEFT edge sits at the incoming CURS for
+        // every corner — the S axis is corner-invariant; only the T axis
+        // moves (a bottom corner puts the symbol's BOTTOM row at T, top row
+        // = T − H + 1). Transposed mode mirrors the axes: the TOP edge sits
+        // at the incoming CURS for every corner (bottom corners pre-advance
+        // by H−1), and a right corner puts the RIGHT column at T. The
+        // implementation folds the pre/post-advance split into a single
+        // post-draw advance with a corner-invariant leading edge — same
+        // placement, same final CURS. The vendored reference decoder carries
+        // known off-by-ones on non-top-left corners (fixed in later upstream
+        // pdf.js), so node cross-validation covers top-left only; the other
+        // corners are gated by from-spec hand-coded placement tests.
+        val offX =
+          if (!transposed) curS
+          else t - (if ((refCorner & 2) != 0) sym.w - 1 else 0)
+        val offY =
+          if (!transposed) t - (if ((refCorner & 1) != 0) 0 else sym.h - 1)
+          else curS
+        val xor = combOp == 2
         if (!transposed) {
           var t2 = 0
           while (t2 < sym.h) {
-            val yy = offT + t2
+            val yy = offY + t2
             if (yy >= 0 && yy < rh) {
               var s2 = 0
               while (s2 < sym.w) {
-                val xx = offS + s2
-                if (xx >= 0 && xx < rw && sym.bits(t2 * sym.w + s2) != 0)
-                  region(yy * rw + xx) = 1
+                val xx = offX + s2
+                if (xx >= 0 && xx < rw && sym.bits(t2 * sym.w + s2) != 0) {
+                  val i = yy * rw + xx
+                  region(i) = if (xor) (region(i) ^ 1).toByte else 1
+                }
                 s2 += 1
               }
             }
@@ -640,13 +663,15 @@ object Jbig2 {
           // transposed: S runs down rows, T across columns
           var s2 = 0
           while (s2 < sym.h) {
-            val yy = offS + s2
+            val yy = offY + s2
             if (yy >= 0 && yy < rh) {
               var t2 = 0
               while (t2 < sym.w) {
-                val xx = offT + t2
-                if (xx >= 0 && xx < rw && sym.bits(s2 * sym.w + t2) != 0)
-                  region(yy * rw + xx) = 1
+                val xx = offX + t2
+                if (xx >= 0 && xx < rw && sym.bits(s2 * sym.w + t2) != 0) {
+                  val i = yy * rw + xx
+                  region(i) = if (xor) (region(i) ^ 1).toByte else 1
+                }
                 t2 += 1
               }
             }
@@ -680,6 +705,16 @@ object Jbig2 {
     * inconsistent header, and every decode loop carries progress/resource
     * bounds (the MQ decoder never runs out of input by construction). */
   def decodeEmbedded(data: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+    decodeEmbedded(data, width, height, None)
+
+  /** As above, with an optional /JBIG2Globals chunk (PDF 32000-1 §7.4.7:
+    * DecodeParms /JBIG2Globals holds the segments shared across pages —
+    * almost always the symbol dictionaries for symbol-coded scans). The
+    * globals segments are walked FIRST with the same state, mirroring the
+    * reference's two-chunk parseChunks wiring (pdf.combined.js ~22530-22556),
+    * so dictionaries exported there are visible to the page's text regions. */
+  def decodeEmbedded(data: Array[Byte], width: Int, height: Int,
+      globals: Option[Array[Byte]]): Option[Array[Byte]] =
     try {
       if (width <= 0 || height <= 0 || width.toLong * height > 64L * 1024 * 1024) return None
       // segment number -> exported symbol bitmaps (symbol dictionaries)
@@ -720,92 +755,98 @@ object Jbig2 {
           yy += 1
         }
       }
-      var off = 0
-      var safe = true
-      while (safe && off + 11 <= data.length) {
-        val segNum = be32(data, off)
-        val flags = data(off + 4) & 0xff
-        val segType = flags & 0x3f
-        val pa4 = (flags & 0x40) != 0
-        var p = off + 5
-        // referred-to segment count + retain bits (7.2.4)
-        val rts = data(p) & 0xff
-        var refCount = rts >>> 5
-        if (refCount == 7) {
-          refCount = (be32(data, p) & 0x1fffffffL).toInt
-          p += 4 + (refCount + 8) / 8
-        } else p += 1
-        if (refCount < 0 || refCount > 1000000) return Option(out).filter(_ != null)
-        val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
-        if (p + refCount.toLong * refSize > data.length) return Option(out).filter(_ != null)
-        val referred = new Array[Long](refCount)
-        var r = 0
-        while (r < refCount) {
-          referred(r) = refSize match {
-            case 1 => data(p) & 0xffL
-            case 2 => ((data(p) & 0xffL) << 8) | (data(p + 1) & 0xffL)
-            case _ => be32(data, p)
-          }
-          p += refSize
-          r += 1
-        }
-        p += (if (pa4) 4 else 1)
-        if (p + 4 > data.length) return Option(out).filter(_ != null)
-        val dataLen = be32(data, p)
-        p += 4
-        if (dataLen == 0xffffffffL || p + dataLen > data.length) safe = false
-        else {
-          val segEnd = p + dataLen.toInt
-          if (segType == 48 && dataLen >= 19) {
-            val pageFlags = data(p + 16) & 0xff
-            pageDefPixel = if ((pageFlags & 4) != 0) 1 else 0
-            pageCombOp = (pageFlags >> 3) & 3
-            pageOpOverride = (pageFlags & 0x40) != 0
-          } else if (segType == 0) {
-            // symbol dictionary: inputs = exported symbols of referred dicts
-            val inputs = referred.toVector.flatMap(n => dicts.getOrElse(n, Vector.empty))
-            decodeSymbolDict(data, p, segEnd, inputs)
-              .foreach(ex => dicts(segNum) = ex)
-          } else if (segType == 4 || segType == 6 || segType == 7) {
-            val inputs = referred.toVector.flatMap(n => dicts.getOrElse(n, Vector.empty))
-            val extOp = if (dataLen >= 17) data(p + 16) & 7 else 0
-            decodeTextRegion(data, p, segEnd, inputs).foreach {
-              case (rw, rh, rx, ry, bmp) => compose(rw, rh, rx, ry, bmp, extOp)
+      // one chunk walk over a shared state — called for the globals chunk
+      // first (if any), then the page data chunk
+      def walk(data: Array[Byte]): Unit = {
+        var off = 0
+        var safe = true
+        while (safe && off + 11 <= data.length) {
+          val segNum = be32(data, off)
+          val flags = data(off + 4) & 0xff
+          val segType = flags & 0x3f
+          val pa4 = (flags & 0x40) != 0
+          var p = off + 5
+          // referred-to segment count + retain bits (7.2.4)
+          val rts = data(p) & 0xff
+          var refCount = rts >>> 5
+          if (refCount == 7) {
+            refCount = (be32(data, p) & 0x1fffffffL).toInt
+            p += 4 + (refCount + 8) / 8
+          } else p += 1
+          if (refCount < 0 || refCount > 1000000) return
+          val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+          if (p + refCount.toLong * refSize > data.length) return
+          val referred = new Array[Long](refCount)
+          var r = 0
+          while (r < refCount) {
+            referred(r) = refSize match {
+              case 1 => data(p) & 0xffL
+              case 2 => ((data(p) & 0xffL) << 8) | (data(p + 1) & 0xffL)
+              case _ => be32(data, p)
             }
-          } else if ((segType == 36 || segType == 38 || segType == 39) && dataLen >= 18) {
-            // region segment info (7.4.1) + generic region flags (7.4.6)
-            val rw = be32(data, p).toInt
-            val rh = be32(data, p + 4).toInt
-            val rx = be32(data, p + 8).toInt
-            val ry = be32(data, p + 12).toInt
-            val gFlags = data(p + 17) & 0xff
-            val mmr = (gFlags & 1) != 0
-            val template = (gFlags >> 1) & 3
-            val tpgdon = (gFlags & 8) != 0
-            if (rw > 0 && rh > 0 && rw.toLong * rh <= 64L * 1024 * 1024) {
-              if (!mmr) {
-                val nAt = atCount(template)
-                val atOff = p + 18
-                if (atOff + 2 * nAt <= segEnd) {
-                  val at = Array.tabulate(nAt)(i =>
-                    (data(atOff + 2 * i).toInt, data(atOff + 2 * i + 1).toInt))
-                  val bmp = decodeGenericRegion(
-                    data, atOff + 2 * nAt, segEnd, rw, rh, template, at, tpgdon)
-                  compose(rw, rh, rx, ry, bmp, data(p + 16) & 7)
+            p += refSize
+            r += 1
+          }
+          p += (if (pa4) 4 else 1)
+          if (p + 4 > data.length) return
+          val dataLen = be32(data, p)
+          p += 4
+          if (dataLen == 0xffffffffL || p + dataLen > data.length) safe = false
+          else {
+            val segEnd = p + dataLen.toInt
+            if (segType == 48 && dataLen >= 19) {
+              val pageFlags = data(p + 16) & 0xff
+              pageDefPixel = if ((pageFlags & 4) != 0) 1 else 0
+              pageCombOp = (pageFlags >> 3) & 3
+              pageOpOverride = (pageFlags & 0x40) != 0
+            } else if (segType == 0) {
+              // symbol dictionary: inputs = exported symbols of referred dicts
+              val inputs = referred.toVector.flatMap(n => dicts.getOrElse(n, Vector.empty))
+              decodeSymbolDict(data, p, segEnd, inputs)
+                .foreach(ex => dicts(segNum) = ex)
+            } else if (segType == 4 || segType == 6 || segType == 7) {
+              val inputs = referred.toVector.flatMap(n => dicts.getOrElse(n, Vector.empty))
+              val extOp = if (dataLen >= 17) data(p + 16) & 7 else 0
+              decodeTextRegion(data, p, segEnd, inputs).foreach {
+                case (rw, rh, rx, ry, bmp) => compose(rw, rh, rx, ry, bmp, extOp)
+              }
+            } else if ((segType == 36 || segType == 38 || segType == 39) && dataLen >= 18) {
+              // region segment info (7.4.1) + generic region flags (7.4.6)
+              val rw = be32(data, p).toInt
+              val rh = be32(data, p + 4).toInt
+              val rx = be32(data, p + 8).toInt
+              val ry = be32(data, p + 12).toInt
+              val gFlags = data(p + 17) & 0xff
+              val mmr = (gFlags & 1) != 0
+              val template = (gFlags >> 1) & 3
+              val tpgdon = (gFlags & 8) != 0
+              if (rw > 0 && rh > 0 && rw.toLong * rh <= 64L * 1024 * 1024) {
+                if (!mmr) {
+                  val nAt = atCount(template)
+                  val atOff = p + 18
+                  if (atOff + 2 * nAt <= segEnd) {
+                    val at = Array.tabulate(nAt)(i =>
+                      (data(atOff + 2 * i).toInt, data(atOff + 2 * i + 1).toInt))
+                    val bmp = decodeGenericRegion(
+                      data, atOff + 2 * nAt, segEnd, rw, rh, template, at, tpgdon)
+                    compose(rw, rh, rx, ry, bmp, data(p + 16) & 7)
+                  }
+                } else {
+                  // MMR = ITU-T T.6 (G4) coding (6.2.6) — decoded by the JDK's
+                  // fax decompressor through the same single-strip TIFF wrap
+                  // the CCITTFaxDecode lane uses. This EXCEEDS the reference,
+                  // whose decoder errors out on MMR regions.
+                  decodeMmr(data, p + 18, segEnd, rw, rh)
+                    .foreach(bmp => compose(rw, rh, rx, ry, bmp, data(p + 16) & 7))
                 }
-              } else {
-                // MMR = ITU-T T.6 (G4) coding (6.2.6) — decoded by the JDK's
-                // fax decompressor through the same single-strip TIFF wrap
-                // the CCITTFaxDecode lane uses. This EXCEEDS the reference,
-                // whose decoder errors out on MMR regions.
-                decodeMmr(data, p + 18, segEnd, rw, rh)
-                  .foreach(bmp => compose(rw, rh, rx, ry, bmp, data(p + 16) & 7))
               }
             }
+            off = segEnd
           }
-          off = segEnd
         }
       }
+      globals.foreach(walk)
+      walk(data)
       Option(out).filter(_ != null)
     } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -230,6 +230,18 @@ object PdfImages {
     Some(img)
   }
 
+  /** The stream's DecodeParms dict for its image codec — the LAST dict in an
+    * array chain (the image codec is always the last filter), a bare dict,
+    * or empty. */
+  private def decodeParms(file: PdfFile, d: PDict): PDict =
+    (file.dictGet(d, "DecodeParms").orElse(file.dictGet(d, "DP"))
+      .map(file.resolve) match {
+        case Some(p: PDict) => Some(p)
+        case Some(PArr(items)) =>
+          items.map(file.resolve).reverse.collectFirst { case p: PDict => p }
+        case _ => None
+      }).getOrElse(PDict(Map.empty))
+
   private def describe(file: PdfFile, name: String, page: Int, s: PStream): PdfImage = {
     val d = s.dict
     val w = num(file, d, "Width", -1)
@@ -248,13 +260,7 @@ object PdfImages {
           case "DCTDecode" | "DCT" =>
             Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
           case "CCITTFaxDecode" | "CCF" =>
-            val parms = (file.dictGet(d, "DecodeParms").orElse(file.dictGet(d, "DP"))
-              .map(file.resolve) match {
-                case Some(p: PDict) => Some(p)
-                case Some(PArr(items)) =>
-                  items.map(file.resolve).reverse.collectFirst { case p: PDict => p }
-                case _ => None
-              }).getOrElse(PDict(Map.empty))
+            val parms = decodeParms(file, d)
             val cols = num(file, parms, "Columns", 1728)
             val rowsN = math.max(1, num(file, parms, "Rows", h))
             val k = num(file, parms, "K", 0)
@@ -272,11 +278,19 @@ object PdfImages {
           case "JBIG2Decode" =>
             // real decode (graft.pdf.Jbig2, from the public spec): arithmetic
             // generic regions (templates 0-3 + TPGDON), MMR via the JDK fax
-            // codec, and symbol-coded text (dictionaries + text regions);
-            // huffman/refinement coding returns None → metadata-only row.
+            // codec, symbol-coded text (dictionaries + text regions), and
+            // refinement incl. REFAGG aggregation; huffman-coded tables and
+            // halftone regions return None → metadata-only row. A DecodeParms
+            // /JBIG2Globals stream (where real scans keep their shared symbol
+            // dictionaries) is walked before the page chunk, mirroring the
+            // reference's two-chunk wiring (pdf.combined.js ~22530-22556).
             // JBIG2 convention: decoded 1 = black (the filter's output maps
             // to gray 0, the same inversion every conformant viewer applies)
-            Jbig2.decodeEmbedded(payload, w, h).map { bits =>
+            val globals = file.dictGet(decodeParms(file, d), "JBIG2Globals")
+              .map(file.resolve).collect {
+                case g: PStream => Filters.decode(g, file.resolve)
+              }
+            Jbig2.decodeEmbedded(payload, w, h, globals).map { bits =>
               val img = new java.awt.image.BufferedImage(
                 w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
               val row = new Array[Int](w)

@@ -172,7 +172,7 @@ object Jbig2Synth {
   /** Arithmetic integer ENCODING procedure (mirror of Jbig2.decodeInt /
     * T.88 A.2-A.3): sign bit, range-prefix bits, fixed-width value bits, all
     * MQ-coded against the running PREV context. None encodes OOB. */
-  private def encodeInt(enc: MqEncoder, cx: Array[Int], value: Option[Int]): Unit = {
+  private[graft] def encodeInt(enc: MqEncoder, cx: Array[Int], value: Option[Int]): Unit = {
     var prev = 1
     def bit(b: Int): Unit = {
       enc.encode(cx, prev, b)
@@ -197,7 +197,7 @@ object Jbig2Synth {
   }
 
   /** Symbol-ID encode: SYMCODELEN bits of the id, MSB first, tree contexts. */
-  private def encodeIaid(enc: MqEncoder, cx: Array[Int], symCodeLen: Int, id: Int): Unit = {
+  private[graft] def encodeIaid(enc: MqEncoder, cx: Array[Int], symCodeLen: Int, id: Int): Unit = {
     var prev = 1
     var k = symCodeLen - 1
     while (k >= 0) {
@@ -509,20 +509,21 @@ object Jbig2Synth {
     * interchange contract. */
   def encodeTextRegionData(rw: Int, rh: Int,
       glyphs: Seq[Jbig2.Bitmap], instances: Seq[(Int, Int, Int)],
-      refCorner: Int = 1): Array[Byte] = {
+      refCorner: Int = 1, combOp: Int = 0): Array[Byte] = {
     val symCodeLen = Jbig2.ceilLog2(glyphs.length)
     val enc = new MqEncoder
     val iadt = new Array[Int](512)
     val iafs = new Array[Int](512)
     val iads = new Array[Int](512)
     val iaidCx = new Array[Int](1 << (symCodeLen + 1))
-    // decoder coordinates (spec-correct corners, T.88 6.4.5): a bottom corner
-    // puts the glyph's bottom ROW at t (t = y + h - 1); a right corner puts
-    // its right COLUMN at curS (curS = x + w - 1)
+    // decoder coordinates (spec-correct corners, T.88 6.4.5 3c): the S axis
+    // is corner-INVARIANT — right corners pre-advance CURS by w−1 before
+    // drawing, so the left edge always sits at the incoming CURS and s = x
+    // for every corner. Only the T axis moves: a bottom corner puts the
+    // glyph's bottom ROW at t (t = y + h − 1).
     def tOf(inst: (Int, Int, Int)) =
       inst._3 + (if ((refCorner & 1) != 0) 0 else glyphs(inst._1).h - 1)
-    def sOf(inst: (Int, Int, Int)) =
-      inst._2 + (if ((refCorner & 2) != 0) glyphs(inst._1).w - 1 else 0)
+    def sOf(inst: (Int, Int, Int)) = inst._2
     val strips = instances.groupBy(tOf).toSeq.sortBy(_._1)
       .map { case (t, is) => (t, is.sortBy(_._2)) }
     encodeInt(enc, iadt, Some(0)) // STRIPT init: stripT = -0
@@ -549,7 +550,8 @@ object Jbig2Synth {
       encodeInt(enc, iads, None) // OOB terminates the strip
     }
     val mq = enc.flush()
-    val flags = (refCorner & 3) << 4 // SBHUFF=0 REFINE=0 LOGSBSTRIPS=0 COMB=OR
+    // SBHUFF=0 REFINE=0 LOGSBSTRIPS=0; SBCOMBOP at bits 7-8
+    val flags = ((refCorner & 3) << 4) | ((combOp & 3) << 7)
     val out = java.nio.ByteBuffer.allocate(17 + 2 + 4 + mq.length)
     out.putInt(rw).putInt(rh).putInt(0).putInt(0)
     out.put(0.toByte) // region combination operator: OR
@@ -576,15 +578,33 @@ object Jbig2Synth {
   /** PDF-embedded symbol-coded JBIG2 stream: page info + one symbol
     * dictionary + one immediate text region referring to it. */
   def embeddedTextStream(w: Int, h: Int, glyphs: Seq[Jbig2.Bitmap],
-      instances: Seq[(Int, Int, Int)], refCorner: Int = 1): Array[Byte] = {
+      instances: Seq[(Int, Int, Int)], refCorner: Int = 1,
+      combOp: Int = 0): Array[Byte] = {
+    val page = java.nio.ByteBuffer.allocate(19)
+      .putInt(w).putInt(h).putInt(0).putInt(0)
+      .put(0.toByte).putShort(0.toShort).array()
+    val dict = encodeSymbolDictData(glyphs)
+    val text = encodeTextRegionData(w, h, glyphs, instances, refCorner, combOp)
+    segment(0, 48, Nil, page) ++
+      segment(1, 0, Nil, dict) ++
+      segment(2, 6, Seq(1), text)
+  }
+
+  /** The same symbol-coded stream split the way real scanned PDFs ship it:
+    * the symbol dictionary in a /JBIG2Globals stream (segments with page
+    * association 0, PDF 32000-1 §7.4.7), the page info + text region in the
+    * image's own stream. Returns (globals, pageData). */
+  def embeddedTextStreamWithGlobals(w: Int, h: Int, glyphs: Seq[Jbig2.Bitmap],
+      instances: Seq[(Int, Int, Int)],
+      refCorner: Int = 1): (Array[Byte], Array[Byte]) = {
     val page = java.nio.ByteBuffer.allocate(19)
       .putInt(w).putInt(h).putInt(0).putInt(0)
       .put(0.toByte).putShort(0.toShort).array()
     val dict = encodeSymbolDictData(glyphs)
     val text = encodeTextRegionData(w, h, glyphs, instances, refCorner)
-    segment(0, 48, Nil, page) ++
-      segment(1, 0, Nil, dict) ++
-      segment(2, 6, Seq(1), text)
+    val globals = segment(1, 0, Nil, dict)
+    val pageData = segment(0, 48, Nil, page) ++ segment(2, 6, Seq(1), text)
+    (globals, pageData)
   }
 
   /** Wrap an encoded generic region as a PDF-embedded JBIG2 stream: a page
@@ -708,15 +728,25 @@ object Jbig2Synth {
 
   /** Deterministic symbol-coded page: three glyphs laid out as two text
     * lines — the symbol-dictionary/text-region analogue of `testBitmap`. */
-  def textStream(w: Int, h: Int): Array[Byte] = {
-    val glyphs = Seq(
+  private def textFixture: (Seq[Jbig2.Bitmap], Seq[(Int, Int, Int)]) = (
+    Seq(
       glyph(Seq(".##.", "#..#", "####", "#..#", "#..#")),
       glyph(Seq("###.", "#..#", "###.", "#..#", "###.")),
-      glyph(Seq(".####.", "#....#", "#.....", "#.....", "#....#", ".####.", "......")))
-    val instances = Seq(
+      glyph(Seq(".####.", "#....#", "#.....", "#.....", "#....#", ".####.", "......"))),
+    Seq(
       (0, 2, 3), (1, 8, 3), (0, 14, 3), (2, 20, 2),
-      (1, 4, 12), (2, 12, 11), (0, 20, 13))
+      (1, 4, 12), (2, 12, 11), (0, 20, 13)))
+
+  def textStream(w: Int, h: Int): Array[Byte] = {
+    val (glyphs, instances) = textFixture
     embeddedTextStream(w, h, glyphs, instances)
+  }
+
+  /** The same symbol-coded page split into (/JBIG2Globals stream, page
+    * stream) — the dictionary rides the globals chunk. */
+  def textStreamWithGlobals(w: Int, h: Int): (Array[Byte], Array[Byte]) = {
+    val (glyphs, instances) = textFixture
+    embeddedTextStreamWithGlobals(w, h, glyphs, instances)
   }
 
   /** Minimal one-page PDF carrying one JBIG2-encoded image XObject — the
@@ -724,13 +754,15 @@ object Jbig2Synth {
     * no JBIG2 instance and no JDK codec can author one). `symbolCoded` swaps
     * the generic-region payload for the symbol-dictionary + text-region one. */
   def pdfWithJbig2(w: Int, h: Int, seed: Long, symbolCoded: Boolean = false,
-      mmr: Boolean = false): Array[Byte] = {
+      mmr: Boolean = false, globalsSplit: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
-    val stream =
-      if (symbolCoded) textStream(w, h)
-      else if (mmr) embeddedMmrStream(testBitmap(w, h, seed), w, h)
-      else embeddedStream(testBitmap(w, h, seed), w, h)
+    val (stream, globals) =
+      if (globalsSplit) { val (g, p) = textStreamWithGlobals(w, h); (p, Some(g)) }
+      else if (symbolCoded) (textStream(w, h), None)
+      else if (mmr) (embeddedMmrStream(testBitmap(w, h, seed), w, h), None)
+      else (embeddedStream(testBitmap(w, h, seed), w, h), None)
     val content = s"q $w 0 0 $h 100 600 cm /ImJ Do Q"
+    val parms = if (globalsSplit) "\n  /DecodeParms << /JBIG2Globals 6 0 R >>" else ""
     // the binary stream is appended as RAW BYTES, never routed through
     // stripMargin — stripMargin eats "newline, low bytes, |" sequences, which
     // arithmetic-coded data will eventually contain
@@ -740,11 +772,11 @@ object Jbig2Synth {
        |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]
        |  /Resources << /XObject << /ImJ 4 0 R >> >> /Contents 5 0 R >> endobj
        |4 0 obj << /Type /XObject /Subtype /Image /Width $w /Height $h
-       |  /BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /JBIG2Decode
+       |  /BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /JBIG2Decode$parms
        |  /Length ${stream.length} >>
        |stream
        |""").stripMargin
-    val tail = (s"""
+    val mid = (s"""
        |endstream
        |endobj
        |5 0 obj << /Length ${content.length} >>
@@ -752,7 +784,14 @@ object Jbig2Synth {
        |$content
        |endstream
        |endobj
-       |trailer << /Size 6 /Root 1 0 R >>
+       |""").stripMargin
+    val globalsObj = globals.map { g =>
+      (s"""6 0 obj << /Length ${g.length} >>
+         |stream
+         |""").stripMargin.getBytes(ISO_8859_1) ++ g ++
+        "\nendstream\nendobj\n".getBytes(ISO_8859_1)
+    }
+    val tail = (s"""trailer << /Size 7 /Root 1 0 R >>
        |startxref
        |0
        |%%EOF
@@ -760,6 +799,8 @@ object Jbig2Synth {
     val out = new java.io.ByteArrayOutputStream()
     out.write(head.getBytes(ISO_8859_1))
     out.write(stream)
+    out.write(mid.getBytes(ISO_8859_1))
+    globalsObj.foreach(out.write)
     out.write(tail.getBytes(ISO_8859_1))
     out.toByteArray
   }

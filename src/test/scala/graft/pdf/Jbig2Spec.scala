@@ -229,6 +229,20 @@ class Jbig2Spec extends AnyFunSuite {
     assert(imgs.head.grayMean == mean)
   }
 
+  test("JBIG2Globals split PDF decodes identically through the raster lane") {
+    // same page, dictionary moved to a /DecodeParms /JBIG2Globals stream —
+    // the full PdfImages path must resolve and pre-walk it
+    val (w, h) = (40, 24)
+    val doc = PdfDocument.open(Jbig2Synth.pdfWithJbig2(w, h, seed = 0, globalsSplit = true))
+    val imgs = PdfImages.list(doc)
+    assert(imgs.length == 1)
+    assert((imgs.head.decodedW, imgs.head.decodedH) == ((w, h)))
+    val expected = Jbig2.decodeEmbedded(Jbig2Synth.textStream(w, h), w, h).get
+    val white = expected.count(_ == 0)
+    val mean = math.round(255.0 * white / expected.length).toInt
+    assert(imgs.head.grayMean == mean)
+  }
+
   test("corrupt / truncated / foreign streams never throw") {
     val (w, h) = (32, 32)
     val good = Jbig2Synth.embeddedStream(Jbig2Synth.testBitmap(w, h, 1), w, h)
@@ -245,5 +259,82 @@ class Jbig2Spec extends AnyFunSuite {
     bent(good.length - 5) = (bent(good.length - 5) ^ 0x55).toByte
     val r = Jbig2.decodeEmbedded(bent, w, h)
     assert(r.isEmpty || r.get.length == w * h)
+  }
+
+  test("reference corners place per T.88 6.4.5: the S axis is corner-invariant") {
+    // hand-coded integer stream (bypasses the fixture encoder's placement
+    // math): one 4x3 glyph at strip T, first S = 5. Per spec steps 3c(viii)/
+    // (x)/(xi) right corners pre-advance CURS by W-1 before drawing, so the
+    // LEFT edge sits at the incoming CURS for EVERY corner; only the T axis
+    // moves (bottom corners put the bottom row at T).
+    val g = Jbig2Synth.glyph(Seq("####", "#..#", "####"))
+    val symCodeLen = Jbig2.ceilLog2(1)
+    // (refCorner, encoded t, expected top row)
+    for ((refCorner, t, topRow) <- Seq((1, 2, 2), (3, 2, 2), (0, 4, 2), (2, 4, 2))) {
+      val enc = new Jbig2Synth.MqEncoder
+      val iadt = new Array[Int](512); val iafs = new Array[Int](512)
+      val iads = new Array[Int](512)
+      val iaid = new Array[Int](1 << (symCodeLen + 1))
+      Jbig2Synth.encodeInt(enc, iadt, Some(0)) // STRIPT init
+      Jbig2Synth.encodeInt(enc, iadt, Some(t)) // strip T
+      Jbig2Synth.encodeInt(enc, iafs, Some(5)) // first S
+      Jbig2Synth.encodeIaid(enc, iaid, symCodeLen, 0)
+      Jbig2Synth.encodeInt(enc, iads, None) // OOB ends the strip
+      val mq = enc.flush()
+      val buf = java.nio.ByteBuffer.allocate(17 + 2 + 4 + mq.length)
+      buf.putInt(12).putInt(10).putInt(0).putInt(0).put(0.toByte)
+      buf.putShort(((refCorner & 3) << 4).toShort).putInt(1).put(mq)
+      val data = buf.array()
+      val out = Jbig2.decodeTextRegion(data, 0, data.length, Vector(g))
+      assert(out.isDefined, s"corner $refCorner")
+      val (rw, _, _, _, bmp) = out.get
+      val expected = new Array[Byte](12 * 10)
+      for (yy <- 0 until 3; xx <- 0 until 4)
+        if (g.bits(yy * 4 + xx) != 0) expected((topRow + yy) * rw + 5 + xx) = 1
+      assert(bmp.toSeq == expected.toSeq, s"corner $refCorner")
+    }
+  }
+
+  test("SBCOMBOP XOR composites overlapping instances by exclusive-or") {
+    val box = Jbig2Synth.glyph(Seq("####", "####", "####"))
+    val (w, h) = (16, 8)
+    // two overlapping instances: the 2-column overlap cancels under XOR
+    val instances = Seq((0, 2, 2), (0, 4, 2))
+    val stream = Jbig2Synth.embeddedTextStream(w, h, Seq(box), instances, combOp = 2)
+    val out = Jbig2.decodeEmbedded(stream, w, h)
+    assert(out.isDefined)
+    val expected = new Array[Byte](w * h)
+    instances.foreach { case (_, x, y) =>
+      for (yy <- 0 until 3; xx <- 0 until 4)
+        expected((y + yy) * w + (x + xx)) = (expected((y + yy) * w + (x + xx)) ^ 1).toByte
+    }
+    assert(out.get.toSeq == expected.toSeq)
+    // AND / XNOR streams stay unsupported -> nothing composes
+    val and = Jbig2Synth.embeddedTextStream(w, h, Seq(box), instances, combOp = 1)
+    assert(Jbig2.decodeEmbedded(and, w, h).isEmpty)
+  }
+
+  test("JBIG2Globals chunk: dictionaries in globals are visible to the page") {
+    val (w, h) = (40, 24)
+    val whole = Jbig2.decodeEmbedded(Jbig2Synth.textStream(w, h), w, h)
+    val (globals, pageData) = Jbig2Synth.textStreamWithGlobals(w, h)
+    val split = Jbig2.decodeEmbedded(pageData, w, h, Some(globals))
+    assert(whole.isDefined && split.isDefined)
+    assert(split.get.toSeq == whole.get.toSeq)
+    // without the globals chunk the text region has no symbols -> no decode
+    assert(Jbig2.decodeEmbedded(pageData, w, h).isEmpty)
+  }
+
+  test("a positive-dy AT pixel never reads past the bitmap bottom") {
+    // a signalled AT offset may point BELOW the current row (legal signed
+    // byte); near the bottom rows the fetch must read 0, not throw
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(64)(rnd.nextInt(256).toByte)
+    for (template <- 0 to 3) {
+      val at = Array.fill(Jbig2.atCount(template))((1, 2))
+      val bmp = Jbig2.decodeGenericRegion(data, 0, data.length, 16, 12,
+        template, at, tpgdon = false)
+      assert(bmp.length == 16 * 12)
+    }
   }
 }
