@@ -253,10 +253,12 @@ object SparkEntry {
       // joins the corpus here for its 7 CCITT-G4 scans.
       import s.implicits._
       val _ = dir
-      // the corpus has no JBIG2 instance, so two deterministic arithmetic-coded
-      // PDFs (Jbig2Synth encoder, round 4) join it — a generic-region page and
-      // a symbol-dictionary/text-region page; decoded dims and mean gray are
-      // pinned literals in the oracle
+      // the corpus has no JBIG2 or JPX instance, so deterministic synthetic
+      // PDFs (Jbig2Synth + JpxSynth encoders, rounds 4-5) join it: JBIG2
+      // generic-region / symbol-coded / globals-split / MMR pages and four
+      // JPX flavors; decoded dims and mean gray are pinned literals in the
+      // oracle, and both codecs are node-cross-validated against the
+      // reference's own vendored decoders
       val synthetic = s.createDataset(Seq(
         ("synthetic/jbig2.pdf", graft.testgen.Jbig2Synth.pdfWithJbig2(64, 48, seed = 5)),
         ("synthetic/jbig2text.pdf",
@@ -266,7 +268,18 @@ object SparkEntry {
         ("synthetic/jbig2glob.pdf",
           graft.testgen.Jbig2Synth.pdfWithJbig2(40, 24, seed = 0, globalsSplit = true)),
         ("synthetic/jbig2mmr.pdf",
-          graft.testgen.Jbig2Synth.pdfWithJbig2(64, 48, seed = 5, mmr = true))))
+          graft.testgen.Jbig2Synth.pdfWithJbig2(64, 48, seed = 5, mmr = true)),
+        // JPX (round 5): raw codestream gray, RGB + reversible RCT, 9/7
+        // lossy, and the JP2 box container — all via the from-spec T.800
+        // decoder, cross-validated against the reference's vendored JPX
+        // decoder under node (0 pixel mismatches)
+        ("synthetic/jpx.pdf", graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2)),
+        ("synthetic/jpxrgb.pdf",
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, rgb = true)),
+        ("synthetic/jpx97.pdf",
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, lossy = true)),
+        ("synthetic/jpxjp2.pdf",
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, jp2 = true))))
       s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
         .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
         .select(col("path"), col("content"))
@@ -780,6 +793,10 @@ object SparkEntry {
         | ('jbig2text', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 231),
         | ('jbig2glob', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 231),
         | ('jbig2mmr', 0, 'ImJ', 64, 48, 1, 'DeviceGray', 'JBIG2Decode', 64, 48, 3, 158),
+        | ('jpx', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
+        | ('jpxrgb', 0, 'ImX', 64, 48, 8, 'DeviceRGB', 'JPXDecode', 64, 48, 3, 108),
+        | ('jpx97', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
+        | ('jpxjp2', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('test24', 0, 'Im1', 353, 274, 8, 'DeviceRGB', 'DCTDecode', 353, 274, 3, 204),
         | ('test24', 4, 'Im2', 497, 345, 8, 'DeviceRGB', 'DCTDecode', 497, 345, 3, 242),
         | ('test24', 4, 'Im3', 496, 291, 8, 'DeviceRGB', 'DCTDecode', 496, 291, 3, 238),

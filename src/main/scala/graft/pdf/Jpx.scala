@@ -1,0 +1,1088 @@
+package graft.pdf
+
+/** JPX (JPEG 2000, ITU-T T.800) — the last embedded-in-PDF image codec the
+  * raster lane needs, implemented from the public spec for the codestream
+  * subset PDF viewers actually meet:
+  *
+  *   - raw codestreams (SOC..EOC) and JP2 box containers (the 'jp2c' box);
+  *   - SIZ/COD/COC/QCD/QCC main-header markers, single or multiple
+  *     tile-parts (SOT/SOD), any of the five progression orders (with the
+  *     default whole-subband precincts each progression reduces to plain
+  *     nested layer/resolution/component loops);
+  *   - Tier-2 packet headers (B.10): bit-stuffed reader, inclusion and
+  *     zero-bitplane tag trees, coding-pass counts, Lblock length codes,
+  *     optional SOP/EPH marker segments;
+  *   - Tier-1 EBCOT code-block decoding (Annex D): the three coding passes
+  *     over sign-magnitude bitplanes with the standard ZC/SC/MR/RL/UNIFORM
+  *     context model, driven by the same MQ decoder the JBIG2 lane built
+  *     from T.88 Annex E (T.800 Annex C is the identical coder);
+  *   - reversible 5/3 and irreversible 9/7 inverse wavelets (Annex F
+  *     lifting with symmetric extension), scalar dequantization (E.1),
+  *     reversible (RCT) and irreversible (ICT) inverse component transforms,
+  *     DC level shift.
+  *
+  * Scope (disclosed): component subsampling (XRsiz/YRsiz > 1), non-default
+  * precinct partitions, code-block style flags (selective bypass, predictable
+  * termination, segmentation symbols) and ROI (RGN) return None — the caller
+  * keeps the metadata-only row. The reference wires its own vendored decoder
+  * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
+  * semantic contract; this implementation is from the public spec and is
+  * cross-validated against that decoder on encoder-generated fixtures.
+  */
+object Jpx {
+
+  /** Decoded image: per-component sample planes AFTER inverse wavelet,
+    * inverse component transform and DC level shift, clamped to the
+    * component bit depth. Planes are row-major, full image grid. */
+  final case class Decoded(w: Int, h: Int, comps: Int, bitDepth: Int,
+      planes: Array[Array[Int]])
+
+  // ── MQ contexts (T.800 C.2.3 / Table C-3 initial index assignments):
+  // 19 contexts — ZC 0-8, SC 9-13, MR 14-16, RL 17, UNIFORM 18 ─────────────
+  private[graft] final val CxZC0 = 0
+  private[graft] final val CxRL = 17
+  private[graft] final val CxUNI = 18
+
+  private[graft] def freshContexts(): Array[Int] = {
+    val cx = new Array[Int](19)
+    cx(CxZC0) = 4 << 1
+    cx(CxRL) = 3 << 1
+    cx(CxUNI) = 46 << 1
+    cx
+  }
+
+  // ── zero-coding context (Table D.1) — band 0=LL/LH column, 1=HL, 2=HH ────
+  private[graft] def zcContext(band: Int, hRaw: Int, vRaw: Int, d: Int): Int = {
+    // HL is the transpose of the LL/LH column
+    val (h, v) = if (band == 1) (vRaw, hRaw) else (hRaw, vRaw)
+    if (band == 2) {
+      if (d >= 3) 8
+      else if (d == 2) { if (h + v >= 1) 7 else 6 }
+      else if (d == 1) { if (h + v >= 2) 5 else if (h + v == 1) 4 else 3 }
+      else { if (h + v >= 2) 2 else h + v }
+    } else {
+      if (h == 2) 8
+      else if (h == 1) { if (v >= 1) 7 else if (d >= 1) 6 else 5 }
+      else if (v == 2) 4
+      else if (v == 1) 3
+      else if (d >= 2) 2
+      else d
+    }
+  }
+
+  // ── sign-coding context + XOR bit (Tables D.2/D.3): hc/vc are the clamped
+  // horizontal/vertical sign contributions (-1, 0, +1) ──────────────────────
+  private[graft] def scContext(hc: Int, vc: Int): (Int, Int) = {
+    if (hc == 1) {
+      if (vc == 1) (13, 0) else if (vc == 0) (12, 0) else (11, 0)
+    } else if (hc == 0) {
+      if (vc == 1) (10, 0) else if (vc == 0) (9, 0) else (10, 1)
+    } else {
+      if (vc == 1) (11, 1) else if (vc == 0) (12, 1) else (13, 1)
+    }
+  }
+
+  // ── tag tree (B.10.2) ─────────────────────────────────────────────────────
+  /** Decoder-side tag tree over a w×h leaf grid. `value(i,j)` is revealed
+    * incrementally against a threshold via `decodeLow`. */
+  private[graft] final class TagTree(val w: Int, val h: Int) {
+    // levels from leaves (0) to the single root
+    val levels: Array[Array[Int]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      var lw = w
+      var lh = h
+      while (lw > 1 || lh > 1) {
+        out += new Array[Int](lw * lh)
+        lw = (lw + 1) / 2
+        lh = (lh + 1) / 2
+      }
+      out += new Array[Int](1)
+      out.toArray
+    }
+    val widths: Array[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var lw = w
+      var lh = h
+      while (lw > 1 || lh > 1) { out += lw; lw = (lw + 1) / 2; lh = (lh + 1) / 2 }
+      out += 1
+      out.toArray
+    }
+    // per-node lower bound state (how much is already known)
+    val known: Array[Array[Int]] = levels.map(l => new Array[Int](l.length))
+
+    /** Decode whether value(i,j) < threshold, consuming bits from `bits`;
+      * returns the revealed value if < threshold, else -1 ("≥ threshold").
+      * Matches the B.10.2 procedure: walk root→leaf, raising each node's
+      * known lower bound one unit per 0-bit until a 1-bit pins its value. */
+    def decode(bits: PacketBitReader, i: Int, j: Int, threshold: Int): Int = {
+      var lower = 0
+      var level = levels.length - 1
+      var value = 0
+      while (level >= 0) {
+        val li = (i >> level)
+        val lj = (j >> level)
+        val idx = lj * ((widths(level))) + li
+        val vals = levels(level)
+        val kn = known(level)
+        if (vals(idx) < lower) vals(idx) = lower
+        value = vals(idx)
+        var done = kn(idx) > value // value already pinned exactly
+        while (!done && value < threshold) {
+          if (bits.bit() == 1) { kn(idx) = value + 1; done = true }
+          else { value += 1; vals(idx) = value }
+        }
+        vals(idx) = value
+        if (value >= threshold) return -1
+        lower = value
+        level -= 1
+      }
+      value
+    }
+  }
+
+  /** Packet-header bit reader with 0xFF stuffing (B.10.1: a byte following
+    * 0xFF carries only 7 bits). */
+  private[graft] final class PacketBitReader(data: Array[Byte], var pos: Int, end: Int) {
+    private var buf = 0
+    private var cnt = 0
+    private var prevFF = false
+
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (pos >= end) { buf = 0; cnt = if (prevFF) 7 else 8; prevFF = false }
+        else {
+          buf = data(pos) & 0xff
+          pos += 1
+          cnt = if (prevFF) 7 else 8
+          prevFF = buf == 0xff
+        }
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    /** Align to the next byte boundary (end of packet header). When the last
+      * loaded byte was 0xFF the next byte opens with a stuffed 0 bit and
+      * belongs to the header — consume it (B.10.1; same convention as the
+      * reference's alignToByte). */
+    def align(): Unit = {
+      cnt = 0
+      if (prevFF) { if (pos < end) pos += 1; prevFF = false }
+    }
+  }
+
+  // ── code-block Tier-1 state ──────────────────────────────────────────────
+  private[graft] final class CodeBlock(
+      val x0: Int, val y0: Int, val x1: Int, val y1: Int, val band: Int) {
+    var zeroBitPlanes: Int = -1 // revealed at first inclusion
+    var lblock: Int = 3
+    var included: Boolean = false
+    var totalPasses: Int = 0
+    // concatenated codeword segments across layers
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (start, end) into codestream
+  }
+
+  /** Tier-1 EBCOT decode (Annex D) of one code-block into sign-magnitude
+    * coefficients. `mb` = total magnitude bitplanes; decoding starts at
+    * bitplane mb-1-zeroBitPlanes and runs `passes` coding passes. Returns
+    * row-major Int array: sign-magnitude (bit 31 = sign). */
+  private[graft] def decodeBlock(data: Array[Byte], chunks: Seq[(Int, Int)],
+      w: Int, h: Int, band: Int, mb: Int, zeroBitPlanes: Int,
+      passes: Int): Array[Int] = {
+    val n = w * h
+    val mag = new Array[Int](n)
+    val sgn = new Array[Byte](n)
+    val sig = new Array[Byte](n) // 1 = significant
+    val vis = new Array[Byte](n) // coded in current bitplane
+    val ref = new Array[Byte](n) // has been refined once already
+    // one MQ stream over the concatenated segments (no per-pass termination)
+    val joined =
+      if (chunks.length == 1) data
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        chunks.foreach { case (s, e) => out.write(data, s, e - s) }
+        out.toByteArray
+      }
+    val (jStart, jEnd) =
+      if (chunks.length == 1) (chunks.head._1, chunks.head._2)
+      else (0, joined.length)
+    val mq = new Jbig2.MqDecoder(joined, jStart, jEnd)
+    val cx = freshContexts()
+
+    def sigAt(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0 || y >= h) 0 else sig(y * w + x)
+    def signContrib(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0 || y >= h || sig(y * w + x) == 0) 0
+      else if (sgn(y * w + x) != 0) -1 else 1
+
+    def neighborCounts(x: Int, y: Int): (Int, Int, Int) = {
+      val hN = sigAt(x - 1, y) + sigAt(x + 1, y)
+      val vN = sigAt(x, y - 1) + sigAt(x, y + 1)
+      val dN = sigAt(x - 1, y - 1) + sigAt(x + 1, y - 1) +
+        sigAt(x - 1, y + 1) + sigAt(x + 1, y + 1)
+      (hN, vN, dN)
+    }
+
+    def decodeSign(x: Int, y: Int): Unit = {
+      val hc = math.max(-1, math.min(1, signContrib(x - 1, y) + signContrib(x + 1, y)))
+      val vc = math.max(-1, math.min(1, signContrib(x, y - 1) + signContrib(x, y + 1)))
+      val (c, xor) = scContext(hc, vc)
+      val bit = mq.decode(cx, c) ^ xor
+      sgn(y * w + x) = bit.toByte
+    }
+
+    val firstPlane = mb - 1 - zeroBitPlanes
+    var plane = firstPlane
+    var pass = 0
+    // the FIRST pass of the first coded bitplane is a cleanup pass; then
+    // SPP, MRP, CP per plane (D.2)
+    var passKind = 2
+    while (pass < passes && plane >= 0) {
+      val bitVal = 1 << plane
+      passKind match {
+        case 0 => // significance propagation
+          var y0s = 0
+          while (y0s < h) {
+            var x = 0
+            while (x < w) {
+              var dy = 0
+              while (dy < 4 && y0s + dy < h) {
+                val y = y0s + dy
+                val i = y * w + x
+                if (sig(i) == 0) {
+                  val (hN, vN, dN) = neighborCounts(x, y)
+                  if (hN + vN + dN > 0) {
+                    val c = zcContext(band, hN, vN, dN)
+                    if (mq.decode(cx, c) == 1) {
+                      sig(i) = 1
+                      mag(i) = bitVal
+                      decodeSign(x, y)
+                    }
+                    vis(i) = 1
+                  }
+                }
+                dy += 1
+              }
+              x += 1
+            }
+            y0s += 4
+          }
+        case 1 => // magnitude refinement
+          var y0s = 0
+          while (y0s < h) {
+            var x = 0
+            while (x < w) {
+              var dy = 0
+              while (dy < 4 && y0s + dy < h) {
+                val y = y0s + dy
+                val i = y * w + x
+                if (sig(i) == 1 && vis(i) == 0) {
+                  val c =
+                    if (ref(i) != 0) 16
+                    else {
+                      val (hN, vN, dN) = neighborCounts(x, y)
+                      if (hN + vN + dN > 0) 15 else 14
+                    }
+                  if (mq.decode(cx, c) == 1) mag(i) |= bitVal
+                  ref(i) = 1
+                }
+                dy += 1
+              }
+              x += 1
+            }
+            y0s += 4
+          }
+        case _ => // cleanup
+          var y0s = 0
+          while (y0s < h) {
+            var x = 0
+            while (x < w) {
+              // run-length mode: full 4-high column, nothing visited or
+              // significant, zero neighborhoods throughout (D.4.1)
+              var rlEligible = y0s + 3 < h
+              var dy = 0
+              while (rlEligible && dy < 4) {
+                val y = y0s + dy
+                val i = y * w + x
+                if (sig(i) != 0 || vis(i) != 0) rlEligible = false
+                else {
+                  val (hN, vN, dN) = neighborCounts(x, y)
+                  if (hN + vN + dN > 0) rlEligible = false
+                }
+                dy += 1
+              }
+              var start = 0
+              var skipColumn = false
+              if (rlEligible) {
+                if (mq.decode(cx, CxRL) == 0) skipColumn = true
+                else {
+                  start = (mq.decode(cx, CxUNI) << 1) | mq.decode(cx, CxUNI)
+                  // the first significant row's coefficient becomes
+                  // significant with no ZC bit
+                  val y = y0s + start
+                  val i = y * w + x
+                  sig(i) = 1
+                  mag(i) = bitVal
+                  decodeSign(x, y)
+                  start += 1
+                }
+              }
+              if (!skipColumn) {
+                var dy2 = start
+                while (dy2 < 4 && y0s + dy2 < h) {
+                  val y = y0s + dy2
+                  val i = y * w + x
+                  if (sig(i) == 0 && vis(i) == 0) {
+                    val (hN, vN, dN) = neighborCounts(x, y)
+                    val c = zcContext(band, hN, vN, dN)
+                    if (mq.decode(cx, c) == 1) {
+                      sig(i) = 1
+                      mag(i) = bitVal
+                      decodeSign(x, y)
+                    }
+                  }
+                  dy2 += 1
+                }
+              }
+              x += 1
+            }
+            y0s += 4
+          }
+          java.util.Arrays.fill(vis, 0.toByte)
+      }
+      if (passKind == 2) { plane -= 1; passKind = 0 } else passKind += 1
+      pass += 1
+    }
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (sgn(i) != 0) mag(i) | Int.MinValue else mag(i)
+      i += 1
+    }
+    out
+  }
+
+  // ── inverse wavelets (Annex F) ───────────────────────────────────────────
+
+  /** In-place inverse 5/3 lifting over one line of interleaved coefficients
+    * (even = low-pass, odd = high-pass), symmetric extension. */
+  private def inv53Line(x: Array[Double], n: Int): Unit = {
+    if (n == 1) return
+    def at(i: Int): Double = {
+      // whole-sample symmetric extension
+      val j = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+      x(j)
+    }
+    // x[2n] -= floor((x[2n-1] + x[2n+1] + 2) / 4)
+    var i = 0
+    while (i < n) {
+      x(i) = x(i) - math.floor((at(i - 1) + at(i + 1) + 2) / 4)
+      i += 2
+    }
+    i = 1
+    while (i < n) {
+      x(i) = x(i) + math.floor((at(i - 1) + at(i + 1)) / 2)
+      i += 2
+    }
+  }
+
+  private final val A97 = -1.586134342059924
+  private final val B97 = -0.052980118572961
+  private final val G97 = 0.882911075530934
+  private final val D97 = 0.443506852043971
+  private final val K97 = 1.230174104914001
+
+  /** In-place inverse 9/7 lifting (F.4.8.2), symmetric extension. */
+  private def inv97Line(x: Array[Double], n: Int): Unit = {
+    if (n == 1) return
+    def at(i: Int): Double = {
+      val j = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+      x(j)
+    }
+    var i = 0
+    while (i < n) { x(i) *= K97; i += 2 }
+    i = 1
+    while (i < n) { x(i) /= K97; i += 2 }
+    i = 0
+    while (i < n) { x(i) -= D97 * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 1
+    while (i < n) { x(i) -= G97 * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { x(i) -= B97 * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 1
+    while (i < n) { x(i) -= A97 * (at(i - 1) + at(i + 1)); i += 2 }
+  }
+
+  /** One inverse 2D composition step (F.3.2 2D_SR): `ll` is the lower
+    * resolution (w0×h0); hl/lh/hh the detail subbands. u0/v0/u1/v1 are the
+    * composed-grid coordinates at this level. The subset enforces EVEN
+    * origins upstream (tile origin 0 and tile sizes a multiple of 2^levels),
+    * so the even/odd interleave roles are fixed: even = low-pass. */
+  private[graft] def inverse2D(reversible: Boolean,
+      ll: Array[Double], hl: Array[Double], lh: Array[Double], hh: Array[Double],
+      u0: Int, u1: Int, v0: Int, v1: Int): Array[Double] = {
+    require((u0 & 1) == 0 && (v0 & 1) == 0, "odd origin outside subset")
+    val w = u1 - u0
+    val h = v1 - v0
+    val w0 = ceilDiv2(u1) - ceilDiv2(u0) // low-pass columns
+    val h0 = ceilDiv2(v1) - ceilDiv2(v0)
+    val wH = w - w0
+    val hH = h - h0
+    val a = new Array[Double](w * h)
+    // 2D interleave (F.3.3): even indices take low-pass samples
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cL = x >> 1
+        val rL = y >> 1
+        val v =
+          if ((y & 1) == 0 && (x & 1) == 0) ll(rL * w0 + cL)
+          else if ((y & 1) == 0) { if (wH > 0) hl(rL * wH + cL) else 0.0 }
+          else if ((x & 1) == 0) { if (hH > 0) lh(rL * w0 + cL) else 0.0 }
+          else { if (wH > 0 && hH > 0) hh(rL * wH + cL) else 0.0 }
+        a(y * w + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    // horizontal then vertical lifting (F.3.4: HOR_SR rows, then VER_SR cols)
+    val line = new Array[Double](math.max(w, h))
+    y = 0
+    while (y < h) {
+      System.arraycopy(a, y * w, line, 0, w)
+      if (reversible) inv53Line(line, w) else inv97Line(line, w)
+      System.arraycopy(line, 0, a, y * w, w)
+      y += 1
+    }
+    var x = 0
+    while (x < w) {
+      var yy = 0
+      while (yy < h) { line(yy) = a(yy * w + x); yy += 1 }
+      if (reversible) inv53Line(line, h) else inv97Line(line, h)
+      yy = 0
+      while (yy < h) { a(yy * w + x) = line(yy); yy += 1 }
+      x += 1
+    }
+    a
+  }
+
+  private[graft] def ceilDiv2(x: Int): Int = (x + 1) >> 1
+  private[graft] def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+
+  // ── codestream structures ────────────────────────────────────────────────
+  private final case class Siz(w: Int, h: Int, x0: Int, y0: Int,
+      xt: Int, yt: Int, xto: Int, yto: Int,
+      comps: Int, depth: Array[Int], signed: Array[Boolean])
+
+  private final case class Cod(progression: Int, layers: Int, mct: Int,
+      levels: Int, xcb: Int, ycb: Int, cbStyle: Int, reversible: Boolean,
+      sop: Boolean, eph: Boolean)
+
+  private final case class Qcd(style: Int, guard: Int,
+      exponents: Array[Int], mantissas: Array[Int])
+
+  private final class Band(val kind: Int, // 0 LL, 1 HL, 2 LH, 3 HH
+      val x0: Int, val y0: Int, val x1: Int, val y1: Int,
+      val blocks: Array[CodeBlock],
+      val bw: Int, val bh: Int, // block grid dims
+      val inclTree: TagTree, val zbpTree: TagTree)
+
+  private final class Resolution(val r: Int,
+      val x0: Int, val y0: Int, val x1: Int, val y1: Int,
+      val bands: Array[Band])
+
+  /** Decode a JPX payload (raw codestream or JP2 box container). Returns
+    * None for anything outside the supported subset or malformed input —
+    * the never-fail discipline the whole raster lane follows. */
+  def decode(data: Array[Byte]): Option[Decoded] =
+    try decodeImpl(data)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def u16(d: Array[Byte], p: Int): Int = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+  private def u32(d: Array[Byte], p: Int): Long =
+    ((d(p) & 0xffL) << 24) | ((d(p + 1) & 0xffL) << 16) | ((d(p + 2) & 0xffL) << 8) | (d(p + 3) & 0xffL)
+
+  /** Find the contiguous codestream: raw SOC..EOC, or the first 'jp2c' box. */
+  private def findCodestream(data: Array[Byte]): Option[(Int, Int)] = {
+    if (data.length < 4) return None
+    if ((data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0x4f) return Some((0, data.length))
+    // ISO base media boxes: [len(4)][type(4)]; len 0 = to EOF, len 1 = XL
+    var p = 0
+    while (p + 8 <= data.length) {
+      var len = u32(data, p)
+      val typ = u32(data, p + 4)
+      var hdr = 8
+      if (len == 1 && p + 16 <= data.length) {
+        val xl = (u32(data, p + 8) << 32) | u32(data, p + 12)
+        len = xl
+        hdr = 16
+      }
+      val end = if (len == 0) data.length else (p + len).toInt
+      if (end <= p || end > data.length) return None
+      if (typ == 0x6a703263L) return Some((p + hdr, end)) // 'jp2c'
+      p = end
+    }
+    None
+  }
+
+  private def decodeImpl(data: Array[Byte]): Option[Decoded] = {
+    val (cs, csEnd) = findCodestream(data).getOrElse(return None)
+    var p = cs
+    if (p + 2 > csEnd || u16(data, p) != 0xff4f) return None
+    p += 2
+    var siz: Siz = null
+    var cod: Cod = null
+    val codPerComp = scala.collection.mutable.HashMap.empty[Int, Cod]
+    var qcd: Qcd = null
+    val qcdPerComp = scala.collection.mutable.HashMap.empty[Int, Qcd]
+    // tile-part data segments in codestream order: (tileIdx, start, end)
+    val tileParts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+
+    def parseQ(q: Array[Byte], s: Int, e: Int): Qcd = {
+      val sq = q(s) & 0xff
+      val style = sq & 0x1f
+      val guard = sq >>> 5
+      style match {
+        case 0 => // no quantization: one byte per subband, exponent in high 5
+          val n = e - s - 1
+          val exps = Array.tabulate(n)(i => (q(s + 1 + i) & 0xff) >>> 3)
+          Qcd(0, guard, exps, Array.fill(n)(0))
+        case 1 => // scalar derived: a single (exp, mantissa) pair
+          val v = u16(q, s + 1)
+          Qcd(1, guard, Array(v >>> 11), Array(v & 0x7ff))
+        case _ => // scalar expounded: one pair per subband
+          val n = (e - s - 1) / 2
+          val exps = new Array[Int](n)
+          val mans = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val v = u16(q, s + 1 + 2 * i)
+            exps(i) = v >>> 11
+            mans(i) = v & 0x7ff
+            i += 1
+          }
+          Qcd(2, guard, exps, mans)
+      }
+    }
+
+    var sawEoc = false
+    while (!sawEoc && p + 2 <= csEnd) {
+      val marker = u16(data, p)
+      p += 2
+      marker match {
+        case 0xffd9 => sawEoc = true
+        case 0xff93 => return None // SOD before SOT
+        case _ =>
+          if (p + 2 > csEnd) return None
+          val len = u16(data, p)
+          val segEnd = p + len
+          if (segEnd > csEnd || len < 2) return None
+          marker match {
+            case 0xff51 => // SIZ (p sits at Lsiz; Rsiz at p+2, Xsiz at p+4)
+              val w = u32(data, p + 4).toInt
+              val h = u32(data, p + 8).toInt
+              val x0 = u32(data, p + 12).toInt
+              val y0 = u32(data, p + 16).toInt
+              val xt = u32(data, p + 20).toInt
+              val yt = u32(data, p + 24).toInt
+              val xto = u32(data, p + 28).toInt
+              val yto = u32(data, p + 32).toInt
+              val nc = u16(data, p + 36)
+              if (nc < 1 || nc > 4) return None
+              val depth = new Array[Int](nc)
+              val signed = new Array[Boolean](nc)
+              var c = 0
+              while (c < nc) {
+                val ss = data(p + 38 + 3 * c) & 0xff
+                depth(c) = (ss & 0x7f) + 1
+                signed(c) = (ss & 0x80) != 0
+                val xr = data(p + 39 + 3 * c) & 0xff
+                val yr = data(p + 40 + 3 * c) & 0xff
+                if (xr != 1 || yr != 1) return None // subsampling: out of subset
+                c += 1
+              }
+              if (w <= x0 || h <= y0 || w.toLong * h > 64L * 1024 * 1024) return None
+              siz = Siz(w, h, x0, y0, xt, yt, xto, yto, nc, depth, signed)
+            case 0xff52 => // COD
+              val scod = data(p + 2) & 0xff
+              if ((scod & 1) != 0) return None // custom precincts: out of subset
+              val prog = data(p + 3) & 0xff
+              val layers = u16(data, p + 4)
+              val mct = data(p + 6) & 0xff
+              val levels = data(p + 7) & 0xff
+              val xcb = (data(p + 8) & 0x0f) + 2
+              val ycb = (data(p + 9) & 0x0f) + 2
+              val cbStyle = data(p + 10) & 0xff
+              val wavelet = data(p + 11) & 0xff
+              if (levels > 32 || xcb + ycb > 12 || cbStyle != 0) return None
+              if (layers < 1 || prog > 4) return None
+              cod = Cod(prog, layers, mct, levels, xcb, ycb, cbStyle,
+                wavelet == 1, (scod & 2) != 0, (scod & 4) != 0)
+            case 0xff53 => // COC
+              if (siz == null) return None
+              val (ci, off) =
+                if (siz.comps < 257) (data(p + 2) & 0xff, p + 3)
+                else (u16(data, p + 2), p + 4)
+              val scoc = data(off) & 0xff
+              if ((scoc & 1) != 0) return None
+              val levels = data(off + 1) & 0xff
+              val xcb = (data(off + 2) & 0x0f) + 2
+              val ycb = (data(off + 3) & 0x0f) + 2
+              val cbStyle = data(off + 4) & 0xff
+              val wavelet = data(off + 5) & 0xff
+              if (levels > 32 || xcb + ycb > 12 || cbStyle != 0) return None
+              val base = if (cod != null) cod else return None
+              codPerComp(ci) = base.copy(levels = levels, xcb = xcb, ycb = ycb,
+                reversible = wavelet == 1)
+            case 0xff5c => qcd = parseQ(data, p + 2, segEnd)
+            case 0xff5d =>
+              if (siz == null) return None
+              val (ci, off) =
+                if (siz.comps < 257) (data(p + 2) & 0xff, p + 3)
+                else (u16(data, p + 2), p + 4)
+              qcdPerComp(ci) = parseQ(data, off, segEnd)
+            case 0xff5e => return None // RGN (ROI): out of subset
+            case 0xff90 => // SOT
+              val tileIdx = u16(data, p + 2)
+              val psot0 = u32(data, p + 4).toInt
+              // Psot 0 = "to EOC" (last tile-part)
+              val tpEnd = if (psot0 == 0) {
+                // scan backwards assumption: EOC is the last 2 bytes
+                if (csEnd - 2 >= p && u16(data, csEnd - 2) == 0xffd9) csEnd - 2 else csEnd
+              } else p - 2 + psot0
+              if (tpEnd > csEnd) return None
+              // SOD must follow (possibly after tile-part header markers —
+              // subset: none)
+              if (u16(data, segEnd) != 0xff93) return None
+              tileParts += ((tileIdx, segEnd + 2, tpEnd))
+            case _ => () // COM, TLM, PLM, ... skipped
+          }
+          p = marker match {
+            case 0xff90 =>
+              val (_, _, tpEnd) = tileParts.last
+              tpEnd
+            case _ => segEnd
+          }
+      }
+    }
+    if (siz == null || cod == null || qcd == null || tileParts.isEmpty) return None
+    // subset: zero grid offsets; multi-tile only when tile sizes stay a
+    // multiple of 2^levels, which keeps every resolution origin EVEN (the
+    // fixed interleave parity inverse2D assumes)
+    if (siz.x0 != 0 || siz.y0 != 0 || siz.xto != 0 || siz.yto != 0) return None
+
+    val numXTiles = ceilDiv(siz.w - siz.xto, siz.xt)
+    val numYTiles = ceilDiv(siz.h - siz.yto, siz.yt)
+    if (numXTiles < 1 || numYTiles < 1 || numXTiles.toLong * numYTiles > 65535) return None
+    if ((numXTiles > 1 || numYTiles > 1) &&
+      (siz.xt % (1 << cod.levels) != 0 || siz.yt % (1 << cod.levels) != 0)) return None
+
+    val imgW = siz.w - siz.x0
+    val imgH = siz.h - siz.y0
+    val planes = Array.fill(siz.comps)(new Array[Int](imgW * imgH))
+
+    // group tile-part segments by tile (in order)
+    val byTile = tileParts.groupBy(_._1)
+
+    var ti = 0
+    while (ti < numXTiles * numYTiles) {
+      val px = ti % numXTiles
+      val py = ti / numXTiles
+      val tx0 = math.max(siz.xto + px * siz.xt, siz.x0)
+      val ty0 = math.max(siz.yto + py * siz.yt, siz.y0)
+      val tx1 = math.min(siz.xto + (px + 1) * siz.xt, siz.w)
+      val ty1 = math.min(siz.yto + (py + 1) * siz.yt, siz.h)
+      val parts = byTile.getOrElse(ti, scala.collection.mutable.ArrayBuffer.empty)
+      if (parts.nonEmpty && tx1 > tx0 && ty1 > ty0) {
+        decodeTile(data, parts.map(t => (t._2, t._3)).toSeq, siz, cod, codPerComp,
+          qcd, qcdPerComp, tx0, ty0, tx1, ty1) match {
+          case Some(tilePlanes) =>
+            var c = 0
+            while (c < siz.comps) {
+              val tw = tx1 - tx0
+              var y = ty0
+              while (y < ty1) {
+                System.arraycopy(tilePlanes(c), (y - ty0) * tw, planes(c),
+                  (y - siz.y0) * imgW + (tx0 - siz.x0), tw)
+                y += 1
+              }
+              c += 1
+            }
+          case None => return None
+        }
+      }
+      ti += 1
+    }
+    Some(Decoded(imgW, imgH, siz.comps, siz.depth(0), planes))
+  }
+
+  /** Decode one tile from its concatenated tile-part data. Returns per-
+    * component planes of (tx1-tx0)×(ty1-ty0). */
+  private def decodeTile(data: Array[Byte], parts: Seq[(Int, Int)],
+      siz: Siz, codG: Cod, codPerComp: collection.Map[Int, Cod],
+      qcdG: Qcd, qcdPerComp: collection.Map[Int, Qcd],
+      tx0: Int, ty0: Int, tx1: Int, ty1: Int): Option[Array[Array[Int]]] = {
+
+    // per-component resolution/band/code-block geometry
+    val comps = siz.comps
+    val compCod = Array.tabulate(comps)(c => codPerComp.getOrElse(c, codG))
+    val compQcd = Array.tabulate(comps)(c => qcdPerComp.getOrElse(c, qcdG))
+    val maxLevels = compCod.map(_.levels).max
+
+    def bandRect(kind: Int, nb: Int, cx0: Int, cy0: Int, cx1: Int, cy1: Int) = {
+      // T.800 B.5: band coordinates at decomposition level nb
+      val (xob, yob) = kind match {
+        case 0 => (0, 0)
+        case 1 => (1, 0)
+        case 2 => (0, 1)
+        case _ => (1, 1)
+      }
+      val sh = 1 << nb
+      val off = 1 << (nb - 1)
+      def f(v: Int, o: Int) = ceilDiv(v - o * off, sh)
+      (f(cx0, xob), f(cy0, yob), f(cx1, xob), f(cy1, yob))
+    }
+
+    val resolutions: Array[Array[Resolution]] = Array.tabulate(comps) { c =>
+      val cod = compCod(c)
+      Array.tabulate(cod.levels + 1) { r =>
+        val shift = cod.levels - r
+        val rx0 = ceilDiv(tx0, 1 << shift)
+        val ry0 = ceilDiv(ty0, 1 << shift)
+        val rx1 = ceilDiv(tx1, 1 << shift)
+        val ry1 = ceilDiv(ty1, 1 << shift)
+        val bands: Array[Band] =
+          if (r == 0) Array(mkBand(0, rx0, ry0, rx1, ry1, cod))
+          else {
+            val nb = cod.levels - r + 1
+            Array(1, 2, 3).map { kind =>
+              val (bx0, by0, bx1, by1) = bandRect(kind, nb, tx0, ty0, tx1, ty1)
+              mkBand(kind, bx0, by0, bx1, by1, cod)
+            }
+          }
+        new Resolution(r, rx0, ry0, rx1, ry1, bands)
+      }
+    }
+
+    // concatenate tile-part payloads (packet stream)
+    val stream: Array[Byte] =
+      if (parts.length == 1) data
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        parts.foreach { case (s, e) => out.write(data, s, e - s) }
+        out.toByteArray
+      }
+    val (sStart, sEnd) =
+      if (parts.length == 1) (parts.head._1, parts.head._2) else (0, stream.length)
+
+    // packet iteration: with the default single whole-subband precinct the
+    // five progressions reduce to permutations of (layer, resolution,
+    // component); position is a single point
+    val layers = codG.layers
+    val order = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (comp, res)
+    codG.progression match {
+      case 0 => // LRCP
+        for (r <- 0 to maxLevels; c <- 0 until comps)
+          if (r < resolutions(c).length) order += ((c, r))
+      case 1 | 2 => // RLCP / RPCL: resolution-major
+        for (r <- 0 to maxLevels; c <- 0 until comps)
+          if (r < resolutions(c).length) order += ((c, r))
+      case _ => // PCRL / CPRL: component-major
+        for (c <- 0 until comps; r <- 0 to maxLevels)
+          if (r < resolutions(c).length) order += ((c, r))
+    }
+
+    val br = new PacketBitReader(stream, sStart, sEnd)
+    var layer = 0
+    var ok = true
+    while (ok && layer < layers) {
+      // LRCP iterates (layer(r,c)) inner; others iterate layer inner — with
+      // default precincts both visit every (layer, r, c) exactly once, and
+      // for a SINGLE layer (the subset the fixture encoder emits and PDF
+      // viewers overwhelmingly meet) all five orders coincide. Multi-layer
+      // non-LRCP streams would interleave differently; reject them.
+      if (layers > 1 && codG.progression != 0) return None
+      var oi = 0
+      while (ok && oi < order.length) {
+        val (c, r) = order(oi)
+        ok = parsePacket(br, stream, sEnd, resolutions(c)(r), compCod(c), layer)
+        oi += 1
+      }
+      layer += 1
+    }
+    if (!ok) return None
+
+    // Tier-1 decode + dequant + inverse DWT per component
+    val tw = tx1 - tx0
+    val th = ty1 - ty0
+    val out = new Array[Array[Int]](comps)
+    var c = 0
+    while (c < comps) {
+      val cod = compCod(c)
+      val qcd = compQcd(c)
+      val guard = qcd.guard
+      // subband index in QCD order: LL, then per res: HL, LH, HH
+      def sbIndex(r: Int, kind: Int): Int = if (r == 0) 0 else 3 * (r - 1) + kind
+      def exponent(r: Int, kind: Int): Int = qcd.style match {
+        case 1 =>
+          // scalar derived: εb = ε0 − NL + nb  (E.1.1)
+          val nb = if (r == 0) cod.levels else cod.levels - r + 1
+          qcd.exponents(0) - cod.levels + nb
+        case _ =>
+          val i = sbIndex(r, kind)
+          if (i < qcd.exponents.length) qcd.exponents(i)
+          else throw new IllegalStateException("QCD subband count") // -> None
+      }
+      def mantissa(r: Int, kind: Int): Int = qcd.style match {
+        case 0 => 0
+        case 1 => qcd.mantissas(0)
+        case _ => qcd.mantissas(math.min(sbIndex(r, kind), qcd.mantissas.length - 1))
+      }
+      // band gain (E.1.1 Table E.1): LL 0, HL/LH 1, HH 2
+      def gain(kind: Int): Int = kind match {
+        case 0 => 0
+        case 3 => 2
+        case _ => 1
+      }
+
+      def bandCoefficients(res: Resolution, band: Band): Array[Double] = {
+        val bw = band.x1 - band.x0
+        val bh = band.y1 - band.y0
+        val coeffs = new Array[Double](bw * bh)
+        if (bw == 0 || bh == 0) return coeffs
+        val mb = guard + exponent(res.r, band.kind) - 1
+        if (mb < 0 || mb > 31) throw new IllegalStateException("mb")
+        val rev = cod.reversible
+        val delta =
+          if (rev) 1.0
+          else {
+            val rb = siz.depth(c) + gain(band.kind)
+            math.pow(2, rb - exponent(res.r, band.kind)) *
+              (1.0 + mantissa(res.r, band.kind) / 2048.0)
+          }
+        band.blocks.foreach { blk =>
+          if (blk.included && blk.totalPasses > 0 && blk.chunks.nonEmpty) {
+            val bwB = blk.x1 - blk.x0
+            val bhB = blk.y1 - blk.y0
+            val vals = decodeBlock(stream, blk.chunks.toSeq, bwB, bhB,
+              bandKindCtx(band.kind), mb, blk.zeroBitPlanes, blk.totalPasses)
+            var i = 0
+            while (i < vals.length) {
+              val sm = vals(i)
+              val mag = sm & Int.MaxValue
+              if (mag != 0) {
+                val x = blk.x0 - band.x0 + i % bwB
+                val y = blk.y0 - band.y0 + i / bwB
+                val v =
+                  if (rev) mag.toDouble
+                  else (mag + 0.5) * delta // mid-point reconstruction
+                coeffs(y * bw + x) = if (sm < 0) -v else v
+              }
+              i += 1
+            }
+          }
+        }
+        coeffs
+      }
+
+      // multi-resolution synthesis
+      val res0 = resolutions(c)(0)
+      var ll = bandCoefficients(res0, res0.bands(0))
+      var r = 1
+      while (r <= cod.levels) {
+        val res = resolutions(c)(r)
+        val hl = bandCoefficients(res, res.bands(0))
+        val lh = bandCoefficients(res, res.bands(1))
+        val hh = bandCoefficients(res, res.bands(2))
+        ll = inverse2D(cod.reversible, ll, hl, lh, hh,
+          res.x0, res.x1, res.y0, res.y1)
+        r += 1
+      }
+      // scale non-reversible coefficients already handled; store tile plane
+      val plane = new Array[Int](tw * th)
+      var i = 0
+      while (i < plane.length) {
+        plane(i) = math.rint(ll(i)).toInt
+        i += 1
+      }
+      out(c) = plane
+      c += 1
+    }
+
+    // inverse component transform + DC level shift
+    if (codG.mct == 1 && comps >= 3) {
+      val y = out(0); val u = out(1); val v = out(2)
+      if (compCod(0).reversible) {
+        var i = 0
+        while (i < y.length) {
+          val g = y(i) - ((u(i) + v(i)) >> 2)
+          val r0 = v(i) + g
+          val b0 = u(i) + g
+          y(i) = r0; u(i) = g; v(i) = b0
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < y.length) {
+          val yy = y(i).toDouble; val cb = u(i).toDouble; val cr = v(i).toDouble
+          y(i) = math.rint(yy + 1.402 * cr).toInt
+          u(i) = math.rint(yy - 0.344136 * cb - 0.714136 * cr).toInt
+          v(i) = math.rint(yy + 1.772 * cb).toInt
+          i += 1
+        }
+      }
+    }
+    var cc = 0
+    while (cc < comps) {
+      val shift = if (siz.signed(cc)) 0 else 1 << (siz.depth(cc) - 1)
+      val maxV = (1 << siz.depth(cc)) - 1
+      val pl = out(cc)
+      var i = 0
+      while (i < pl.length) {
+        val v = pl(i) + shift
+        pl(i) = if (v < 0) 0 else if (v > maxV) maxV else v
+        i += 1
+      }
+      cc += 1
+    }
+    Some(out)
+  }
+
+  /** Map band kind to the ZC context family: 0 = LL/LH column, 1 = HL
+    * (transposed), 2 = HH. */
+  private[graft] def bandKindCtx(kind: Int): Int = kind match {
+    case 1 => 1
+    case 3 => 2
+    case _ => 0
+  }
+
+  private def mkBand(kind: Int, x0: Int, y0: Int, x1: Int, y1: Int, cod: Cod): Band = {
+    val cbw = 1 << cod.xcb
+    val cbh = 1 << cod.ycb
+    val bw0 = math.max(0, x1 - x0)
+    val bh0 = math.max(0, y1 - y0)
+    if (bw0 == 0 || bh0 == 0)
+      return new Band(kind, x0, y0, x1, y1, Array.empty, 0, 0,
+        new TagTree(1, 1), new TagTree(1, 1))
+    // code-block grid aligned to absolute multiples of the block size (B.7)
+    val gx0 = (x0 / cbw) * cbw
+    val gy0 = (y0 / cbh) * cbh
+    val nx = ceilDiv(x1 - gx0, cbw)
+    val ny = ceilDiv(y1 - gy0, cbh)
+    val blocks = new Array[CodeBlock](nx * ny)
+    var j = 0
+    while (j < ny) {
+      var i = 0
+      while (i < nx) {
+        val bx0 = math.max(x0, gx0 + i * cbw)
+        val by0 = math.max(y0, gy0 + j * cbh)
+        val bx1 = math.min(x1, gx0 + (i + 1) * cbw)
+        val by1 = math.min(y1, gy0 + (j + 1) * cbh)
+        blocks(j * nx + i) = new CodeBlock(bx0, by0, bx1, by1, kind)
+        i += 1
+      }
+      j += 1
+    }
+    new Band(kind, x0, y0, x1, y1, blocks, nx, ny,
+      new TagTree(nx, ny), new TagTree(nx, ny))
+  }
+
+  /** Parse one packet for (resolution, layer) — default single precinct.
+    * Mutates code-block states; returns false on malformed input. */
+  private def parsePacket(br: PacketBitReader, data: Array[Byte], end: Int,
+      res: Resolution, cod: Cod, layer: Int): Boolean = {
+    // SOP marker segment (A.8.1) if signalled
+    if (cod.sop && br.pos + 6 <= end &&
+      (data(br.pos) & 0xff) == 0xff && (data(br.pos + 1) & 0xff) == 0x91) {
+      br.pos += 6
+    }
+    val hdr = new PacketBitReader(data, br.pos, end)
+    val contributions = scala.collection.mutable.ArrayBuffer.empty[(CodeBlock, Int, Int)]
+    if (hdr.bit() == 0) {
+      // empty packet
+      hdr.align()
+    } else {
+      var bi = 0
+      while (bi < res.bands.length) {
+        val band = res.bands(bi)
+        var idx = 0
+        while (idx < band.blocks.length) {
+          val blk = band.blocks(idx)
+          val i = idx % math.max(1, band.bw)
+          val j = idx / math.max(1, band.bw)
+          var newPasses = 0
+          if (blk.x1 > blk.x0 && blk.y1 > blk.y0) {
+            val included =
+              if (!blk.included) band.inclTree.decode(hdr, i, j, layer + 1) >= 0
+              else hdr.bit() == 1
+            if (included) {
+              if (!blk.included) {
+                // first inclusion: zero bitplanes via its tag tree, fully
+                var t = 1
+                var zbp = -1
+                while (zbp < 0) {
+                  zbp = band.zbpTree.decode(hdr, i, j, t)
+                  t += 1
+                  if (t > 64) return false
+                }
+                blk.zeroBitPlanes = zbp
+                blk.included = true
+              }
+              // coding passes (Table B.4)
+              newPasses =
+                if (hdr.bit() == 0) 1
+                else if (hdr.bit() == 0) 2
+                else {
+                  val v = hdr.bits(2)
+                  if (v < 3) 3 + v
+                  else {
+                    val v2 = hdr.bits(5)
+                    if (v2 < 31) 6 + v2
+                    else 37 + hdr.bits(7)
+                  }
+                }
+              // Lblock adaptation + length
+              while (hdr.bit() == 1) blk.lblock += 1
+              val lenBits = blk.lblock + floorLog2(newPasses)
+              val segLen = hdr.bits(lenBits)
+              contributions += ((blk, newPasses, segLen))
+            }
+          }
+          idx += 1
+        }
+        bi += 1
+      }
+      hdr.align()
+    }
+    var pos = hdr.pos
+    // EPH marker after the header if signalled
+    if (cod.eph && pos + 2 <= end &&
+      (data(pos) & 0xff) == 0xff && (data(pos + 1) & 0xff) == 0x92) pos += 2
+    var ci = 0
+    while (ci < contributions.length) {
+      val (blk, passes, segLen) = contributions(ci)
+      if (pos + segLen > end) return false
+      blk.chunks += ((pos, pos + segLen))
+      blk.totalPasses += passes
+      pos += segLen
+      ci += 1
+    }
+    br.pos = pos
+    true
+  }
+
+  private[graft] def floorLog2(x: Int): Int = {
+    var v = x
+    var n = -1
+    while (v > 0) { v >>= 1; n += 1 }
+    math.max(0, n)
+  }
+}

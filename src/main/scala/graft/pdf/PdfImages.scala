@@ -17,8 +17,10 @@ import PObj._
   *     to the JDK TIFF reader's fax decompressor;
   *   - Flate/LZW raw samples → dimensions from the dict (already decoded);
   *   - JBIG2Decode → graft.pdf.Jbig2 (from-spec MQ decoder: generic regions,
-  *     MMR, symbol-coded text; huffman/refinement → metadata only);
-  *   - JPX → metadata only (no JDK codec; decoded_* = -1).
+  *     MMR, symbol-coded text incl. refinement, /JBIG2Globals; huffman →
+  *     metadata only);
+  *   - JPXDecode → graft.pdf.Jpx (from-spec T.800 subset: raw + JP2, 5/3 +
+  *     9/7, EBCOT, RCT/ICT; outside-subset streams → metadata only).
   *
   * Never throws: undecodable payloads degrade to metadata-only rows.
   */
@@ -306,7 +308,39 @@ object PdfImages {
               }
               img
             }
-          case _ => None // JPX: no JDK codec — metadata-only
+          case "JPXDecode" =>
+            // real decode (graft.pdf.Jpx, from the public T.800 spec): raw
+            // codestreams and JP2 containers, 5/3 + 9/7 wavelets, EBCOT
+            // Tier-1/Tier-2, RCT/ICT. Outside-subset streams (subsampling,
+            // custom precincts, bypass coding, ROI) → metadata-only row.
+            Jpx.decode(payload).map { dec =>
+              val img = new java.awt.image.BufferedImage(
+                dec.w, dec.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val maxV = (1 << dec.bitDepth) - 1
+              def to8(v: Int): Int = if (maxV == 255) v else v * 255 / math.max(1, maxV)
+              val row = new Array[Int](dec.w)
+              var y = 0
+              while (y < dec.h) {
+                var x = 0
+                while (x < dec.w) {
+                  val i = y * dec.w + x
+                  val rgb =
+                    if (dec.comps >= 3) {
+                      (to8(dec.planes(0)(i)) << 16) |
+                        (to8(dec.planes(1)(i)) << 8) | to8(dec.planes(2)(i))
+                    } else {
+                      val g = to8(dec.planes(0)(i))
+                      (g << 16) | (g << 8) | g
+                    }
+                  row(x) = rgb
+                  x += 1
+                }
+                img.setRGB(0, y, dec.w, 1, row, 0, dec.w)
+                y += 1
+              }
+              img
+            }
+          case _ => None // unknown codec — metadata-only
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     decoded match {

@@ -1,0 +1,751 @@
+package graft.testgen
+
+import graft.pdf.{Jbig2, Jpx}
+
+/** Deterministic JPEG 2000 (ITU-T T.800) ENCODER for fixtures: the JPX
+  * decoding lane needs real codestreams to decode and no JDK codec can
+  * author one. Encodes single-layer LRCP codestreams — forward 5/3
+  * (reversible) or 9/7 (irreversible) wavelets, Tier-1 EBCOT coding-pass
+  * encoding over the MQ coder, tag-tree coded packet headers — in the exact
+  * subset `Jpx.decode` reads back. Test/synthesis support, not a product
+  * surface. The MQ encoder is the JBIG2 fixture one (T.88 Annex E == T.800
+  * Annex C).
+  */
+object JpxSynth {
+
+  // ── forward wavelets (the exact inverses of Jpx's synthesis lifting) ─────
+
+  private def fwd53Line(x: Array[Double], n: Int): Unit = {
+    if (n == 1) return
+    def at(i: Int): Double = {
+      val j = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+      x(j)
+    }
+    var i = 1
+    while (i < n) { x(i) = x(i) - math.floor((at(i - 1) + at(i + 1)) / 2); i += 2 }
+    i = 0
+    while (i < n) { x(i) = x(i) + math.floor((at(i - 1) + at(i + 1) + 2) / 4); i += 2 }
+  }
+
+  private final val A97 = -1.586134342059924
+  private final val B97 = -0.052980118572961
+  private final val G97 = 0.882911075530934
+  private final val D97 = 0.443506852043971
+  private final val K97 = 1.230174104914001
+
+  private def fwd97Line(x: Array[Double], n: Int): Unit = {
+    if (n == 1) return
+    def at(i: Int): Double = {
+      val j = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+      x(j)
+    }
+    var i = 1
+    while (i < n) { x(i) += A97 * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { x(i) += B97 * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 1
+    while (i < n) { x(i) += G97 * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { x(i) += D97 * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { x(i) /= K97; i += 2 }
+    i = 1
+    while (i < n) { x(i) *= K97; i += 2 }
+  }
+
+  /** One forward 2D decomposition of a w×h grid (even origin): returns
+    * (ll, hl, lh, hh) with the B.5 subband dimensions. Columns are analyzed
+    * first, then rows — the mirror of Jpx.inverse2D's row-then-column
+    * synthesis. */
+  private[graft] def forward2D(reversible: Boolean, a: Array[Double],
+      w: Int, h: Int): (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val line = new Array[Double](math.max(w, h))
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) { line(y) = a(y * w + x); y += 1 }
+      if (reversible) fwd53Line(line, h) else fwd97Line(line, h)
+      y = 0
+      while (y < h) { a(y * w + x) = line(y); y += 1 }
+      x += 1
+    }
+    var y = 0
+    while (y < h) {
+      System.arraycopy(a, y * w, line, 0, w)
+      if (reversible) fwd53Line(line, w) else fwd97Line(line, w)
+      System.arraycopy(line, 0, a, y * w, w)
+      y += 1
+    }
+    val w0 = (w + 1) / 2
+    val h0 = (h + 1) / 2
+    val wH = w - w0
+    val hH = h - h0
+    val ll = new Array[Double](w0 * h0)
+    val hl = new Array[Double](wH * h0)
+    val lh = new Array[Double](w0 * hH)
+    val hh = new Array[Double](wH * hH)
+    y = 0
+    while (y < h) {
+      var xx = 0
+      while (xx < w) {
+        val v = a(y * w + xx)
+        if ((y & 1) == 0 && (xx & 1) == 0) ll((y >> 1) * w0 + (xx >> 1)) = v
+        else if ((y & 1) == 0) hl((y >> 1) * wH + (xx >> 1)) = v
+        else if ((xx & 1) == 0) lh((y >> 1) * w0 + (xx >> 1)) = v
+        else hh((y >> 1) * wH + (xx >> 1)) = v
+        xx += 1
+      }
+      y += 1
+    }
+    (ll, hl, lh, hh)
+  }
+
+  // ── Tier-1 EBCOT encoder: the decision-for-decision mirror of
+  // Jpx.decodeBlock (Annex D scan order, ZC/SC/MR/RL/UNIFORM contexts) ─────
+  /** Encode sign-magnitude coefficients of one code-block. Returns the MQ
+    * codeword segment and the number of coding passes. */
+  private[graft] def encodeBlock(vals: Array[Int], w: Int, h: Int, band: Int,
+      mb: Int, zeroBitPlanes: Int): (Array[Byte], Int) = {
+    val n = w * h
+    val mag = new Array[Int](n)
+    val neg = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      mag(i) = vals(i) & Int.MaxValue
+      neg(i) = if (vals(i) < 0) 1 else 0
+      i += 1
+    }
+    val planes = mb - zeroBitPlanes
+    if (planes <= 0) return (Array.empty, 0)
+    val passes = 3 * planes - 2
+    val sig = new Array[Byte](n)
+    val vis = new Array[Byte](n)
+    val ref = new Array[Byte](n)
+    val enc = new Jbig2Synth.MqEncoder
+    val cx = Jpx.freshContexts()
+
+    def sigAt(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0 || y >= h) 0 else sig(y * w + x)
+    def signContrib(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0 || y >= h || sig(y * w + x) == 0) 0
+      else if (neg(y * w + x) != 0) -1 else 1
+    def neighborCounts(x: Int, y: Int): (Int, Int, Int) = {
+      val hN = sigAt(x - 1, y) + sigAt(x + 1, y)
+      val vN = sigAt(x, y - 1) + sigAt(x, y + 1)
+      val dN = sigAt(x - 1, y - 1) + sigAt(x + 1, y - 1) +
+        sigAt(x - 1, y + 1) + sigAt(x + 1, y + 1)
+      (hN, vN, dN)
+    }
+    def encodeSign(x: Int, y: Int): Unit = {
+      val hc = math.max(-1, math.min(1, signContrib(x - 1, y) + signContrib(x + 1, y)))
+      val vc = math.max(-1, math.min(1, signContrib(x, y - 1) + signContrib(x, y + 1)))
+      val (c, xor) = Jpx.scContext(hc, vc)
+      enc.encode(cx, c, neg(y * w + x) ^ xor)
+    }
+
+    var plane = mb - 1 - zeroBitPlanes
+    var pass = 0
+    var passKind = 2
+    while (pass < passes && plane >= 0) {
+      val bitVal = 1 << plane
+      passKind match {
+        case 0 => // significance propagation
+          var y0s = 0
+          while (y0s < h) {
+            var x = 0
+            while (x < w) {
+              var dy = 0
+              while (dy < 4 && y0s + dy < h) {
+                val y = y0s + dy
+                val i2 = y * w + x
+                if (sig(i2) == 0) {
+                  val (hN, vN, dN) = neighborCounts(x, y)
+                  if (hN + vN + dN > 0) {
+                    val c = Jpx.zcContext(band, hN, vN, dN)
+                    val bit = (mag(i2) & bitVal) >>> plane
+                    enc.encode(cx, c, bit)
+                    if (bit == 1) { sig(i2) = 1; encodeSign(x, y) }
+                    vis(i2) = 1
+                  }
+                }
+                dy += 1
+              }
+              x += 1
+            }
+            y0s += 4
+          }
+        case 1 => // magnitude refinement
+          var y0s = 0
+          while (y0s < h) {
+            var x = 0
+            while (x < w) {
+              var dy = 0
+              while (dy < 4 && y0s + dy < h) {
+                val y = y0s + dy
+                val i2 = y * w + x
+                if (sig(i2) == 1 && vis(i2) == 0) {
+                  val c =
+                    if (ref(i2) != 0) 16
+                    else {
+                      val (hN, vN, dN) = neighborCounts(x, y)
+                      if (hN + vN + dN > 0) 15 else 14
+                    }
+                  enc.encode(cx, c, (mag(i2) & bitVal) >>> plane)
+                  ref(i2) = 1
+                }
+                dy += 1
+              }
+              x += 1
+            }
+            y0s += 4
+          }
+        case _ => // cleanup
+          var y0s = 0
+          while (y0s < h) {
+            var x = 0
+            while (x < w) {
+              var rlEligible = y0s + 3 < h
+              var dy = 0
+              while (rlEligible && dy < 4) {
+                val y = y0s + dy
+                val i2 = y * w + x
+                if (sig(i2) != 0 || vis(i2) != 0) rlEligible = false
+                else {
+                  val (hN, vN, dN) = neighborCounts(x, y)
+                  if (hN + vN + dN > 0) rlEligible = false
+                }
+                dy += 1
+              }
+              var start = 0
+              var skipColumn = false
+              if (rlEligible) {
+                // first row in the column that turns significant this plane
+                var firstSig = -1
+                var k = 0
+                while (firstSig < 0 && k < 4) {
+                  if ((mag((y0s + k) * w + x) & bitVal) != 0) firstSig = k
+                  k += 1
+                }
+                if (firstSig < 0) { enc.encode(cx, Jpx.CxRL, 0); skipColumn = true }
+                else {
+                  enc.encode(cx, Jpx.CxRL, 1)
+                  enc.encode(cx, Jpx.CxUNI, (firstSig >> 1) & 1)
+                  enc.encode(cx, Jpx.CxUNI, firstSig & 1)
+                  val y = y0s + firstSig
+                  sig(y * w + x) = 1
+                  encodeSign(x, y)
+                  start = firstSig + 1
+                }
+              }
+              if (!skipColumn) {
+                var dy2 = start
+                while (dy2 < 4 && y0s + dy2 < h) {
+                  val y = y0s + dy2
+                  val i2 = y * w + x
+                  if (sig(i2) == 0 && vis(i2) == 0) {
+                    val (hN, vN, dN) = neighborCounts(x, y)
+                    val c = Jpx.zcContext(band, hN, vN, dN)
+                    val bit = (mag(i2) & bitVal) >>> plane
+                    enc.encode(cx, c, bit)
+                    if (bit == 1) { sig(i2) = 1; encodeSign(x, y) }
+                  }
+                  dy2 += 1
+                }
+              }
+              x += 1
+            }
+            y0s += 4
+          }
+          java.util.Arrays.fill(vis, 0.toByte)
+      }
+      if (passKind == 2) { plane -= 1; passKind = 0 } else passKind += 1
+      pass += 1
+    }
+    (enc.flush(), passes)
+  }
+
+  // ── tag tree encoder (B.10.2, mirror of Jpx.TagTree.decode) ──────────────
+  private[graft] final class TagTreeEnc(w: Int, h: Int, leafValues: Array[Int]) {
+    // node value = min of children; levels leaf(0)..root
+    val levels: Array[Array[Int]] = {
+      val out = scala.collection.mutable.ArrayBuffer[Array[Int]](leafValues.clone())
+      var lw = w
+      var lh = h
+      while (lw > 1 || lh > 1) {
+        val nw = (lw + 1) / 2
+        val nh = (lh + 1) / 2
+        val cur = out.last
+        val up = Array.fill(nw * nh)(Int.MaxValue)
+        var j = 0
+        while (j < lh) {
+          var i = 0
+          while (i < lw) {
+            val v = cur(j * lw + i)
+            val idx = (j >> 1) * nw + (i >> 1)
+            if (v < up(idx)) up(idx) = v
+            i += 1
+          }
+          j += 1
+        }
+        out += up
+        lw = nw
+        lh = nh
+      }
+      out.toArray
+    }
+    val widths: Array[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var lw = w
+      var lh = h
+      out += lw
+      while (lw > 1 || lh > 1) { lw = (lw + 1) / 2; lh = (lh + 1) / 2; out += lw }
+      out.toArray
+    }
+    // per-node coded-so-far state + pin flag
+    val state: Array[Array[Int]] = levels.map(l => new Array[Int](l.length))
+    val pinned: Array[Array[Boolean]] = levels.map(l => new Array[Boolean](l.length))
+
+    /** Emit the bits a conformant decoder consumes for decode(i, j, t). */
+    def encode(bw: BitWriter, i: Int, j: Int, threshold: Int): Unit = {
+      var lower = 0
+      var level = levels.length - 1
+      var blocked = false
+      while (!blocked && level >= 0) {
+        val li = i >> level
+        val lj = j >> level
+        val idx = lj * widths(level) + li
+        val value = levels(level)(idx)
+        if (state(level)(idx) < lower) state(level)(idx) = lower
+        var done = pinned(level)(idx)
+        while (!done && state(level)(idx) < threshold) {
+          if (state(level)(idx) < value) { bw.bit(0); state(level)(idx) += 1 }
+          else { bw.bit(1); pinned(level)(idx) = true; done = true }
+        }
+        if (!pinned(level)(idx)) blocked = true // conveyed "≥ threshold"
+        else { lower = value; level -= 1 }
+      }
+    }
+  }
+
+  /** Bit writer with B.10.1 stuffing: after an emitted 0xFF byte the next
+    * byte carries 7 bits. `align` pads with 0 bits; when the final byte is
+    * 0xFF it appends the stuffing byte the reader skips. */
+  private[graft] final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var buf = 0
+    private var cnt = 0
+    private var cap = 8
+
+    def bit(b: Int): Unit = {
+      buf = (buf << 1) | (b & 1)
+      cnt += 1
+      if (cnt == cap) flushByte()
+    }
+
+    private def flushByte(): Unit = {
+      out.write(buf)
+      cap = if (buf == 0xff) 7 else 8
+      buf = 0
+      cnt = 0
+    }
+
+    def bits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit((v >>> i) & 1); i -= 1 }
+    }
+
+    def align(): Unit = {
+      while (cnt != 0) bit(0)
+      if (cap == 7) { out.write(0); cap = 8 } // stuffing byte after a 0xFF tail
+    }
+
+    def toArray: Array[Byte] = out.toByteArray
+  }
+
+  // ── codestream assembly ──────────────────────────────────────────────────
+
+  private final class SubbandPlan(val kind: Int, val gain: Int,
+      val x0: Int, val y0: Int, val x1: Int, val y1: Int,
+      val coeffs: Array[Int]) {
+    var exponent: Int = 0
+  }
+
+  private def bits(v: Int): Int = {
+    var x = v
+    var n = 0
+    while (x > 0) { x >>= 1; n += 1 }
+    n
+  }
+
+  private final val Guard = 2
+
+  /** Encode one component's tile to per-resolution subband plans. `plane` is
+    * the DC-shifted (signed) sample grid. */
+  private def decompose(plane: Array[Int], w: Int, h: Int, levels: Int,
+      reversible: Boolean): Array[Array[SubbandPlan]] = {
+    var cur = plane.map(_.toDouble)
+    var cw = w
+    var ch = h
+    // resolutions(r) for r=levels..1 hold HL/LH/HH of that composition step;
+    // resolutions(0) the final LL
+    val out = new Array[Array[SubbandPlan]](levels + 1)
+    var lev = levels
+    while (lev >= 1) {
+      val (ll, hl, lh, hh) = forward2D(reversible, cur, cw, ch)
+      val w0 = (cw + 1) / 2
+      val h0 = (ch + 1) / 2
+      def q(a: Array[Double], gain: Int): Array[Int] = a.map { v =>
+        // reversible: integral already; irreversible: delta = 1 (εb = Rb)
+        val qv = if (reversible) math.rint(v).toInt else v.toInt // toward zero
+        qv
+      }
+      val r = lev // resolution index of these detail bands
+      out(r) = Array(
+        new SubbandPlan(1, 1, 0, 0, cw - w0, h0, q(hl, 1)),
+        new SubbandPlan(2, 1, 0, 0, w0, ch - h0, q(lh, 1)),
+        new SubbandPlan(3, 2, 0, 0, cw - w0, ch - h0, q(hh, 2)))
+      cur = ll
+      cw = w0
+      ch = h0
+      lev -= 1
+    }
+    out(0) = Array(new SubbandPlan(0, 0, 0, 0, cw, ch, cur.map(v =>
+      if (reversible) math.rint(v).toInt else v.toInt)))
+    out
+  }
+
+  /** Full single-layer LRCP codestream for 1..4 components of equal depth.
+    * `mct`: 0 none, 1 = component transform (RCT when reversible, ICT
+    * otherwise; requires ≥3 components). */
+  def encode(planesIn: Array[Array[Int]], w: Int, h: Int, depth: Int,
+      levels: Int, reversible: Boolean = true, mct: Int = 0,
+      cbExp: Int = 6, tileW: Int = 0, tileH: Int = 0): Array[Byte] = {
+    val comps = planesIn.length
+    require(comps >= 1 && comps <= 4)
+    val xt = if (tileW > 0) tileW else w
+    val yt = if (tileH > 0) tileH else h
+    // DC shift + optional MCT, on full-image planes
+    val shifted = planesIn.map(_.map(_ - (1 << (depth - 1))))
+    if (mct == 1) {
+      require(comps >= 3)
+      var i = 0
+      while (i < w * h) {
+        val r = shifted(0)(i); val g = shifted(1)(i); val b = shifted(2)(i)
+        if (reversible) {
+          val y = (r + 2 * g + b) >> 2
+          shifted(0)(i) = y
+          shifted(1)(i) = b - g // Cb
+          shifted(2)(i) = r - g // Cr
+        } else {
+          val y = 0.299 * r + 0.587 * g + 0.114 * b
+          val cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+          val cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+          shifted(0)(i) = math.rint(y).toInt
+          shifted(1)(i) = math.rint(cb).toInt
+          shifted(2)(i) = math.rint(cr).toInt
+        }
+        i += 1
+      }
+    }
+
+    val numXT = Jpx.ceilDiv(w, xt)
+    val numYT = Jpx.ceilDiv(h, yt)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = bos.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >>> 8); w8(v) }
+    def w32(v: Int): Unit = { w16(v >>> 16); w16(v) }
+    // SOC
+    w16(0xff4f)
+    // SIZ
+    w16(0xff51); w16(38 + 3 * comps); w16(0)
+    w32(w); w32(h); w32(0); w32(0); w32(xt); w32(yt); w32(0); w32(0)
+    w16(comps)
+    for (_ <- 0 until comps) { w8(depth - 1); w8(1); w8(1) }
+    // COD: LRCP, 1 layer
+    w16(0xff52); w16(12); w8(0); w8(0); w16(1); w8(mct)
+    w8(levels); w8(cbExp - 2); w8(cbExp - 2); w8(0); w8(if (reversible) 1 else 0)
+
+    // decompose every tile of every component first so QCD exponents can be
+    // image-wide maxima (one QCD marker serves all tiles)
+    val tilePlans = Array.tabulate(numYT * numXT) { ti =>
+      val px = ti % numXT
+      val py = ti / numXT
+      val tx0 = px * xt
+      val ty0 = py * yt
+      val tx1 = math.min(tx0 + xt, w)
+      val ty1 = math.min(ty0 + yt, h)
+      val tw = tx1 - tx0
+      val th = ty1 - ty0
+      Array.tabulate(comps) { c =>
+        val sub = new Array[Int](tw * th)
+        var y = 0
+        while (y < th) {
+          System.arraycopy(shifted(c), (ty0 + y) * w + tx0, sub, y * tw, tw)
+          y += 1
+        }
+        decompose(sub, tw, th, levels, reversible)
+      }
+    }
+    // per-subband-position exponents: maxima over tiles and components
+    val nSb = 3 * levels + 1
+    val expByIdx = new Array[Int](nSb)
+    def sbIndex(r: Int, kind: Int): Int = if (r == 0) 0 else 3 * (r - 1) + kind
+    tilePlans.foreach(_.foreach { plans =>
+      var r = 0
+      while (r <= levels) {
+        plans(r).foreach { sb =>
+          val maxMag = if (sb.coeffs.isEmpty) 0 else sb.coeffs.map(math.abs).max
+          val needed = bits(maxMag)
+          val e =
+            if (reversible) math.max(1, needed + 1 - Guard)
+            else depth + sb.gain // delta = 1
+          val i = sbIndex(r, sb.kind)
+          if (e > expByIdx(i)) expByIdx(i) = e
+          // irreversible sanity: Mb must cover the quantized magnitudes
+          if (!reversible && needed > Guard + e - 1)
+            throw new IllegalStateException("9/7 magnitude exceeds Mb")
+        }
+        r += 1
+      }
+    })
+    // QCD
+    if (reversible) {
+      w16(0xff5c); w16(3 + nSb); w8(Guard << 5)
+      expByIdx.foreach(e => w8(e << 3))
+    } else {
+      w16(0xff5c); w16(3 + 2 * nSb); w8((Guard << 5) | 2)
+      expByIdx.foreach(e => w16(e << 11)) // μ = 0
+    }
+
+    // tiles
+    var ti = 0
+    while (ti < numYT * numXT) {
+      val body = new java.io.ByteArrayOutputStream()
+      // packets: single layer, r-major then component
+      var r = 0
+      while (r <= levels) {
+        var c = 0
+        while (c < comps) {
+          body.write(encodePacket(tilePlans(ti)(c)(r), r, cbExp,
+            expByIdx, sbIndex, reversible))
+          c += 1
+        }
+        r += 1
+      }
+      val bodyBytes = body.toByteArray
+      // SOT
+      w16(0xff90); w16(10); w16(ti); w32(12 + 2 + bodyBytes.length); w8(0); w8(1)
+      w16(0xff93)
+      bos.write(bodyBytes)
+      ti += 1
+    }
+    w16(0xffd9) // EOC
+    bos.toByteArray
+  }
+
+  /** One packet: all code-blocks of the bands at resolution r (single
+    * whole-subband precinct, first layer). */
+  private def encodePacket(bands: Array[SubbandPlan], r: Int, cbExp: Int,
+      expByIdx: Array[Int], sbIndex: (Int, Int) => Int,
+      reversible: Boolean): Array[Byte] = {
+    val bw = new BitWriter
+    val segments = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var any = false
+    // precompute block grids + contributions per band
+    final case class Blk(x0: Int, y0: Int, x1: Int, y1: Int,
+        data: Array[Byte], passes: Int, zbp: Int, included: Boolean)
+    val perBand = bands.map { sb =>
+      val bwd = sb.x1 - sb.x0
+      val bhd = sb.y1 - sb.y0
+      val cb = 1 << cbExp
+      if (bwd <= 0 || bhd <= 0) (sb, Array.empty[Blk], 0, 0)
+      else {
+        val nx = Jpx.ceilDiv(bwd, cb)
+        val ny = Jpx.ceilDiv(bhd, cb)
+        val mb = Guard + expByIdx(sbIndex(r, sb.kind)) - 1
+        val blocks = Array.tabulate(ny * nx) { idx =>
+          val i = idx % nx
+          val j = idx / nx
+          val x0 = i * cb
+          val y0 = j * cb
+          val x1 = math.min(x0 + cb, bwd)
+          val y1 = math.min(y0 + cb, bhd)
+          val bw2 = x1 - x0
+          val bh2 = y1 - y0
+          val vals = new Array[Int](bw2 * bh2)
+          var maxMag = 0
+          var yy = 0
+          while (yy < bh2) {
+            var xx = 0
+            while (xx < bw2) {
+              val v = sb.coeffs((y0 + yy) * bwd + (x0 + xx))
+              val m = math.abs(v)
+              if (m > maxMag) maxMag = m
+              vals(yy * bw2 + xx) = if (v < 0) m | Int.MinValue else m
+              xx += 1
+            }
+            yy += 1
+          }
+          if (maxMag == 0) Blk(x0, y0, x1, y1, Array.empty, 0, 0, included = false)
+          else {
+            val zbp = mb - bits(maxMag)
+            val (data, passes) = encodeBlock(vals, bw2, bh2,
+              Jpx.bandKindCtx(sb.kind), mb, zbp)
+            any = true
+            Blk(x0, y0, x1, y1, data, passes, zbp, included = true)
+          }
+        }
+        (sb, blocks, nx, ny)
+      }
+    }
+    if (!any) {
+      bw.bit(0) // empty packet
+      bw.align()
+      return bw.toArray
+    }
+    bw.bit(1)
+    perBand.foreach { case (_, blocks, nx, ny) =>
+      if (blocks.nonEmpty) {
+        val incl = new TagTreeEnc(nx, ny, blocks.map(b => if (b.included) 0 else 1))
+        val zbps = new TagTreeEnc(nx, ny, blocks.map(_.zbp))
+        var idx = 0
+        while (idx < blocks.length) {
+          val b = blocks(idx)
+          val i = idx % nx
+          val j = idx / nx
+          incl.encode(bw, i, j, 1) // first layer: tag tree inclusion
+          if (b.included) {
+            zbps.encode(bw, i, j, b.zbp + 1) // decode loops until pinned
+            // coding passes (Table B.4)
+            val p = b.passes
+            if (p == 1) bw.bit(0)
+            else if (p == 2) { bw.bit(1); bw.bit(0) }
+            else if (p <= 5) { bw.bits(3, 2); bw.bits(p - 3, 2) }
+            else if (p <= 36) { bw.bits(0xf, 4); bw.bits(p - 6, 5) }
+            else { bw.bits(0x1ff, 9); bw.bits(p - 37, 7) }
+            // Lblock adaptation (initial 3) + segment length
+            var lblock = 3
+            val needed = math.max(1, bits(b.data.length))
+            while (lblock + Jpx.floorLog2(b.passes) < needed) { bw.bit(1); lblock += 1 }
+            bw.bit(0)
+            bw.bits(b.data.length, lblock + Jpx.floorLog2(b.passes))
+            segments += b.data
+          }
+          idx += 1
+        }
+      }
+    }
+    bw.align()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bw.toArray)
+    segments.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Wrap a raw codestream in the minimal JP2 box set (signature, ftyp,
+    * jp2h/ihdr+colr, jp2c) — the container flavor PDF also embeds. */
+  def wrapJp2(codestream: Array[Byte], w: Int, h: Int, comps: Int,
+      depth: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    def box(typ: String, payload: Array[Byte]): Unit = {
+      w32(8 + payload.length)
+      typ.foreach(c => out.write(c.toInt))
+      out.write(payload)
+    }
+    box("jP  ", Array[Byte](0x0d, 0x0a, 0x87.toByte, 0x0a))
+    box("ftyp", "jp2 ".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+      "jp2 ".getBytes("ISO-8859-1"))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = {
+      ihdr.write(v >>> 24); ihdr.write((v >>> 16) & 0xff)
+      ihdr.write((v >>> 8) & 0xff); ihdr.write(v & 0xff)
+    }
+    i32(h); i32(w)
+    ihdr.write(0); ihdr.write(comps)
+    ihdr.write(depth - 1); ihdr.write(7); ihdr.write(0); ihdr.write(0)
+    val colr = Array[Byte](1, 0, 0, 0, 0, 0,
+      (if (comps >= 3) 16 else 17).toByte) // sRGB / greyscale
+    val jp2h = new java.io.ByteArrayOutputStream()
+    def sub(typ: String, payload: Array[Byte]): Unit = {
+      val l = 8 + payload.length
+      jp2h.write(l >>> 24); jp2h.write((l >>> 16) & 0xff)
+      jp2h.write((l >>> 8) & 0xff); jp2h.write(l & 0xff)
+      typ.foreach(c => jp2h.write(c.toInt))
+      jp2h.write(payload)
+    }
+    sub("ihdr", ihdr.toByteArray)
+    sub("colr", colr)
+    box("jp2h", jp2h.toByteArray)
+    box("jp2c", codestream)
+    out.toByteArray
+  }
+
+  /** Deterministic gray test image: smooth gradient + bands + a box — enough
+    * structure to exercise every coding pass and plane. */
+  def testGray(w: Int, h: Int, seed: Long): Array[Int] = {
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val grad = (x * 255) / math.max(1, w - 1)
+        val band = if (((x / 3 + 2 * y + seed) % 13) < 5) 60 else 0
+        val box = if (x >= w / 4 && x < w / 2 && y >= h / 4 && y < h / 2) 120 else 0
+        px(y * w + x) = math.min(255, (grad + band + box) / 2 + (seed % 7).toInt * 8)
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Minimal one-page PDF carrying one JPXDecode image XObject. `rgb` uses
+    * three components + reversible RCT; `lossy` switches to the 9/7 wavelet;
+    * `jp2` wraps the codestream in the JP2 box container. */
+  def pdfWithJpx(w: Int, h: Int, seed: Long, rgb: Boolean = false,
+      lossy: Boolean = false, jp2: Boolean = false,
+      levels: Int = 2): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val planes =
+      if (rgb) Array(testGray(w, h, seed), testGray(w, h, seed + 3),
+        testGray(w, h, seed + 7))
+      else Array(testGray(w, h, seed))
+    val cs0 = encode(planes, w, h, 8, levels, reversible = !lossy,
+      mct = if (rgb) 1 else 0)
+    val stream = if (jp2) wrapJp2(cs0, w, h, planes.length, 8) else cs0
+    val csName = if (rgb) "/DeviceRGB" else "/DeviceGray"
+    val content = s"q $w 0 0 $h 100 600 cm /ImX Do Q"
+    val head = (s"""%PDF-1.5
+       |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]
+       |  /Resources << /XObject << /ImX 4 0 R >> >> /Contents 5 0 R >> endobj
+       |4 0 obj << /Type /XObject /Subtype /Image /Width $w /Height $h
+       |  /BitsPerComponent 8 /ColorSpace $csName /Filter /JPXDecode
+       |  /Length ${stream.length} >>
+       |stream
+       |""").stripMargin
+    val tail = (s"""
+       |endstream
+       |endobj
+       |5 0 obj << /Length ${content.length} >>
+       |stream
+       |$content
+       |endstream
+       |endobj
+       |trailer << /Size 6 /Root 1 0 R >>
+       |startxref
+       |0
+       |%%EOF
+       |""").stripMargin
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head.getBytes(ISO_8859_1))
+    out.write(stream)
+    out.write(tail.getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+}

@@ -1,0 +1,189 @@
+package graft.pdf
+
+import graft.testgen.JpxSynth
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JPX (JPEG 2000) lane: staged round-trips from the primitive codecs up to
+  * full codestreams — tag trees, Tier-1 EBCOT block coding, 5/3 and 9/7
+  * wavelets, packet headers, JP2 boxes, multi-tile grids — plus corrupt-
+  * stream robustness. The encoder is a from-spec mirror (JpxSynth), so every
+  * green round-trip pins BOTH sides.
+  *
+  * Interop evidence (run out-of-band — node + the reference's OWN vendored
+  * JPX decoder, pdf.combined.js JpxImage lines 10689-12880, extracted with
+  * the ArithmeticDecoder closure plus shadow/log2/readUint* shims into
+  * /tmp/jpx_harness.js, the same playbook as the JBIG2 harness): seven
+  * JpxSynth codestream classes — gray 5/3 at levels 0/2/3 (odd dims
+  * included), RGB + reversible RCT, gray 9/7, a 64-px block-aligned
+  * multi-tile grid, and the JP2 box container — were decoded by both
+  * implementations: 0 mismatched samples on every stream (the vendored
+  * decoder emits interleaved 0-255 tile items; compared against
+  * `Jpx.decode`'s planes after DC shift/clamp). That pins this codec pair's
+  * bit conventions (MQ contexts, scan order, packet headers, tag trees,
+  * lifting, RCT) to the interchange behavior of a conformant third-party
+  * decoder, not just to internal round-trip consistency. */
+class JpxSpec extends AnyFunSuite {
+
+  test("JPX PDFs decode through the full raster lane (all four flavors)") {
+    for ((name, rgb, lossy, jp2, cs) <- Seq(
+      ("raw gray", false, false, false, "DeviceGray"),
+      ("rgb+rct", true, false, false, "DeviceRGB"),
+      ("9/7 lossy", false, true, false, "DeviceGray"),
+      ("jp2 boxed", false, false, true, "DeviceGray"))) {
+      val pdf = JpxSynth.pdfWithJpx(64, 48, seed = 2, rgb = rgb,
+        lossy = lossy, jp2 = jp2)
+      val imgs = PdfImages.list(PdfDocument.open(pdf))
+      assert(imgs.length == 1, name)
+      val i = imgs.head
+      assert((i.filter, i.colorSpace) == (("JPXDecode", cs)), name)
+      assert((i.decodedW, i.decodedH, i.decodedBands) == ((64, 48, 3)), name)
+      assert(i.grayMean >= 0, name)
+    }
+  }
+
+  test("tag tree encode/decode round-trips values against thresholds") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 20) {
+      val w = 1 + rnd.nextInt(7)
+      val h = 1 + rnd.nextInt(5)
+      val values = Array.fill(w * h)(rnd.nextInt(6))
+      val enc = new JpxSynth.TagTreeEnc(w, h, values)
+      val bw = new JpxSynth.BitWriter
+      // visit leaves in scan order with increasing thresholds, like the
+      // zero-bitplane consumer: encode until each leaf pins
+      for (j <- 0 until h; i <- 0 until w)
+        enc.encode(bw, i, j, values(j * w + i) + 1)
+      bw.align()
+      val data = bw.toArray
+      val dec = new Jpx.TagTree(w, h)
+      val br = new Jpx.PacketBitReader(data, 0, data.length)
+      for (j <- 0 until h; i <- 0 until w) {
+        var t = 1
+        var got = -1
+        while (got < 0) {
+          got = dec.decode(br, i, j, t)
+          t += 1
+          assert(t < 64, s"trial $trial leaf ($i,$j) did not pin")
+        }
+        assert(got == values(j * w + i), s"trial $trial leaf ($i,$j)")
+      }
+    }
+  }
+
+  test("Tier-1 EBCOT block codec round-trips sign-magnitude coefficients") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 12) {
+      val w = 1 + rnd.nextInt(34)
+      val h = 1 + rnd.nextInt(34)
+      val band = trial % 3
+      val maxBits = 1 + rnd.nextInt(7)
+      val vals = Array.fill(w * h) {
+        if (rnd.nextInt(3) == 0) {
+          val m = rnd.nextInt(1 << maxBits)
+          if (rnd.nextBoolean() && m != 0) m | Int.MinValue else m
+        } else 0
+      }
+      val actualMax = vals.map(_ & Int.MaxValue).max
+      val needed = 32 - Integer.numberOfLeadingZeros(math.max(1, actualMax))
+      val mb = needed + 1 + rnd.nextInt(2)
+      val zbp = mb - math.max(1, needed)
+      val (data, passes) = JpxSynth.encodeBlock(vals, w, h, band, mb, zbp)
+      if (actualMax == 0) assert(passes == 0 || data.isEmpty)
+      else {
+        val got = Jpx.decodeBlock(data, Seq((0, data.length)), w, h, band,
+          mb, zbp, passes)
+        assert(got.toSeq == vals.toSeq, s"trial $trial ${w}x$h band=$band mb=$mb zbp=$zbp")
+      }
+    }
+  }
+
+  test("5/3 forward/inverse 2D wavelet is exact on integer grids") {
+    val rnd = new scala.util.Random(5)
+    for ((w, h) <- Seq((8, 8), (7, 5), (16, 9), (33, 17), (1, 7), (12, 1))) {
+      val src = Array.fill(w * h)(rnd.nextInt(512) - 256)
+      val (ll, hl, lh, hh) = JpxSynth.forward2D(reversible = true,
+        src.map(_.toDouble), w, h)
+      val back = Jpx.inverse2D(reversible = true, ll, hl, lh, hh, 0, w, 0, h)
+      assert(back.map(math.rint(_).toInt).toSeq == src.toSeq, s"$w x $h")
+    }
+  }
+
+  test("gray lossless codestream round-trips bit-exactly") {
+    for ((w, h, levels, seed) <- Seq((64, 48, 2, 1L), (57, 43, 3, 2L),
+      (16, 16, 1, 3L), (100, 30, 2, 4L), (31, 64, 0, 5L))) {
+      val px = JpxSynth.testGray(w, h, seed)
+      val cs = JpxSynth.encode(Array(px), w, h, 8, levels)
+      val out = Jpx.decode(cs)
+      assert(out.isDefined, s"$w x $h levels=$levels")
+      val d = out.get
+      assert((d.w, d.h, d.comps) == ((w, h, 1)))
+      assert(d.planes(0).toSeq == px.toSeq, s"$w x $h levels=$levels seed=$seed")
+    }
+  }
+
+  test("RGB + reversible RCT round-trips bit-exactly") {
+    val (w, h) = (48, 40)
+    val planes = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 4),
+      JpxSynth.testGray(w, h, 9))
+    val cs = JpxSynth.encode(planes, w, h, 8, 2, mct = 1)
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    val d = out.get
+    assert(d.comps == 3)
+    for (c <- 0 until 3)
+      assert(d.planes(c).toSeq == planes(c).toSeq, s"component $c")
+  }
+
+  test("9/7 irreversible codestream reconstructs within tolerance") {
+    val (w, h) = (64, 48)
+    val px = JpxSynth.testGray(w, h, 2)
+    val cs = JpxSynth.encode(Array(px), w, h, 8, 2, reversible = false)
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    val got = out.get.planes(0)
+    val mse = px.indices.map(i => { val e = got(i) - px(i); e.toDouble * e }).sum / px.length
+    val psnr = 10 * math.log10(255.0 * 255 / math.max(mse, 1e-9))
+    info(f"9/7 delta=1 PSNR = $psnr%.1f dB")
+    assert(psnr > 40, f"PSNR $psnr%.1f")
+  }
+
+  test("JP2 box container wraps and decodes identically") {
+    val (w, h) = (40, 32)
+    val px = JpxSynth.testGray(w, h, 6)
+    val raw = JpxSynth.encode(Array(px), w, h, 8, 2)
+    val jp2 = JpxSynth.wrapJp2(raw, w, h, 1, 8)
+    val out = Jpx.decode(jp2)
+    assert(out.isDefined)
+    assert(out.get.planes(0).toSeq == px.toSeq)
+  }
+
+  test("multi-tile codestream round-trips (block-aligned tile grid)") {
+    // subset constraint: tile size a multiple of cb << levels keeps every
+    // band origin on the code-block grid for both sides
+    val (w, h) = (100, 70)
+    val px = JpxSynth.testGray(w, h, 8)
+    val cs = JpxSynth.encode(Array(px), w, h, 8, 2, cbExp = 4,
+      tileW = 64, tileH = 64)
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    assert(out.get.planes(0).toSeq == px.toSeq)
+  }
+
+  test("corrupt / truncated / foreign payloads never throw") {
+    val (w, h) = (32, 24)
+    val good = JpxSynth.encode(Array(JpxSynth.testGray(w, h, 3)), w, h, 8, 2)
+    for (cut <- Seq(0, 2, 10, good.length / 2, good.length - 3)) {
+      val r = Jpx.decode(good.take(cut))
+      assert(r.isEmpty || r.get.w == w)
+    }
+    val rnd = new scala.util.Random(9)
+    (0 until 60).foreach { k =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val r = Jpx.decode(b) // must not throw
+      assert(r.isEmpty || (r.get.w == w && r.get.h == h), s"mutation $k")
+    }
+    assert(Jpx.decode(Array.tabulate[Byte](100)(i => (i * 41).toByte)).isEmpty)
+    assert(Jpx.decode(Array.empty[Byte]).isEmpty)
+  }
+}
