@@ -242,6 +242,27 @@ object SparkEntry {
         .select(col("paper"),
           ((col("exact") / col("total")) >= floorExpr).cast("long").as("exact_floor_ok"))
     }),
+    "q62_pdf_text_items" -> ((s, dir) => {
+      // reference-parity TEXT-CONTENT ITEMS (the getTextContent surface,
+      // round 5): per corpus PDF, page-1 item count + md5 of the
+      // newline-joined item strings. The oracle literals are computed from
+      // fixtures generated by the vendored engine ITSELF under node
+      // (src/test/resources/reference-*-page1-items.json), so this gate is
+      // item-level equality with the reference, not self-consistency.
+      import s.implicits._
+      val _ = dir
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          val items = graft.pdf.PdfDocument.open(bytes).textContentItems(0)
+          (paper, items.length.toLong, items.map(_.str).mkString("\n"))
+        }
+        .toDF("paper", "n_items", "joined")
+        .select(col("paper"), col("n_items"), md5(col("joined")).as("items_md5"))
+    }),
     "q61_pdf_images" -> ((s, dir) => {
       // real raster decode over the PDF corpus (S13 upgraded from bbox-only
       // markers): DCTDecode via the JDK JPEG reader, CCITTFaxDecode G3/G4 via
@@ -787,6 +808,13 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         | ('1301.4293', 1), ('C04-1204', 1), ('test24', 1), ('test25', 1)
         |) AS t(paper, exact_floor_ok)""".stripMargin,
+    "q62_pdf_text_items" ->
+      """SELECT * FROM (VALUES
+        | ('C04-1204', 648, '20924649ef98b695529248a272e6c6b9'),
+        | ('1301.4293', 118, '1b193ff8966f45571faa19d1f6b0c48b'),
+        | ('test24', 245, '1b11dcaf231c0be2a64a3598fb780b66'),
+        | ('test25', 279, '4c32bf86000fd0dd562d21bf6ea712ea')
+        |) AS t(paper, n_items, items_md5)""".stripMargin,
     "q61_pdf_images" ->
       """SELECT * FROM (VALUES
         | ('jbig2', 0, 'ImJ', 64, 48, 1, 'DeviceGray', 'JBIG2Decode', 64, 48, 3, 158),

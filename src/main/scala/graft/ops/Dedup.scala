@@ -334,9 +334,14 @@ object Dedup {
     * ~hundreds of MB worst case); it is also clamped to Int range, and
     * `driverEdgeLimit = 0` forces the distributed path.
     *
+    * `exactWitness = true` replaces the probabilistic (count, hash-xor)
+    * convergence check with a set-equality anti-join proof — one extra join
+    * per round; use it when the labels gate a production merge.
+    *
     * Output: (id, component) for every id that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20, driverEdgeLimit: Long = 1000000L): DataFrame = {
+      maxIters: Int = 20, driverEdgeLimit: Long = 1000000L,
+      exactWitness: Boolean = false): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     if (driverEdgeLimit > 0) {
       // one limited execution answers BOTH the size question and (when small)
@@ -384,23 +389,33 @@ object Dedup {
     // a round's edge SET is the convergence witness: stable (count, hash-xor)
     // across a full large+small round ⇒ the graph is a union of min-centered
     // stars. bit_xor is overflow-free under ANSI mode and order-independent.
-    // The witness is PROBABILISTIC: two equal-count edge sets can xor-collide
-    // (~2^-64 per round), declaring convergence one round early; an exact
-    // witness is a two-sided anti-join per round if that risk ever matters.
-    // O(log n) rounds by the star-contraction bound, so maxIters is a
-    // backstop, not a correctness knob.
+    // The default witness is PROBABILISTIC: two equal-count edge sets can
+    // xor-collide (~2^-64 per round), declaring convergence one round early.
+    // `exactWitness` swaps in a set-equality proof: equal counts plus an
+    // empty one-sided anti-join (|A| = |B| ∧ A \ B = ∅ ⇒ A = B for the
+    // distinct sets both rounds produce) — one extra join per round over the
+    // two checkpointed edge sets, for pipelines that gate a production merge
+    // on the labels. O(log n) rounds by the star-contraction bound either
+    // way, so maxIters is a backstop, not a correctness knob.
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    def sameEdgeSet(prev: DataFrame, next: DataFrame,
+        prevCount: Long, nextCount: Long): Boolean =
+      prevCount == nextCount &&
+        prev.join(next, Seq("u", "v"), "left_anti").limit(1).count() == 0L
     var sig = signature(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      val prev = edges
       edges = starRound(large = true).localCheckpoint(true)
       edges = starRound(large = false).localCheckpoint(true)
       val next = signature(edges)
-      converged = next == sig
+      converged =
+        if (exactWitness) sameEdgeSet(prev, edges, sig._1, next._1)
+        else next == sig
       sig = next
       iter += 1
     }

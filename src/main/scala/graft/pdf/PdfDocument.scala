@@ -316,6 +316,18 @@ final class PdfDocument private (val file: PdfFile) {
   /** Whole-document text, pages joined by a blank line. */
   def extractText: String = pages.indices.map(extractPageText).mkString("\n\n")
 
+  /** Reference-parity text-content ITEMS for page `i` — the alternative
+    * reading-order surface (SURVEY.md §2.7 R2/R4): the reference's exact
+    * getTextContent item semantics (same-line Td merge, TJ run breaks,
+    * fake-space thresholds) instead of the generalized y-cluster the default
+    * `extractPageText` uses. Gated item-for-item against a fixture generated
+    * by the vendored CLI's own getTextContent (TextItemsSpec). */
+  def textContentItems(i: Int): Vector[graft.extract.TextItem] =
+    try {
+      val p = pages(i)
+      graft.extract.TextItems.extract(p.content, p.resources)
+    } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+
   /** Ordered tspan texts — the reference CLI's golden surface
     * (src/test/resources/output/NAME.pdf.expected/tspan-texts.txt). A tspan
     * containing any XML-invalid control character does not survive the

@@ -1,0 +1,109 @@
+package graft
+
+import graft.pdf.PdfDocument
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Item-level parity against the reference's AUTHENTIC text-content output:
+  * the src/test/resources/reference-*-page1-items.json fixtures were produced
+  * by the vendored engine itself under node (the getinfo.js surface —
+  * page.getTextContent() on page 1 of each corpus PDF, item strs + dirs
+  * dumped as JSON). Our TextItems walker must reproduce all 1290 items
+  * (648 + 118 + 245 + 279) one for one. */
+class TextItemsSpec extends AnyFunSuite {
+
+  /** Minimal JSON parse for the fixture's flat shape
+    * [{"str":..,"dir":..,"fontName":..},..] — no JSON dependency exists in
+    * this build, and the strings only contain \" and \\uXXXX escapes. */
+  private def parseFixture(json: String): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    val m = java.util.regex.Pattern
+      .compile("\\{\"str\":\\s*\"((?:[^\"\\\\]|\\\\.)*)\",\\s*\"dir\":\\s*\"([a-z]+)\"")
+      .matcher(json)
+    while (m.find()) {
+      val raw = m.group(1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '\\' && i + 1 < raw.length) {
+          raw.charAt(i + 1) match {
+            case 'u' =>
+              sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case other => sb.append(other); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      out += ((sb.toString, m.group(2)))
+    }
+    out.result()
+  }
+
+  test("all four reference PDFs page 1: item-for-item equality with getTextContent") {
+    val counts = Map("C04-1204" -> 648, "1301.4293" -> 118,
+      "test24" -> 245, "test25" -> 279)
+    counts.foreach { case (name, n) =>
+      val fp = Paths.get(s"src/test/resources/reference-$name-page1-items.json")
+      val pp = Paths.get(s"/root/reference/src/test/resources/input/$name.pdf")
+      if (!Files.exists(fp) || !Files.exists(pp))
+        cancel(s"fixture or reference PDF not present for $name")
+      val expected = parseFixture(
+        new String(Files.readAllBytes(fp), StandardCharsets.UTF_8))
+      assert(expected.length == n, s"$name fixture size")
+      val doc = PdfDocument.open(Files.readAllBytes(pp))
+      val got = doc.textContentItems(0)
+      assert(got.length == expected.length,
+        s"$name item count ${got.length} vs ${expected.length}")
+      got.zip(expected).zipWithIndex.foreach { case ((item, (str, dir)), i) =>
+        assert(item.str == str, s"$name item $i: '${item.str}' vs '$str'")
+        assert(item.dir == dir, s"$name item $i dir")
+      }
+    }
+  }
+
+  test("same-line Td merge joins words; a large move flushes") {
+    import graft.eval.{FontSpec, PageResources}
+    val res = PageResources.fromMap(Map(
+      "F1" -> FontSpec("Times", _ => 500.0)))
+    def items(content: String) =
+      graft.extract.TextItems.extract(content.getBytes("ISO-8859-1"), res)
+    // widths 500/1000em at size 10 → glyph 5 units, spaceWidth 5 units;
+    // fakeMultiSpaceMax = 20. "AB" advances lastAdvanceWidth = 10.
+    // Td(18, 0): advance 18 ≤ 20 merges, diff 8 → round(8/5) = 2 spaces.
+    val merged = items("BT /F1 10 Tf 10 700 Td (AB) Tj 18 0 Td (CD) Tj ET")
+    assert(merged.map(_.str) == Vector("AB  CD"))
+    // Td(30, 0): advance 30 > 20 → flush, two items
+    val split = items("BT /F1 10 Tf 10 700 Td (AB) Tj 30 0 Td (CD) Tj ET")
+    assert(split.map(_.str) == Vector("AB", "CD"))
+    // Td with dy ≠ 0 never merges
+    val moved = items("BT /F1 10 Tf 10 700 Td (AB) Tj 12 -11 Td (CD) Tj ET")
+    assert(moved.map(_.str) == Vector("AB", "CD"))
+  }
+
+  test("TJ thresholds: small kern nothing, mid kern one space, big kern breaks") {
+    import graft.eval.{FontSpec, PageResources}
+    val res = PageResources.fromMap(Map(
+      "F1" -> FontSpec("Times", _ => 500.0),
+      "M1" -> FontSpec("Mono", _ => 500.0, monospace = true)))
+    def items(content: String) =
+      graft.extract.TextItems.extract(content.getBytes("ISO-8859-1"), res)
+    // spaceWidth 5 text units = TJ units /1000 * size: kern -n → advance
+    // n*10/1000; fakeSpaceMin 1.5, fakeMultiSpaceMin 7.5, fakeMultiSpaceMax 20
+    assert(items("BT /F1 10 Tf (A) Tj [(B) -100 (C)] TJ ET").map(_.str) ==
+      Vector("ABC")) // advance 1 < 1.5: nothing
+    assert(items("BT /F1 10 Tf [(B) -400 (C)] TJ ET").map(_.str) ==
+      Vector("B C")) // advance 4 in [1.5, 7.5): one space
+    assert(items("BT /F1 10 Tf [(B) -1000 (C)] TJ ET").map(_.str) ==
+      Vector("B  C")) // advance 10 in [7.5, 20]: round(10/5) = 2 spaces
+    assert(items("BT /F1 10 Tf [(B) -2500 (C)] TJ ET").map(_.str) ==
+      Vector("B", "C")) // advance 25 > 20: run break
+    // monospace fonts never break: they fake as much space as needed
+    assert(items("BT /M1 10 Tf [(B) -2500 (C)] TJ ET").map(_.str) ==
+      Vector("B     C"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextSketch
-import graft.ops.Dedup
+import graft.ops.{Dedup, ProductionDefaults}
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -118,6 +118,11 @@ class WinnowSetSpec extends AnyFunSuite {
       val dist = Dedup.connectedComponents(pairs, "id_a", "id_b", driverEdgeLimit = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(local == dist, s"trial $trial")
+      // the exact (anti-join) convergence witness yields identical labels
+      val exact = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverEdgeLimit = 0, exactWitness = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(exact == dist, s"trial $trial exactWitness")
       // labels are component minima: every label maps to itself
       local.values.foreach(c => assert(local(c) == c, s"trial $trial label $c"))
     }
@@ -141,5 +146,38 @@ class WinnowSetSpec extends AnyFunSuite {
     val capped = Dedup.fingerprintNearDups(df, "doc_id", "text", k = 12, w = 8, minShared = 1, maxBucket = 5).count()
     assert(uncapped == 45) // all pairs share the boilerplate fingerprints
     assert(capped == 0) // every shared fingerprint sits in a 10-doc bucket
+  }
+
+  test("ProductionDefaults profile: capped paths keep real near-dups and stay deterministic") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // a genuine duplicate pair + unique docs: the sized production caps
+    // (far above this bucket population) must not change the answer
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    // character k-grams power the fingerprints, so the unique docs must not
+    // share ANY 12-char run — seeded-random tokens, no common template text
+    val df = ((0L until 8L).map { i =>
+      val docRnd = new scala.util.Random(1000 + i)
+      (i, Seq.fill(15)(docRnd.alphanumeric.take(8).mkString).mkString(" "))
+    } ++ Seq((100L, base), (101L, base))).toDF("doc_id", "text")
+    val pairs = Dedup.fingerprintNearDups(df, "doc_id", "text", k = 12, w = 8,
+      minShared = 1, maxBucket = ProductionDefaults.MaxBucket)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)))
+    // connected components under the full production profile
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      driverEdgeLimit = ProductionDefaults.DriverEdgeLimit,
+      exactWitness = ProductionDefaults.ExactWitness)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(100L -> 100L, 101L -> 100L))
+    // substring dedup with the production gram cap: planted duplication far
+    // below the cap is still clipped (deterministically)
+    val sub = Dedup.substringDedup(df, "doc_id", "text", l = 20,
+      maxDocs = ProductionDefaults.MaxDocs)
+      .select("doc_id", "n_spans", "dropped_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the planted duplicate pair is clipped; unique docs are untouched
+    assert(sub(100L)._2 > 0 && sub(101L)._2 > 0)
+    (0L until 8L).foreach(i => assert(sub(i) == ((0L, 0L)), s"doc $i"))
   }
 }
