@@ -16,7 +16,9 @@ import scala.collection.immutable.ArraySeq
   *
   * Scope: simple fonts (Type1/Type1C via FontFile3, non-embedded std-14,
   * Type3, TrueType metrics-only) plus composite Type0 fonts under Identity
-  * CMaps (two-byte charcodes, /DW + /W CID widths, 2-byte /ToUnicode).
+  * CMaps (two-byte charcodes, /DW + /W CID widths, 2-byte /ToUnicode) and
+  * embedded CMap STREAMS (code→CID cidrange/cidchar tables + /WMode, the
+  * CJK shape — CidCMap below).
   * Predefined non-Identity CMaps would need the Adobe cmap resource files
   * (not shipped; the reference bundles none either) and degrade to identity
   * CIDs; Type1/TrueType *program* parsing is metrics-only.
@@ -109,13 +111,26 @@ object FontLoader {
     var tpe = dictGet(dict, "Subtype").collect { case PName(n) => n }.getOrElse("Type1")
     var composite = false
     var vertical = false
+    var cidCMap: Option[CidCMap.Parsed] = None
     if (tpe == "Type0") {
+      // an embedded CMap STREAM carries its own code→CID mapping (and
+      // /WMode) — parsed like the reference's CMapFactory stream branch;
+      // predefined non-Identity names degrade to identity CIDs (neither
+      // engine ships the Adobe cmap resources)
+      cidCMap = dictGet(dict, "Encoding") match {
+        case Some(s: PStream) =>
+          val p = CidCMap.parse(file.decodeStream(s))
+          if (p.toCid.isEmpty && p.identityBase) None // pure identity wrapper
+          else Some(p)
+        case _ => None
+      }
       // vertical writing: a predefined -V CMap name or an embedded CMap
       // stream with /WMode 1 (parseWMode, pdf.combined.js:31395-31420)
       vertical = dictGet(dict, "Encoding") match {
         case Some(PName(n)) => n.endsWith("-V") || n == "V"
         case Some(s: PStream) =>
-          dictGet(s.dict, "WMode").collect { case PNum(v) => v.toInt }.contains(1)
+          dictGet(s.dict, "WMode").collect { case PNum(v) => v.toInt }.contains(1) ||
+            cidCMap.exists(_.wmode == 1)
         case _ => false
       }
       dictGet(dict, "DescendantFonts") match {
@@ -176,7 +191,7 @@ object FontLoader {
     val vmet = if (vertical) Some(extractVMetrics(dict, file, defaultWidth)) else None
 
     buildFont(fontName, fontFile.map(s => file.decodeStream(s)), subtype, tpe, composite, ds,
-      widths, defaultWidth, fontMatrix0, file, vmet)
+      widths, defaultWidth, fontMatrix0, file, vmet, cidCMap)
   }
 
   // ── extractDataStructures (pdf.combined.js:46408-46501) ────────────────────
@@ -397,19 +412,26 @@ object FontLoader {
       name: String, fileBytes: Option[Array[Byte]], subtype: Option[String],
       tpe: String, composite: Boolean, ds: DataStructs,
       widths: Map[Int, Double], defaultWidth: Double, fontMatrix0: Double,
-      pdf: PdfFile, vmet: Option[(Map[Int, Array[Double]], Array[Double])] = None): FontSpec = {
+      pdf: PdfFile, vmet: Option[(Map[Int, Array[Double]], Array[Double])] = None,
+      cidCMap: Option[CidCMap.Parsed] = None): FontSpec = {
 
     val toUnicode: Map[Int, String] = ds.toUnicodeStream.getOrElse(buildToUnicode(ds))
 
     if (composite) {
-      // Type0 with an Identity CMap: two-byte charcodes, charcode == CID,
-      // text from the (2-byte-keyed) /ToUnicode CMap — the charsToGlyphs
-      // multi-byte path (pdf.combined.js:36697-36708). Predefined non-Identity
-      // CMaps would need the Adobe cmap resource files (not shipped; the
-      // reference bundles none either) — such fonts degrade to identity CIDs.
+      // Type0: two-byte charcodes. With an Identity CMap charcode == CID;
+      // with an embedded CMap stream, /W widths and /W2 vmetrics are keyed
+      // by the MAPPED CID while /ToUnicode stays charcode-keyed — the
+      // charsToGlyphs multi-byte path (pdf.combined.js:36697-36708) with the
+      // CMapFactory stream branch (31519-31539). Predefined non-Identity
+      // names would need the Adobe cmap resource files (not shipped; the
+      // reference bundles none either) — those degrade to identity CIDs.
+      val cid: Int => Int = cidCMap match {
+        case Some(p) => p.cid
+        case None => identity
+      }
       return FontSpec(
         family = s"g_font_$name",
-        widths = c => widths.getOrElse(c, defaultWidth),
+        widths = c => widths.getOrElse(cid(c), defaultWidth),
         glyphText = { code =>
           toUnicode.get(code) match {
             case Some(u) if u.nonEmpty => u
@@ -418,13 +440,16 @@ object FontLoader {
         },
         fontMatrix0 = fontMatrix0,
         spaceWidthEst = estimateSpaceWidth(widths, defaultWidth, toUnicode),
-        wideChars = true,
+        wideChars = cidCMap.forall(_.codeBytes == 2),
         vertical = vmet.isDefined,
         vmetrics = vmet.map { case (m, default) =>
           // codes without a /W2 entry advance by the horizontal width with
           // the default vy (reference charToGlyph + textContent fallback,
           // 36630, 46071-46077); w1 comes from the default DW2 pair
-          (c: Int) => m.getOrElse(c, Array(default(0), widths.getOrElse(c, defaultWidth) * 0.5, default(2)))
+          (c: Int) => {
+            val ci = cid(c)
+            m.getOrElse(ci, Array(default(0), widths.getOrElse(ci, defaultWidth) * 0.5, default(2)))
+          }
         }.orNull)
     }
 
@@ -570,6 +595,65 @@ object FontLoader {
 /** /ToUnicode CMap stream parser: bfchar + bfrange sections, UTF-16BE targets
   * (readToUnicode, pdf.combined.js:46503-46540; CMap text format is public
   * Adobe CMap spec syntax). */
+/** Embedded CID CMap (PDF 32000-1 §9.7.5.3, Adobe CMap format): the
+  * /Encoding STREAM of a Type0 font, mapping charcodes to CIDs via
+  * cidrange/cidchar entries — the reference parses these with no external
+  * resources (CMapFactory.create stream branch, pdf.combined.js:31519-31539).
+  * Predefined non-Identity NAMES still degrade to identity (both engines
+  * ship no Adobe cmap resource files). */
+object CidCMap {
+
+  final case class Parsed(toCid: Map[Int, Int], wmode: Int, codeBytes: Int,
+      identityBase: Boolean) {
+    /** code → CID; unmapped codes fall back to the usecmap'd Identity base
+      * (extendCMap merge semantics) or CID 0 (.notdef). */
+    def cid(code: Int): Int = toCid.getOrElse(code, if (identityBase) code else 0)
+  }
+
+  private final val MaxEntries = 1 << 20 // range-expansion bound
+
+  def parse(data: Array[Byte]): Parsed = {
+    val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def hexToInt(h: String): Int = java.lang.Long.parseLong(h, 16).toInt
+    val wmode = "/WMode\\s+(\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(0)
+    val identityBase = "/(Identity-[HV])\\s+usecmap".r.findFirstMatchIn(s).isDefined
+    // code byte count from the first codespacerange bound (mixed-width
+    // codespaces degrade to the first class — disclosed subset)
+    val codeBytes = "(?s)begincodespacerange\\s*<([0-9a-fA-F]+)>".r
+      .findFirstMatchIn(s).map(m => math.max(1, m.group(1).length / 2))
+      .getOrElse(2)
+    val out = Map.newBuilder[Int, Int]
+    var n = 0
+    val rangeBlocks = "(?s)begincidrange(.*?)endcidrange".r
+    val charBlocks = "(?s)begincidchar(.*?)endcidchar".r
+    val rangeEntry = "<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>\\s+(\\d+)".r
+    val charEntry = "<([0-9a-fA-F]+)>\\s+(\\d+)".r
+    rangeBlocks.findAllMatchIn(s).foreach { b =>
+      rangeEntry.findAllMatchIn(b.group(1)).foreach { e =>
+        val lo = hexToInt(e.group(1))
+        val hi = hexToInt(e.group(2))
+        val cid0 = e.group(3).toInt
+        var c = lo
+        while (c <= hi && n < MaxEntries) {
+          out += c -> (cid0 + (c - lo))
+          c += 1
+          n += 1
+        }
+      }
+    }
+    charBlocks.findAllMatchIn(s).foreach { b =>
+      charEntry.findAllMatchIn(b.group(1)).foreach { e =>
+        if (n < MaxEntries) {
+          out += hexToInt(e.group(1)) -> e.group(2).toInt
+          n += 1
+        }
+      }
+    }
+    Parsed(out.result(), wmode, codeBytes, identityBase)
+  }
+}
+
 object ToUnicodeCMap {
 
   def parse(data: Array[Byte]): Map[Int, String] = {
