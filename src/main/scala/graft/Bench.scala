@@ -10,7 +10,10 @@ import org.apache.spark.sql.SparkSession
   * materialized 800k-turn mixed-dialect transcript corpus, run at N and 4N
   * cores (local[2]→local[8], plus local[8]→local[32] for transparency — the
   * sandbox stand-in for N vs 4N executors), reporting throughput at each level
-  * and scaling efficiency = (tp_4N/tp_N)/4.
+  * and scaling efficiency = (tp_4N/tp_N)/4. A scale-factor sweep then re-runs
+  * the table-driven headline at 10× the input (structure-preserving replica)
+  * and reports per-query time ratios — scale-safety by measurement, not
+  * inspection.
   */
 object Bench {
 
@@ -87,6 +90,59 @@ object Bench {
     }
     turns.write.mode("overwrite").parquet(path)
     n * reps
+  }
+
+  /** Materialize a `factor`× replica of the sf tables for the scale sweep:
+    * fact/document tables union `factor` key-shifted copies (foreign keys
+    * shift by the same offset so join fan-out scales linearly); per-copy
+    * text is vowel-translated and embeddings are jittered so each copy
+    * carries the SAME duplicate/near-dup structure as the base corpus —
+    * replicating text verbatim would grow candidate pairs quadratically by
+    * construction of the data, not the operators. Dims (region/nation) stay
+    * fixed, the TPC-H scaling convention. */
+  private def materializeScaled(s: SparkSession, sfDir: String, factor: Int,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    val off = 1000000000L
+    def rep(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = s.read.parquet(s"$sfDir/$t.parquet")
+      (0 until factor).map(k => f(base, k)).reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$path/$t.parquet")
+    }
+    Seq("region", "nation").foreach { t =>
+      s.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$path/$t.parquet")
+    }
+    rep("customer")((d, k) => d.withColumn("c_custkey", col("c_custkey") + k * off))
+    rep("supplier")((d, k) => d.withColumn("s_suppkey", col("s_suppkey") + k * off))
+    rep("part")((d, k) => d.withColumn("p_partkey", col("p_partkey") + k * off))
+    rep("orders")((d, k) => d
+      .withColumn("o_orderkey", col("o_orderkey") + k * off)
+      .withColumn("o_custkey", col("o_custkey") + k * off))
+    rep("lineitem")((d, k) => d
+      .withColumn("l_orderkey", col("l_orderkey") + k * off)
+      .withColumn("l_partkey", col("l_partkey") + k * off)
+      .withColumn("l_suppkey", col("l_suppkey") + k * off))
+    rep("events")((d, k) => d
+      .withColumn("event_id", col("event_id") + k * off)
+      .withColumn("user_id", col("user_id") + k * off))
+    // deterministic per-copy character substitution: every gram/shingle
+    // changes, near-dup structure WITHIN a copy is preserved
+    val subst = Array("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "bcdfg", "cdfgb", "dfgbc", "fgbcd", "gbcdf")
+    rep("documents")((d, k) => d
+      .withColumn("doc_id", col("doc_id") + k * off)
+      .withColumn("text",
+        if (k == 0) col("text")
+        else translate(col("text"), "aeiou", subst(k % subst.length))))
+    rep("embeddings")((d, k) => d
+      .withColumn("vec_id", col("vec_id") + k * off)
+      .withColumn("embedding",
+        if (k == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          (x + ((i * 7 + lit(k * 13)) % 11 - 5).cast("float") * lit(2e-3f))
+            .cast("float"))))
   }
 
   def main(args: Array[String]): Unit = {
@@ -229,12 +285,59 @@ object Bench {
         -1.0
     }
 
+    // ── scale-factor sweep: the table-driven headline at `factor`× the
+    // input (default 10× — sf0.1 in the driver run sweeps at sf1). Every
+    // query's t_Nx / t_1x ratio is reported; a plan that goes super-linear
+    // here would do so 100× harder on a real cluster. Queries over the
+    // fixed external PDF corpus are excluded (their input does not scale
+    // with sf). SPARK_GRAFT_SWEEP_FACTOR=0 skips the phase. ──
+    val sweepFactor = sys.env.getOrElse("SPARK_GRAFT_SWEEP_FACTOR", "10").toInt
+    val sweepResults: Seq[(String, Double)] =
+      if (sweepFactor <= 1) Seq.empty
+      else {
+        val sweepPath = java.nio.file.Files.createTempDirectory("graft-bench-sweep").toString
+        sys.addShutdownHook {
+          try {
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(sweepPath))
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            finally walk.close()
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        try {
+          materializeScaled(spark, sfDir, sweepFactor, sweepPath)
+          val tableDriven = headline.filterNot(
+            Set("q18_pdf_file_ingest", "q61_pdf_images"))
+          tableDriven.map { name =>
+            val sec = try time(SparkEntry.queries(name)(spark, sweepPath).count()) catch {
+              case e: Throwable =>
+                System.err.println(
+                  s"[bench] sweep $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+                -1.0
+            }
+            name -> sec
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] sweep materialization FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            Seq.empty
+        }
+      }
+
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val base = results.toMap
+    val sweepQs = sweepResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sweepTotal = sweepResults.map(_._2).filter(_ >= 0).sum
+    val sweepRatios = sweepResults.collect {
+      case (k, v) if v >= 0 && base.getOrElse(k, -1.0) > 0 =>
+        "\"" + k + "\":" + math.round(v / base(k) * 100.0) / 100.0
+    }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""extract_turns_per_sec_p2":$tp2,"extract_turns_per_sec_p8":$tp8,""" +
@@ -242,6 +345,8 @@ object Bench {
       s""""scaling_efficiency_2_to_8":$eff2to8,"scaling_efficiency_8_to_32":$eff8to32,""" +
       s""""pdf_ingest_runs_per_sec":$pdfRunsPerSec,""" +
       s""""cpu_cal_8t_vs_1t_before":$calBefore,"cpu_cal_8t_vs_1t_after":$calAfter,""" +
+      s""""sweep_factor":$sweepFactor,"queries_sweep":$sweepQs,""" +
+      s""""sweep_total":$sweepTotal,"sweep_time_ratio":$sweepRatios,""" +
       s""""extract_rows":$nTurns}""")
   }
 }

@@ -399,6 +399,20 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       Dedup.substringDedup(corpus, "doc_id", "text", l = 15, minDocs = 2)
     }),
+    "q36b_substring_dedup_bloom" -> ((s, dir) => {
+      // the TWO-PASS variant (bloom pre-filter before the gram exchange) on
+      // the same planted fixture — must be byte-identical to q36's output,
+      // proven by sharing q36's positional-replay oracle verbatim
+      val docs = t(s, dir, "documents")
+      val snippet = docs.orderBy("doc_id").limit(1)
+        .select(array_join(
+          slice(filter(split(col("text"), " "), w => length(w) > 0), 1, 25), " ").as("__sn"))
+      val corpus = docs.crossJoin(broadcast(snippet))
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" "), col("__sn")))
+            .otherwise(col("text")).as("text"))
+      Dedup.substringDedupTwoPass(corpus, "doc_id", "text", l = 15, minDocs = 2)
+    }),
     "q37_semantic_dedup" -> ((s, dir) => {
       // SemDeDup composition: capped cosine near-dup pairs → connected
       // components → min-id survivor election. Same scaled-twin fixture as
@@ -879,6 +893,8 @@ object SparkEntry {
     "q26b_dedup_clusters_dist" ->
       graft.oracle.SketchSql.winnowComponentsOracle(k = 24, w = 12, minShared = 2),
     "q36_substring_dedup" ->
+      graft.oracle.SketchSql.substringDedupOracle(l = 15, minDocs = 2, snip = 25),
+    "q36b_substring_dedup_bloom" ->
       graft.oracle.SketchSql.substringDedupOracle(l = 15, minDocs = 2, snip = 25),
     "q37_semantic_dedup" -> {
       val sig = graft.oracle.SketchSql.lshSignatureExpr("v", 6)

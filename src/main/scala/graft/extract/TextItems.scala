@@ -109,7 +109,9 @@ object TextItems {
 
   def extract(content: Array[Byte], res: PageResources,
       initialCtm: Array[Double] = NumFmt.Identity): Vector[TextItem] = {
-    val items = Vector.newBuilder[TextItem]
+    // plain buffer, NOT a Vector builder: the Do-replay cache reads slices
+    // mid-build (builder result() mid-use is undefined for ReusableBuilder)
+    val items = ArrayBuffer.empty[TextItem]
     val st = new State
     st.ctm = initialCtm
     val stack = ArrayBuffer.empty[State]
@@ -378,7 +380,7 @@ object TextItems {
                           cacheKey = name; cacheItems = null
                         } else res0.form(name) match {
                           case Some(form) if depth < 8 =>
-                            val before = items.result().length
+                            val before = items.length
                             stack += st.snapshot
                             if (form.matrix != null)
                               st.ctm = NumFmt.mul(st.ctm, form.matrix)
@@ -386,7 +388,7 @@ object TextItems {
                             flushItem()
                             st.restoreFrom(stack.remove(stack.length - 1))
                             cacheKey = name
-                            cacheItems = items.result().drop(before)
+                            cacheItems = items.drop(before).toVector
                           case _ =>
                             cacheKey = name; cacheItems = null
                         }
@@ -417,6 +419,6 @@ object TextItems {
       walk(content, res, 0)
       flushItem()
     } catch { case scala.util.control.NonFatal(_) => flushItem() }
-    items.result()
+    items.toVector
   }
 }

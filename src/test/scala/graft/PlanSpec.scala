@@ -132,6 +132,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q36b two-pass: bloom pre-filter sits below the exact gram semi-join") {
+    val df = graft.ops.Dedup.substringDedupTwoPass(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", l = 15)
+    val plan = df.queryExecution.executedPlan.toString
+    // the map-side bloom membership test appears as a Filter over the gram
+    // stream BEFORE any exchange — only candidates reach the exact semi-join
+    assert(plan.contains("might_contain"), plan.take(2000))
+    // two-pass output is byte-identical to the one-pass operator
+    val onePass = graft.ops.Dedup.substringDedup(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", l = 15)
+    val a = df.orderBy("doc_id").collect().map(_.toSeq)
+    val b = onePass.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("q25 winnow pairs: candidate exchanges carry (fp, id) only, never text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
