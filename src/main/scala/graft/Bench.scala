@@ -128,20 +128,26 @@ object Bench {
       .withColumn("event_id", col("event_id") + k * off)
       .withColumn("user_id", col("user_id") + k * off))
     // deterministic per-copy character substitution: every gram/shingle
-    // changes, near-dup structure WITHIN a copy is preserved
-    val subst = Array("aeiou", "eioua", "iouae", "ouaei", "uaeio",
-      "bcdfg", "cdfgb", "dfgbc", "fgbcd", "gbcdf")
+    // changes, near-dup structure WITHIN a copy is preserved. The target
+    // alphabet is derived from k with period 26 (k*7 mod 26 cycles all
+    // residues since gcd(7,26)=1) — verbatim cross-copy text would make
+    // candidate pairs grow quadratically by construction; the factor bound
+    // below keeps every copy's substitution distinct
+    require(factor <= 26, s"sweep factor $factor exceeds the distinct-substitution bound")
+    def subst(k: Int): String =
+      (0 until 5).map(j => ('a' + ((k * 7 + j * 11) % 26)).toChar).mkString
     rep("documents")((d, k) => d
       .withColumn("doc_id", col("doc_id") + k * off)
       .withColumn("text",
         if (k == 0) col("text")
-        else translate(col("text"), "aeiou", subst(k % subst.length))))
+        else translate(col("text"), "aeiou", subst(k))))
     rep("embeddings")((d, k) => d
       .withColumn("vec_id", col("vec_id") + k * off)
       .withColumn("embedding",
         if (k == 0) col("embedding")
         else transform(col("embedding"), (x, i) =>
-          (x + ((i * 7 + lit(k * 13)) % 11 - 5).cast("float") * lit(2e-3f))
+          // jitter period 101 in (k*13 + i*7): no two copies ≤ 26 share it
+          (x + ((i * 7 + lit(k * 13)) % 101 - 50).cast("float") * lit(2e-4f))
             .cast("float"))))
   }
 

@@ -386,7 +386,11 @@ object TextItems {
                               st.ctm = NumFmt.mul(st.ctm, form.matrix)
                             walk(form.content, form.resources, depth + 1)
                             flushItem()
-                            st.restoreFrom(stack.remove(stack.length - 1))
+                            // a stray Q inside the form may have consumed the
+                            // Do snapshot (the reference shares one state
+                            // stack too and its restore() no-ops when empty)
+                            if (stack.nonEmpty)
+                              st.restoreFrom(stack.remove(stack.length - 1))
                             cacheKey = name
                             cacheItems = items.drop(before).toVector
                           case _ =>

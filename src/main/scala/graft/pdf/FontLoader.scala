@@ -439,7 +439,12 @@ object FontLoader {
           }
         },
         fontMatrix0 = fontMatrix0,
-        spaceWidthEst = estimateSpaceWidth(widths, defaultWidth, toUnicode),
+        // the /W table is CID-keyed: probe the space-width candidates
+        // THROUGH the CMap (the reference's widths[cMap.lookup(code)] chain)
+        spaceWidthEst = Seq(0x20, 0x2212, 0x31, 0x69).iterator
+          .map(c => widths.getOrElse(cid(c), 0.0))
+          .find(_ != 0.0)
+          .getOrElse(defaultWidth),
         wideChars = cidCMap.forall(_.codeBytes == 2),
         vertical = vmet.isDefined,
         vmetrics = vmet.map { case (m, default) =>
@@ -614,9 +619,15 @@ object CidCMap {
 
   def parse(data: Array[Byte]): Parsed = {
     val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
-    def hexToInt(h: String): Int = java.lang.Long.parseLong(h, 16).toInt
+    // per-entry tolerance: a single malformed entry (over-long hex bound,
+    // out-of-range CID) is skipped, never aborting the whole font load
+    def hexToInt(h: String): Option[Int] =
+      if (h.isEmpty || h.length > 8) None
+      else Some(java.lang.Long.parseLong(h, 16).toInt)
+    def decToInt(d: String): Option[Int] =
+      try Some(d.toInt) catch { case _: NumberFormatException => None }
     val wmode = "/WMode\\s+(\\d+)".r.findFirstMatchIn(s)
-      .map(_.group(1).toInt).getOrElse(0)
+      .flatMap(m => decToInt(m.group(1))).getOrElse(0)
     val identityBase = "/(Identity-[HV])\\s+usecmap".r.findFirstMatchIn(s).isDefined
     // code byte count from the first codespacerange bound (mixed-width
     // codespaces degrade to the first class — disclosed subset)
@@ -631,22 +642,25 @@ object CidCMap {
     val charEntry = "<([0-9a-fA-F]+)>\\s+(\\d+)".r
     rangeBlocks.findAllMatchIn(s).foreach { b =>
       rangeEntry.findAllMatchIn(b.group(1)).foreach { e =>
-        val lo = hexToInt(e.group(1))
-        val hi = hexToInt(e.group(2))
-        val cid0 = e.group(3).toInt
-        var c = lo
-        while (c <= hi && n < MaxEntries) {
-          out += c -> (cid0 + (c - lo))
-          c += 1
-          n += 1
+        (hexToInt(e.group(1)), hexToInt(e.group(2)), decToInt(e.group(3))) match {
+          case (Some(lo), Some(hi), Some(cid0)) =>
+            var c = lo
+            while (c <= hi && n < MaxEntries) {
+              out += c -> (cid0 + (c - lo))
+              c += 1
+              n += 1
+            }
+          case _ => () // malformed entry: skip it, keep the rest
         }
       }
     }
     charBlocks.findAllMatchIn(s).foreach { b =>
       charEntry.findAllMatchIn(b.group(1)).foreach { e =>
-        if (n < MaxEntries) {
-          out += hexToInt(e.group(1)) -> e.group(2).toInt
-          n += 1
+        (hexToInt(e.group(1)), decToInt(e.group(2))) match {
+          case (Some(code), Some(cid)) if n < MaxEntries =>
+            out += code -> cid
+            n += 1
+          case _ => ()
         }
       }
     }

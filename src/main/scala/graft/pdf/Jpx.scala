@@ -393,11 +393,13 @@ object Jpx {
     }
   }
 
-  private final val A97 = -1.586134342059924
-  private final val B97 = -0.052980118572961
-  private final val G97 = 0.882911075530934
-  private final val D97 = 0.443506852043971
-  private final val K97 = 1.230174104914001
+  // 9/7 lifting constants (Table F.4) — shared with the fixture encoder so
+  // the codec pair can never desynchronize on a precision tweak
+  private[graft] final val A97 = -1.586134342059924
+  private[graft] final val B97 = -0.052980118572961
+  private[graft] final val G97 = 0.882911075530934
+  private[graft] final val D97 = 0.443506852043971
+  private[graft] final val K97 = 1.230174104914001
 
   /** In-place inverse 9/7 lifting (F.4.8.2), symmetric extension. */
   private def inv97Line(x: Array[Double], n: Int): Unit = {
@@ -610,6 +612,9 @@ object Jpx {
                 c += 1
               }
               if (w <= x0 || h <= y0 || w.toLong * h > 64L * 1024 * 1024) return None
+              // mixed per-component depths: out of subset (the caller scales
+              // every plane by component 0's depth) -> metadata-only row
+              if (depth.distinct.length != 1) return None
               siz = Siz(w, h, x0, y0, xt, yt, xto, yto, nc, depth, signed)
             case 0xff52 => // COD
               val scod = data(p + 2) & 0xff
@@ -622,7 +627,8 @@ object Jpx {
               val ycb = (data(p + 9) & 0x0f) + 2
               val cbStyle = data(p + 10) & 0xff
               val wavelet = data(p + 11) & 0xff
-              if (levels > 32 || xcb + ycb > 12 || cbStyle != 0) return None
+              // 1 << shift wraps at 32 on the JVM: cap the subset at 30
+              if (levels > 30 || xcb + ycb > 12 || cbStyle != 0) return None
               if (layers < 1 || prog > 4) return None
               cod = Cod(prog, layers, mct, levels, xcb, ycb, cbStyle,
                 wavelet == 1, (scod & 2) != 0, (scod & 4) != 0)
@@ -638,7 +644,7 @@ object Jpx {
               val ycb = (data(off + 3) & 0x0f) + 2
               val cbStyle = data(off + 4) & 0xff
               val wavelet = data(off + 5) & 0xff
-              if (levels > 32 || xcb + ycb > 12 || cbStyle != 0) return None
+              if (levels > 30 || xcb + ycb > 12 || cbStyle != 0) return None
               val base = if (cod != null) cod else return None
               codPerComp(ci) = base.copy(levels = levels, xcb = xcb, ycb = ycb,
                 reversible = wavelet == 1)

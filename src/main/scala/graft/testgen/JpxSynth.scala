@@ -27,11 +27,7 @@ object JpxSynth {
     while (i < n) { x(i) = x(i) + math.floor((at(i - 1) + at(i + 1) + 2) / 4); i += 2 }
   }
 
-  private final val A97 = -1.586134342059924
-  private final val B97 = -0.052980118572961
-  private final val G97 = 0.882911075530934
-  private final val D97 = 0.443506852043971
-  private final val K97 = 1.230174104914001
+  import Jpx.{A97, B97, G97, D97, K97}
 
   private def fwd97Line(x: Array[Double], n: Int): Unit = {
     if (n == 1) return

@@ -218,4 +218,14 @@ class CompositeFontSpec extends AnyFunSuite {
     assert(pv.wmode == 1)
     assert(pv.cid(0x9999) == 0x9999) // identity base covers unmapped codes
   }
+
+  test("CidCMap tolerates malformed entries without losing the rest") {
+    val broken = cidCMapStream.replace(
+      "1 begincidchar\n<0020> 1\nendcidchar",
+      "3 begincidchar\n<0020> 1\n<0021> 99999999999999999999\n<00220022FFAA99> 7\nendcidchar")
+    val p = graft.pdf.CidCMap.parse(broken.getBytes(ISO_8859_1))
+    assert(p.cid(0x0020) == 1) // the good entry survives
+    assert(p.cid(0x4E00) == 100) // ranges unaffected
+    assert(p.cid(0x0021) == 0) // over-range CID skipped, not thrown
+  }
 }

@@ -106,4 +106,22 @@ class TextItemsSpec extends AnyFunSuite {
     assert(items("BT /M1 10 Tf [(B) -2500 (C)] TJ ET").map(_.str) ==
       Vector("B     C"))
   }
+
+  test("a stray Q inside a form XObject never aborts item extraction") {
+    import graft.eval.{FontSpec, FormXObject, PageResources}
+    val base = PageResources.fromMap(Map("F1" -> FontSpec("Times", _ => 500.0)))
+    val res = new PageResources {
+      def font(name: String): FontSpec = base.font(name)
+      override def form(name: String): Option[FormXObject] =
+        if (name == "Fm1") Some(FormXObject(
+          // the stray Q consumes the Do snapshot (reference shares one
+          // state stack and its restore() no-ops when empty)
+          "Q BT /F1 10 Tf 5 5 Td (IN) Tj ET".getBytes("ISO-8859-1"),
+          base, Array(1.0, 0, 0, 1, 0, 0), "fm1"))
+        else None
+    }
+    val content = "BT /F1 10 Tf 10 700 Td (A) Tj ET /Fm1 Do BT /F1 10 Tf 10 600 Td (B) Tj ET"
+    val items = graft.extract.TextItems.extract(content.getBytes("ISO-8859-1"), res)
+    assert(items.map(_.str) == Vector("A", "IN", "B"))
+  }
 }
