@@ -33,10 +33,10 @@ final case class TextItem(str: String, dir: String, fontFamily: String,
   *   - per-item bidi with an ltr/rtl direction (runBidiTransform, 46033).
   *
   * Disclosed deltas (str-neutral for the committed C04 fixture gate):
-  * the Type3 tsm height adjustment and vertical vmetric widths only shape
-  * item.width/height, not item.str; the reference's full compatibility-
-  * normalization table is carried here as the Latin-ligature subset its
-  * fixtures exercise. */
+  * the Type3 tsm height adjustment only shapes item.height, not item.str;
+  * the reference's full compatibility-normalization table is carried here
+  * as the Latin-ligature subset its fixtures exercise. Vertical items
+  * advance by /W2 vmetrics like the reference. */
 object TextItems {
 
   /** NormalizedUnicodes subset (the reference maps every compatibility
@@ -202,7 +202,12 @@ object TextItems {
             val lo = if (i + 1 < chars.length) chars.charAt(i + 1).toInt & 0xff else 0
             (hi << 8) | lo
           } else chars.charAt(i).toInt
-        val glyphWidth = font.widths(c)
+        // vertical writing advances by the /W2 vmetric's w1 when the code
+        // has one (buildTextContentItem, 46067-46077); horizontal and
+        // vmetric-less codes use the horizontal width
+        val glyphWidth =
+          if (vertical && font.vmetrics != null) font.vmetrics(c)(0)
+          else font.widths(c)
         val glyphUnicode = normalize(font.glyphText(c))
         var charSpacing = st.charSpacing
         // word spacing applies to the 1-byte 0x20 charcode only (46101)

@@ -415,7 +415,8 @@ object JpxSynth {
     * otherwise; requires ≥3 components). */
   def encode(planesIn: Array[Array[Int]], w: Int, h: Int, depth: Int,
       levels: Int, reversible: Boolean = true, mct: Int = 0,
-      cbExp: Int = 6, tileW: Int = 0, tileH: Int = 0): Array[Byte] = {
+      cbExp: Int = 6, tileW: Int = 0, tileH: Int = 0,
+      layers: Int = 1): Array[Byte] = {
     val comps = planesIn.length
     require(comps >= 1 && comps <= 4)
     val xt = if (tileW > 0) tileW else w
@@ -457,8 +458,8 @@ object JpxSynth {
     w32(w); w32(h); w32(0); w32(0); w32(xt); w32(yt); w32(0); w32(0)
     w16(comps)
     for (_ <- 0 until comps) { w8(depth - 1); w8(1); w8(1) }
-    // COD: LRCP, 1 layer
-    w16(0xff52); w16(12); w8(0); w8(0); w16(1); w8(mct)
+    // COD: LRCP
+    w16(0xff52); w16(12); w8(0); w8(0); w16(layers); w8(mct)
     w8(levels); w8(cbExp - 2); w8(cbExp - 2); w8(0); w8(if (reversible) 1 else 0)
 
     // decompose every tile of every component first so QCD exponents can be
@@ -517,16 +518,21 @@ object JpxSynth {
     var ti = 0
     while (ti < numYT * numXT) {
       val body = new java.io.ByteArrayOutputStream()
-      // packets: single layer, r-major then component
-      var r = 0
-      while (r <= levels) {
-        var c = 0
-        while (c < comps) {
-          body.write(encodePacket(tilePlans(ti)(c)(r), r, cbExp,
-            expByIdx, sbIndex, reversible))
-          c += 1
+      // packets in LRCP order: layer outer, then resolution, then component
+      val plans = Array.tabulate(comps)(c => Array.tabulate(levels + 1)(r =>
+        planResolution(tilePlans(ti)(c)(r), r, cbExp, expByIdx, sbIndex, layers)))
+      var l = 0
+      while (l < layers) {
+        var r = 0
+        while (r <= levels) {
+          var c = 0
+          while (c < comps) {
+            body.write(emitPacket(plans(c)(r), l, layers))
+            c += 1
+          }
+          r += 1
         }
-        r += 1
+        l += 1
       }
       val bodyBytes = body.toByteArray
       // SOT
@@ -539,22 +545,27 @@ object JpxSynth {
     bos.toByteArray
   }
 
-  /** One packet: all code-blocks of the bands at resolution r (single
-    * whole-subband precinct, first layer). */
-  private def encodePacket(bands: Array[SubbandPlan], r: Int, cbExp: Int,
-      expByIdx: Array[Int], sbIndex: (Int, Int) => Int,
-      reversible: Boolean): Array[Byte] = {
-    val bw = new BitWriter
-    val segments = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var any = false
-    // precompute block grids + contributions per band
-    final case class Blk(x0: Int, y0: Int, x1: Int, y1: Int,
-        data: Array[Byte], passes: Int, zbp: Int, included: Boolean)
+  /** Per-code-block Tier-2 state persisting across layers. */
+  private final class BlkState(val data: Array[Byte], val passes: Int,
+      val zbp: Int, val nonzero: Boolean) {
+    var lblock = 3
+    var included = false
+    var passOff = 0
+    var byteOff = 0
+  }
+
+  /** Per-resolution plan: block grid + encoded data + the tag-tree encoders
+    * (which must persist across layers, like the decoder's). */
+  private final class ResPlan(val perBand: Array[(Array[BlkState], Int, Int)],
+      val incl: Array[TagTreeEnc], val zbps: Array[TagTreeEnc])
+
+  private def planResolution(bands: Array[SubbandPlan], r: Int, cbExp: Int,
+      expByIdx: Array[Int], sbIndex: (Int, Int) => Int, layers: Int): ResPlan = {
     val perBand = bands.map { sb =>
       val bwd = sb.x1 - sb.x0
       val bhd = sb.y1 - sb.y0
       val cb = 1 << cbExp
-      if (bwd <= 0 || bhd <= 0) (sb, Array.empty[Blk], 0, 0)
+      if (bwd <= 0 || bhd <= 0) (Array.empty[BlkState], 0, 0)
       else {
         val nx = Jpx.ceilDiv(bwd, cb)
         val ny = Jpx.ceilDiv(bhd, cb)
@@ -582,50 +593,94 @@ object JpxSynth {
             }
             yy += 1
           }
-          if (maxMag == 0) Blk(x0, y0, x1, y1, Array.empty, 0, 0, included = false)
+          if (maxMag == 0) new BlkState(Array.empty, 0, 0, nonzero = false)
           else {
             val zbp = mb - bits(maxMag)
             val (data, passes) = encodeBlock(vals, bw2, bh2,
               Jpx.bandKindCtx(sb.kind), mb, zbp)
-            any = true
-            Blk(x0, y0, x1, y1, data, passes, zbp, included = true)
+            new BlkState(data, passes, zbp, nonzero = true)
           }
         }
-        (sb, blocks, nx, ny)
+        (blocks, nx, ny)
       }
     }
+    // never-included blocks carry tag value = layers (>= every threshold)
+    val incl = perBand.map { case (blocks, nx, ny) =>
+      new TagTreeEnc(math.max(1, nx), math.max(1, ny),
+        if (blocks.isEmpty) Array(layers)
+        else blocks.map(b => if (b.nonzero) 0 else layers))
+    }
+    val zbps = perBand.map { case (blocks, nx, ny) =>
+      new TagTreeEnc(math.max(1, nx), math.max(1, ny),
+        if (blocks.isEmpty) Array(0) else blocks.map(_.zbp))
+    }
+    new ResPlan(perBand, incl, zbps)
+  }
+
+  /** One packet for (resolution plan, layer): first-inclusion via the tag
+    * tree, re-inclusion via one bit, fair pass/byte split across layers. */
+  private def emitPacket(plan: ResPlan, layer: Int, layers: Int): Array[Byte] = {
+    // a block's layer share: passes split evenly by cumulative targets,
+    // bytes proportional to passes (exact on the final contribution)
+    def layerShare(b: BlkState): (Int, Int) = {
+      if (!b.nonzero || b.passes == 0) return (0, 0)
+      val targetPasses = (b.passes.toLong * (layer + 1) / layers).toInt
+      val lp = targetPasses - b.passOff
+      if (lp <= 0) (0, 0)
+      else {
+        val lb =
+          if (targetPasses == b.passes) b.data.length - b.byteOff
+          else {
+            val t = (b.data.length.toLong * targetPasses / b.passes).toInt
+            math.max(0, t - b.byteOff)
+          }
+        (lp, lb)
+      }
+    }
+    val bw = new BitWriter
+    val segments = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int, Int)]
+    val any = plan.perBand.exists(_._1.exists(b => layerShare(b)._1 > 0))
     if (!any) {
-      bw.bit(0) // empty packet
+      bw.bit(0) // empty packet for this layer
       bw.align()
       return bw.toArray
     }
     bw.bit(1)
-    perBand.foreach { case (_, blocks, nx, ny) =>
+    plan.perBand.zipWithIndex.foreach { case ((blocks, nx, _), bi) =>
       if (blocks.nonEmpty) {
-        val incl = new TagTreeEnc(nx, ny, blocks.map(b => if (b.included) 0 else 1))
-        val zbps = new TagTreeEnc(nx, ny, blocks.map(_.zbp))
+        val incl = plan.incl(bi)
+        val zbps = plan.zbps(bi)
         var idx = 0
         while (idx < blocks.length) {
           val b = blocks(idx)
           val i = idx % nx
           val j = idx / nx
-          incl.encode(bw, i, j, 1) // first layer: tag tree inclusion
-          if (b.included) {
-            zbps.encode(bw, i, j, b.zbp + 1) // decode loops until pinned
+          val (lp, lb) = layerShare(b)
+          if (!b.included) {
+            incl.encode(bw, i, j, layer + 1) // tag-tree first inclusion
+          } else {
+            bw.bit(if (lp > 0) 1 else 0) // re-inclusion bit
+          }
+          if (lp > 0) {
+            if (!b.included) {
+              zbps.encode(bw, i, j, b.zbp + 1) // decode loops until pinned
+              b.included = true
+            }
             // coding passes (Table B.4)
-            val p = b.passes
+            val p = lp
             if (p == 1) bw.bit(0)
             else if (p == 2) { bw.bit(1); bw.bit(0) }
             else if (p <= 5) { bw.bits(3, 2); bw.bits(p - 3, 2) }
             else if (p <= 36) { bw.bits(0xf, 4); bw.bits(p - 6, 5) }
             else { bw.bits(0x1ff, 9); bw.bits(p - 37, 7) }
-            // Lblock adaptation (initial 3) + segment length
-            var lblock = 3
-            val needed = math.max(1, bits(b.data.length))
-            while (lblock + Jpx.floorLog2(b.passes) < needed) { bw.bit(1); lblock += 1 }
+            // Lblock adaptation (persists across layers) + segment length
+            val needed = math.max(1, bits(lb))
+            while (b.lblock + Jpx.floorLog2(lp) < needed) { bw.bit(1); b.lblock += 1 }
             bw.bit(0)
-            bw.bits(b.data.length, lblock + Jpx.floorLog2(b.passes))
-            segments += b.data
+            bw.bits(lb, b.lblock + Jpx.floorLog2(lp))
+            segments += ((b.data, b.byteOff, lb))
+            b.passOff += lp
+            b.byteOff += lb
           }
           idx += 1
         }
@@ -634,7 +689,7 @@ object JpxSynth {
     bw.align()
     val out = new java.io.ByteArrayOutputStream()
     out.write(bw.toArray)
-    segments.foreach(out.write)
+    segments.foreach { case (d, off, len) => out.write(d, off, len) }
     out.toByteArray
   }
 

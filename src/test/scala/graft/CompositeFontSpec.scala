@@ -228,4 +228,21 @@ class CompositeFontSpec extends AnyFunSuite {
     assert(p.cid(0x4E00) == 100) // ranges unaffected
     assert(p.cid(0x0021) == 0) // over-range CID skipped, not thrown
   }
+
+  test("vertical text-content items advance by /W2 vmetrics") {
+    val vert = new String(pdfBytes, ISO_8859_1)
+      .replace("/Encoding /Identity-H", "/Encoding /Identity-V")
+      .replace("/DW 1000 /W [1 [500 600] 10 12 750] >>",
+        "/DW 1000 /W [1 [500 600] 10 12 750] /DW2 [880 -1000] /W2 [1 [-800 250 880]] >>")
+    val doc = PdfDocument.open(vert.getBytes(ISO_8859_1))
+    val items = doc.textContentItems(0)
+    assert(items.nonEmpty)
+    val first = items.head
+    // vertical same-line test keys on tx == 0, so the Td(0,-20) MERGES the
+    // two shows into one item (reference semantics; advance 20 < 4\u00b7sw 48)
+    assert(first.str == "\u4f60\u597d\u4f60ABC")
+    // heights: \u4f60(w1 -800)+\u597d(DW2 -1000)+\u4f60 at size 12 = |-31.2|; the merge
+    // adds ty - lastAdvanceHeight = -20 + 31.2 = 11.2; ABC (DW2) adds |-36|
+    assert(math.abs(first.height - 78.4) < 1e-6, s"height=${first.height}")
+  }
 }

@@ -12,10 +12,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * Interop evidence (run out-of-band — node + the reference's OWN vendored
   * JPX decoder, pdf.combined.js JpxImage lines 10689-12880, extracted with
   * the ArithmeticDecoder closure plus shadow/log2/readUint* shims into
-  * /tmp/jpx_harness.js, the same playbook as the JBIG2 harness): seven
+  * /tmp/jpx_harness.js, the same playbook as the JBIG2 harness): nine
   * JpxSynth codestream classes — gray 5/3 at levels 0/2/3 (odd dims
   * included), RGB + reversible RCT, gray 9/7, a 64-px block-aligned
-  * multi-tile grid, and the JP2 box container — were decoded by both
+  * multi-tile grid, the JP2 box container, and 2- and 3-quality-layer
+  * streams (re-inclusion bits, persistent Lblock/tag trees, chunk
+  * concatenation) — were decoded by both
   * implementations: 0 mismatched samples on every stream (the vendored
   * decoder emits interleaved 0-255 tile items; compared against
   * `Jpx.decode`'s planes after DC shift/clamp). That pins this codec pair's
@@ -167,6 +169,25 @@ class JpxSpec extends AnyFunSuite {
     val out = Jpx.decode(cs)
     assert(out.isDefined)
     assert(out.get.planes(0).toSeq == px.toSeq)
+  }
+
+  test("multi-layer codestreams round-trip bit-exactly (quality layers)") {
+    // real-world PDF JPX is almost always multi-quality-layer: each block's
+    // passes/bytes split across layers, later layers re-include via one bit,
+    // Lblock and the tag trees persist across layers, chunks concatenate
+    for ((layers, w, h, lev) <- Seq((2, 64, 48, 2), (3, 57, 43, 2), (4, 40, 40, 1))) {
+      val px = JpxSynth.testGray(w, h, seed = layers.toLong)
+      val cs = JpxSynth.encode(Array(px), w, h, 8, lev, layers = layers)
+      val out = Jpx.decode(cs)
+      assert(out.isDefined, s"layers=$layers")
+      assert(out.get.planes(0).toSeq == px.toSeq, s"layers=$layers")
+    }
+    // RGB + RCT with layers
+    val planes = Array(JpxSynth.testGray(48, 40, 1), JpxSynth.testGray(48, 40, 4),
+      JpxSynth.testGray(48, 40, 9))
+    val cs = JpxSynth.encode(planes, 48, 40, 8, 2, mct = 1, layers = 3)
+    val d = Jpx.decode(cs).get
+    for (c <- 0 until 3) assert(d.planes(c).toSeq == planes(c).toSeq, s"comp $c")
   }
 
   test("corrupt / truncated / foreign payloads never throw") {
