@@ -78,4 +78,15 @@ class BidiPdfSpec extends AnyFunSuite {
     val doc = PdfDocument.open(pdf(content))
     assert(doc.extractPageText(0).linesIterator.map(_.trim).toSeq == Seq("hello", "world (x)"))
   }
+
+  test("text-content items carry rtl direction and reordered strings") {
+    val content = "BT /F1 12 Tf 100 700 Td (\u00a0\u00a1\u00a2\u00a3) Tj 0 -20 Td (hello) Tj ET"
+    val doc = PdfDocument.open(pdf(content))
+    val items = doc.textContentItems(0)
+    assert(items.length == 2)
+    // the RTL item flips visual -> logical and reports dir = "rtl", the LTR
+    // item passes through with "ltr" (runBidiTransform parity)
+    assert(items(0).dir == "rtl" && items(0).str == "אבגד".reverse)
+    assert(items(1).dir == "ltr" && items(1).str == "hello")
+  }
 }

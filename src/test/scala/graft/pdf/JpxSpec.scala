@@ -190,6 +190,73 @@ class JpxSpec extends AnyFunSuite {
     for (c <- 0 until 3) assert(d.planes(c).toSeq == planes(c).toSeq, s"comp $c")
   }
 
+  test("QCC / COC per-component overrides parse (semantic no-op splice)") {
+    // splice a QCC (comp 2) and a COC (comp 1) that RESTATE the QCD/COD
+    // values — the decode must be bit-identical, proving the per-component
+    // override paths are actually taken without changing semantics
+    val (w, h) = (48, 40)
+    val planes = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 4),
+      JpxSynth.testGray(w, h, 9))
+    val cs = JpxSynth.encode(planes, w, h, 8, 2, mct = 1)
+    def u16(d: Array[Byte], p: Int) = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+    def findMarker(d: Array[Byte], m: Int): Int = {
+      var p = 2
+      while (p + 2 <= d.length) {
+        if (u16(d, p) == m) return p
+        p += 2 + u16(d, p + 2)
+      }
+      -1
+    }
+    val qcdPos = findMarker(cs, 0xff5c)
+    val qcdLen = u16(cs, qcdPos + 2)
+    val qcdBody = cs.slice(qcdPos + 4, qcdPos + 2 + qcdLen) // Sqcd + exps
+    val qcc = Array[Byte](0xff.toByte, 0x5d, 0, (2 + 1 + qcdBody.length).toByte,
+      2 /*component*/) ++ qcdBody
+    val codPos = findMarker(cs, 0xff52)
+    // COD body: Scod prog layers(2) mct levels xcb ycb style wavelet
+    val spcod = cs.slice(codPos + 4 + 5, codPos + 4 + 10) // levels..wavelet
+    val coc = Array[Byte](0xff.toByte, 0x53, 0, (2 + 1 + 1 + 5).toByte,
+      1 /*component*/, 0 /*Scoc*/) ++ spcod
+    val spliceAt = qcdPos + 2 + qcdLen
+    val spliced = cs.take(spliceAt) ++ qcc ++ coc ++ cs.drop(spliceAt)
+    val base = Jpx.decode(cs).get
+    val over = Jpx.decode(spliced)
+    assert(over.isDefined)
+    for (c <- 0 until 3)
+      assert(over.get.planes(c).toSeq == base.planes(c).toSeq, s"comp $c")
+  }
+
+  test("out-of-subset streams degrade to None, never wrong pixels") {
+    val (w, h) = (32, 24)
+    val cs = JpxSynth.encode(Array(JpxSynth.testGray(w, h, 3)), w, h, 8, 2)
+    def u16(d: Array[Byte], p: Int) = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+    def findMarker(d: Array[Byte], m: Int): Int = {
+      var p = 2
+      while (p + 2 <= d.length) {
+        if (u16(d, p) == m) return p
+        p += 2 + u16(d, p + 2)
+      }
+      -1
+    }
+    val siz = findMarker(cs, 0xff51)
+    val cod = findMarker(cs, 0xff52)
+    def patched(pos: Int, v: Int): Array[Byte] = {
+      val b = cs.clone(); b(pos) = v.toByte; b
+    }
+    // component subsampling (XRsiz comp 0 = 2)
+    assert(Jpx.decode(patched(siz + 4 + 39, 2)).isEmpty)
+    // custom precincts (Scod bit 0)
+    assert(Jpx.decode(patched(cod + 4, 1)).isEmpty)
+    // code-block style flags (selective bypass)
+    assert(Jpx.decode(patched(cod + 4 + 8, 1)).isEmpty)
+    // 31+ decomposition levels
+    assert(Jpx.decode(patched(cod + 4 + 5, 31)).isEmpty)
+    // ROI (RGN marker spliced after COD)
+    val codEnd = cod + 2 + u16(cs, cod + 2)
+    val rgn = Array[Byte](0xff.toByte, 0x5e, 0, 5, 0 /*comp*/, 0 /*Srgn*/, 4 /*shift*/)
+    assert(Jpx.decode(cs.take(codEnd) ++ rgn ++ cs.drop(codEnd)).isEmpty)
+  }
+
   test("corrupt / truncated / foreign payloads never throw") {
     val (w, h) = (32, 24)
     val good = JpxSynth.encode(Array(JpxSynth.testGray(w, h, 3)), w, h, 8, 2)
