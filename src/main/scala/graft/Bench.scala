@@ -135,7 +135,14 @@ object Bench {
     // below keeps every copy's substitution distinct
     require(factor <= 26, s"sweep factor $factor exceeds the distinct-substitution bound")
     def subst(k: Int): String =
-      (0 until 5).map(j => ('a' + ((k * 7 + j * 11) % 26)).toChar).mkString
+      (0 until 5).map { j =>
+        val c = ('a' + ((k * 7 + j * 11) % 26)).toChar
+        // a per-position fixed point (target == source vowel) would leave
+        // o-only/u-only grams verbatim across copies — bump it clear; at
+        // most one position per k bumps (the residues are distinct), so
+        // cross-copy distinctness survives
+        if (c == "aeiou".charAt(j)) ('a' + ((k * 7 + j * 11 + 13) % 26)).toChar else c
+      }.mkString
     rep("documents")((d, k) => d
       .withColumn("doc_id", col("doc_id") + k * off)
       .withColumn("text",

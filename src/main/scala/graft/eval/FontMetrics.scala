@@ -31,9 +31,13 @@ final case class FontSpec(
       * advance the pen in y using /W2 vmetrics (pdf.combined.js:34294-34297,
       * 46585-46605). */
     vertical: Boolean = false,
-    /** code → [w1, vx, vy] from /W2, or null when the code has no entry
-      * (fall back to the horizontal width, reference 46068-46077). */
-    vmetrics: Int => Array[Double] = null) {
+    /** code → [w1, vx, vy] from /W2, with the DW2 default synthesized for
+      * codes without an entry (fall back shape, reference 46068-46077). */
+    vmetrics: Int => Array[Double] = null,
+    /** true when the code has an EXPLICIT /W2 entry — the reference's item
+      * surface advances by vmetric[0] only then; default-vmetric codes
+      * advance by the horizontal width (46067-46077). */
+    vmetricExplicit: Int => Boolean = null) {
 
   /** string → glyphs; 1-byte charcodes through the font mapping (charsToGlyphs,
     * pdf.combined.js:36674-36719, simple-font path). */

@@ -202,11 +202,13 @@ object TextItems {
             val lo = if (i + 1 < chars.length) chars.charAt(i + 1).toInt & 0xff else 0
             (hi << 8) | lo
           } else chars.charAt(i).toInt
-        // vertical writing advances by the /W2 vmetric's w1 when the code
-        // has one (buildTextContentItem, 46067-46077); horizontal and
-        // vmetric-less codes use the horizontal width
+        // vertical writing advances by the /W2 vmetric's w1 only when the
+        // code has an EXPLICIT entry (buildTextContentItem, 46067-46077);
+        // default-vmetric and horizontal codes use the horizontal width
         val glyphWidth =
-          if (vertical && font.vmetrics != null) font.vmetrics(c)(0)
+          if (vertical && font.vmetrics != null &&
+            font.vmetricExplicit != null && font.vmetricExplicit(c))
+            font.vmetrics(c)(0)
           else font.widths(c)
         val glyphUnicode = normalize(font.glyphText(c))
         var charSpacing = st.charSpacing

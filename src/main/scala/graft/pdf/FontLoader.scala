@@ -440,9 +440,14 @@ object FontLoader {
         },
         fontMatrix0 = fontMatrix0,
         // the /W table is CID-keyed: probe the space-width candidates
-        // THROUGH the CMap (the reference's widths[cMap.lookup(code)] chain)
+        // THROUGH the CMap; a candidate the CMap does not map falls back to
+        // the raw code (the reference's toUnicode/unicode fallthrough chain,
+        // pdf.combined.js:36593-36612)
         spaceWidthEst = Seq(0x20, 0x2212, 0x31, 0x69).iterator
-          .map(c => widths.getOrElse(cid(c), 0.0))
+          .map { c =>
+            val mapped = widths.getOrElse(cid(c), 0.0)
+            if (mapped != 0.0) mapped else widths.getOrElse(c, 0.0)
+          }
           .find(_ != 0.0)
           .getOrElse(defaultWidth),
         wideChars = cidCMap.forall(_.codeBytes == 2),
@@ -455,6 +460,9 @@ object FontLoader {
             val ci = cid(c)
             m.getOrElse(ci, Array(default(0), widths.getOrElse(ci, defaultWidth) * 0.5, default(2)))
           }
+        }.orNull,
+        vmetricExplicit = vmet.map { case (m, _) =>
+          (c: Int) => m.contains(cid(c))
         }.orNull)
     }
 

@@ -613,8 +613,10 @@ object Jpx {
               }
               if (w <= x0 || h <= y0 || w.toLong * h > 64L * 1024 * 1024) return None
               // mixed per-component depths: out of subset (the caller scales
-              // every plane by component 0's depth) -> metadata-only row
+              // every plane by component 0's depth) -> metadata-only row;
+              // depths past 16 would wrap the final-clamp shifts at 32
               if (depth.distinct.length != 1) return None
+              if (depth(0) < 1 || depth(0) > 16) return None
               siz = Siz(w, h, x0, y0, xt, yt, xto, yto, nc, depth, signed)
             case 0xff52 => // COD
               val scod = data(p + 2) & 0xff

@@ -604,11 +604,18 @@ object JpxSynth {
         (blocks, nx, ny)
       }
     }
-    // never-included blocks carry tag value = layers (>= every threshold)
+    // inclusion tag value = the block's FIRST layer with a nonzero pass
+    // share (a block whose fair split gives layer 0 nothing first appears
+    // later); never-included blocks carry layers (>= every threshold)
+    def firstLayer(b: BlkState): Int = {
+      if (!b.nonzero || b.passes == 0) return layers
+      var l = 0
+      while (l < layers && (b.passes.toLong * (l + 1) / layers).toInt == 0) l += 1
+      l
+    }
     val incl = perBand.map { case (blocks, nx, ny) =>
       new TagTreeEnc(math.max(1, nx), math.max(1, ny),
-        if (blocks.isEmpty) Array(layers)
-        else blocks.map(b => if (b.nonzero) 0 else layers))
+        if (blocks.isEmpty) Array(layers) else blocks.map(firstLayer))
     }
     val zbps = perBand.map { case (blocks, nx, ny) =>
       new TagTreeEnc(math.max(1, nx), math.max(1, ny),
@@ -639,9 +646,15 @@ object JpxSynth {
     }
     val bw = new BitWriter
     val segments = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int, Int)]
-    val any = plan.perBand.exists(_._1.exists(b => layerShare(b)._1 > 0))
+    // emit a NON-EMPTY packet for every layer once the resolution has any
+    // coded block at all — interchange convention: an empty packet before a
+    // block's first inclusion would leave the inclusion tag tree un-advanced
+    // and require multiple 0-bits at the first non-empty layer, which
+    // jump-style inclusion trees (the vendored decoder's) cannot follow;
+    // one inclusion 0-bit per layer keeps every conformant decoder in sync
+    val any = plan.perBand.exists(_._1.exists(_.nonzero))
     if (!any) {
-      bw.bit(0) // empty packet for this layer
+      bw.bit(0) // resolution carries no coded blocks at all
       bw.align()
       return bw.toArray
     }

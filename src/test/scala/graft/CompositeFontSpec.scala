@@ -240,9 +240,14 @@ class CompositeFontSpec extends AnyFunSuite {
     val first = items.head
     // vertical same-line test keys on tx == 0, so the Td(0,-20) MERGES the
     // two shows into one item (reference semantics; advance 20 < 4\u00b7sw 48)
-    assert(first.str == "\u4f60\u597d\u4f60ABC")
-    // heights: \u4f60(w1 -800)+\u597d(DW2 -1000)+\u4f60 at size 12 = |-31.2|; the merge
-    // adds ty - lastAdvanceHeight = -20 + 31.2 = 11.2; ABC (DW2) adds |-36|
-    assert(math.abs(first.height - 78.4) < 1e-6, s"height=${first.height}")
+    // the Td-merge diff (tx\u2212lastAdvW)\u2212(ty\u2212lastAdvH) = 0\u2212(\u221220+12) = 8 sits
+    // in [0.3\u00b7sw, 1.5\u00b7sw) \u2192 exactly one bridged fake space
+    assert(first.str == "\u4f60\u597d\u4f60 ABC")
+    // heights (reference semantics: only EXPLICIT /W2 entries use the
+    // vmetric; default-vmetric codes advance by the horizontal width):
+    // \u4f60(-800 W2) + \u597d(horizontal 600) + \u4f60 at size 12 = |-12|; the merge
+    // adds ty - lastAdvanceHeight = -20 + 12 = -8; ABC (horizontal 750)
+    // adds |27|
+    assert(math.abs(first.height - 31.0) < 1e-6, s"height=${first.height}")
   }
 }

@@ -26,6 +26,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * decoder, not just to internal round-trip consistency. */
 class JpxSpec extends AnyFunSuite {
 
+  private def u16(d: Array[Byte], p: Int) = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+
+  /** Scan main-header marker segments for `m`; returns the marker offset. */
+  private def findMarker(d: Array[Byte], m: Int): Int = {
+    var p = 2
+    while (p + 2 <= d.length) {
+      if (u16(d, p) == m) return p
+      p += 2 + u16(d, p + 2)
+    }
+    -1
+  }
+
   test("JPX PDFs decode through the full raster lane (all four flavors)") {
     for ((name, rgb, lossy, jp2, cs) <- Seq(
       ("raw gray", false, false, false, "DeviceGray"),
@@ -188,6 +200,17 @@ class JpxSpec extends AnyFunSuite {
     val cs = JpxSynth.encode(planes, 48, 40, 8, 2, mct = 1, layers = 3)
     val d = Jpx.decode(cs).get
     for (c <- 0 until 3) assert(d.planes(c).toSeq == planes(c).toSeq, s"comp $c")
+    // blocks with FEWER passes than layers: a near-flat image yields
+    // single-pass code-blocks whose fair split gives layer 0 nothing — the
+    // inclusion tag tree must first-include them at their first nonzero
+    // layer, not claim them at layer 0 with no header fields
+    val flat = Array.fill(48 * 48)(128)
+    flat(5 * 48 + 7) = 129
+    flat(30 * 48 + 40) = 127
+    val csFlat = JpxSynth.encode(Array(flat), 48, 48, 8, 2, cbExp = 4, layers = 4)
+    val dFlat = Jpx.decode(csFlat)
+    assert(dFlat.isDefined)
+    assert(dFlat.get.planes(0).toSeq == flat.toSeq)
   }
 
   test("QCC / COC per-component overrides parse (semantic no-op splice)") {
@@ -198,15 +221,6 @@ class JpxSpec extends AnyFunSuite {
     val planes = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 4),
       JpxSynth.testGray(w, h, 9))
     val cs = JpxSynth.encode(planes, w, h, 8, 2, mct = 1)
-    def u16(d: Array[Byte], p: Int) = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
-    def findMarker(d: Array[Byte], m: Int): Int = {
-      var p = 2
-      while (p + 2 <= d.length) {
-        if (u16(d, p) == m) return p
-        p += 2 + u16(d, p + 2)
-      }
-      -1
-    }
     val qcdPos = findMarker(cs, 0xff5c)
     val qcdLen = u16(cs, qcdPos + 2)
     val qcdBody = cs.slice(qcdPos + 4, qcdPos + 2 + qcdLen) // Sqcd + exps
@@ -229,22 +243,14 @@ class JpxSpec extends AnyFunSuite {
   test("out-of-subset streams degrade to None, never wrong pixels") {
     val (w, h) = (32, 24)
     val cs = JpxSynth.encode(Array(JpxSynth.testGray(w, h, 3)), w, h, 8, 2)
-    def u16(d: Array[Byte], p: Int) = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
-    def findMarker(d: Array[Byte], m: Int): Int = {
-      var p = 2
-      while (p + 2 <= d.length) {
-        if (u16(d, p) == m) return p
-        p += 2 + u16(d, p + 2)
-      }
-      -1
-    }
     val siz = findMarker(cs, 0xff51)
     val cod = findMarker(cs, 0xff52)
     def patched(pos: Int, v: Int): Array[Byte] = {
       val b = cs.clone(); b(pos) = v.toByte; b
     }
-    // component subsampling (XRsiz comp 0 = 2)
-    assert(Jpx.decode(patched(siz + 4 + 39, 2)).isEmpty)
+    // component subsampling (XRsiz comp 0 = 2; the length field sits at
+    // siz+2, so comp-0 XRsiz is at (siz+2)+39)
+    assert(Jpx.decode(patched(siz + 2 + 39, 2)).isEmpty)
     // custom precincts (Scod bit 0)
     assert(Jpx.decode(patched(cod + 4, 1)).isEmpty)
     // code-block style flags (selective bypass)
