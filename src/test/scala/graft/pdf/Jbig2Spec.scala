@@ -15,11 +15,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * were fed to the reference's OWN independent JBIG2
   * implementation (pdf.combined.js Jbig2Image.parseChunks, lines 9603-10685)
   * — 0 mismatched pixels on every such stream. Bottom/right corners follow
-  * T.88 6.4.5 exactly (bottom row / right column AT the coordinate) and
-  * therefore differ from the vendored decoder by one row/column — the
-  * vendored build carries a known corner off-by-one that upstream pdf.js
-  * later fixed, so the divergence is deliberate and spec-true (measured: the
-  * same streams show only the one-row/col shift against it). That pins this codec pair's bit
+  * T.88 6.4.5 exactly (round 5): the S axis is corner-invariant — right
+  * corners pre-advance CURS by W−1 before drawing, so the left edge sits at
+  * the incoming CURS — and a bottom corner puts the symbol's bottom row at T
+  * (top = T−H+1). The vendored build diverges on BOTH axes for non-top-left
+  * corners (offsetT = t−H, offsetS = S−W — known bugs fixed in later
+  * upstream pdf.js), so node cross-validation covers top-left only; the
+  * other corners are gated by the hand-coded from-spec placement test
+  * below. That pins this codec pair's bit
   * conventions (context order, MQ procedures, segment headers) to the
   * interchange behavior of a conformant third-party decoder, not just to
   * internal round-trip consistency. */
