@@ -133,7 +133,9 @@ object Bench {
     // residues since gcd(7,26)=1) — verbatim cross-copy text would make
     // candidate pairs grow quadratically by construction; the factor bound
     // below keeps every copy's substitution distinct
-    require(factor <= 26, s"sweep factor $factor exceeds the distinct-substitution bound")
+    // 14, not 26: the fixed-point bump below can land on another copy's
+    // unbumped target from factor 15 up (k=1 vs k=14 share o->b)
+    require(factor <= 14, s"sweep factor $factor exceeds the distinct-substitution bound")
     def subst(k: Int): String =
       (0 until 5).map { j =>
         val c = ('a' + ((k * 7 + j * 11) % 26)).toChar

@@ -440,13 +440,20 @@ object FontLoader {
         },
         fontMatrix0 = fontMatrix0,
         // the /W table is CID-keyed: probe the space-width candidates
-        // THROUGH the CMap; a candidate the CMap does not map falls back to
-        // the raw code (the reference's toUnicode/unicode fallthrough chain,
-        // pdf.combined.js:36593-36612)
+        // THROUGH the CMap; a candidate the CMap genuinely does not map
+        // falls back to the raw code (the reference's toUnicode/unicode
+        // fallthrough chain, pdf.combined.js:36593-36612). cid()'s CID-0
+        // .notdef default must NOT count as a mapped hit — a /W entry at
+        // CID 0 would otherwise masquerade as the space width
         spaceWidthEst = Seq(0x20, 0x2212, 0x31, 0x69).iterator
           .map { c =>
-            val mapped = widths.getOrElse(cid(c), 0.0)
-            if (mapped != 0.0) mapped else widths.getOrElse(c, 0.0)
+            val viaCMap: Option[Int] = cidCMap match {
+              case Some(p) =>
+                p.toCid.get(c).orElse(if (p.identityBase) Some(c) else None)
+              case None => Some(c) // Identity CMap
+            }
+            viaCMap.map(ci => widths.getOrElse(ci, 0.0)).filter(_ != 0.0)
+              .getOrElse(widths.getOrElse(c, 0.0))
           }
           .find(_ != 0.0)
           .getOrElse(defaultWidth),

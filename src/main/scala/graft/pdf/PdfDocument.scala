@@ -328,6 +328,13 @@ final class PdfDocument private (val file: PdfFile) {
       graft.extract.TextItems.extract(p.content, p.resources)
     } catch { case scala.util.control.NonFatal(_) => Vector.empty }
 
+  /** Page text through the ITEM surface, items joined by single spaces —
+    * the reference CLI's own plain-text rendering (getinfo.js:
+    * `strings.join(' ')`). The item-parity alternative to
+    * `extractPageText`'s y-cluster assembly. */
+  def textContentText(i: Int): String =
+    textContentItems(i).iterator.map(_.str).mkString(" ")
+
   /** Ordered tspan texts — the reference CLI's golden surface
     * (src/test/resources/output/NAME.pdf.expected/tspan-texts.txt). A tspan
     * containing any XML-invalid control character does not survive the

@@ -124,4 +124,17 @@ class TextItemsSpec extends AnyFunSuite {
     val items = graft.extract.TextItems.extract(content.getBytes("ISO-8859-1"), res)
     assert(items.map(_.str) == Vector("A", "IN", "B"))
   }
+
+  test("textContentText renders the getinfo join of the fixture items") {
+    val fp = Paths.get("src/test/resources/reference-C04-1204-page1-items.json")
+    val pp = Paths.get("/root/reference/src/test/resources/input/C04-1204.pdf")
+    if (!Files.exists(fp) || !Files.exists(pp)) cancel("fixtures not present")
+    val expected = parseFixture(
+      new String(Files.readAllBytes(fp), StandardCharsets.UTF_8))
+      .map(_._1).mkString(" ")
+    val doc = PdfDocument.open(Files.readAllBytes(pp))
+    val text = doc.textContentText(0)
+    assert(text == expected)
+    assert(text.startsWith("Deep Linguistic Analysis"))
+  }
 }
