@@ -22,9 +22,11 @@ package graft.pdf
   *     DC level shift.
   *
   * Scope (disclosed): component subsampling (XRsiz/YRsiz > 1), non-default
-  * precinct partitions, code-block style flags (selective bypass, predictable
-  * termination, segmentation symbols) and ROI (RGN) return None — the caller
-  * keeps the metadata-only row. The reference wires its own vendored decoder
+  * precinct partitions, the code-block style flags the reference ALSO errors
+  * on (selective bypass, context reset, pass termination, vertical stripe,
+  * predictable termination) and ROI (RGN) return None — the caller keeps the
+  * metadata-only row; segmentation symbols (style 0x20) are SUPPORTED, like
+  * the reference. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
   * cross-validated against that decoder on encoder-generated fixtures.
@@ -195,7 +197,7 @@ object Jpx {
     * row-major Int array: sign-magnitude (bit 31 = sign). */
   private[graft] def decodeBlock(data: Array[Byte], chunks: Seq[(Int, Int)],
       w: Int, h: Int, band: Int, mb: Int, zeroBitPlanes: Int,
-      passes: Int): Array[Int] = {
+      passes: Int, segSymbols: Boolean = false): Array[Int] = {
     val n = w * h
     val mag = new Array[Int](n)
     val sgn = new Array[Byte](n)
@@ -355,6 +357,12 @@ object Jpx {
             }
             y0s += 4
           }
+          // segmentation symbol (D.6): 4 UNIFORM bits ending each cleanup
+          // pass; the value (0xA) is error-detection only — consume it
+          if (segSymbols) {
+            var k = 0
+            while (k < 4) { mq.decode(cx, CxUNI); k += 1 }
+          }
           java.util.Arrays.fill(vis, 0.toByte)
       }
       if (passKind == 2) { plane -= 1; passKind = 0 } else passKind += 1
@@ -486,7 +494,11 @@ object Jpx {
 
   private final case class Cod(progression: Int, layers: Int, mct: Int,
       levels: Int, xcb: Int, ycb: Int, cbStyle: Int, reversible: Boolean,
-      sop: Boolean, eph: Boolean)
+      sop: Boolean, eph: Boolean) {
+    /** Segmentation symbols (style bit 0x20): a 4-bit error-detection
+      * symbol after each cleanup pass — supported, like the reference. */
+    def segSymbols: Boolean = (cbStyle & 0x20) != 0
+  }
 
   private final case class Qcd(style: Int, guard: Int,
       exponents: Array[Int], mantissas: Array[Int])
@@ -629,8 +641,11 @@ object Jpx {
               val ycb = (data(p + 9) & 0x0f) + 2
               val cbStyle = data(p + 10) & 0xff
               val wavelet = data(p + 11) & 0xff
-              // 1 << shift wraps at 32 on the JVM: cap the subset at 30
-              if (levels > 30 || xcb + ycb > 12 || cbStyle != 0) return None
+              // 1 << shift wraps at 32 on the JVM: cap the subset at 30.
+              // Style bits other than segmentation symbols (0x20) — bypass,
+              // context reset, pass termination, vertical stripe — are out
+              // of subset (the reference errors on all of them too)
+              if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x20) != 0) return None
               if (layers < 1 || prog > 4) return None
               cod = Cod(prog, layers, mct, levels, xcb, ycb, cbStyle,
                 wavelet == 1, (scod & 2) != 0, (scod & 4) != 0)
@@ -646,7 +661,7 @@ object Jpx {
               val ycb = (data(off + 3) & 0x0f) + 2
               val cbStyle = data(off + 4) & 0xff
               val wavelet = data(off + 5) & 0xff
-              if (levels > 30 || xcb + ycb > 12 || cbStyle != 0) return None
+              if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x20) != 0) return None
               val base = if (cod != null) cod else return None
               codPerComp(ci) = base.copy(levels = levels, xcb = xcb, ycb = ycb,
                 reversible = wavelet == 1)
@@ -881,7 +896,8 @@ object Jpx {
             val bwB = blk.x1 - blk.x0
             val bhB = blk.y1 - blk.y0
             val vals = decodeBlock(stream, blk.chunks.toSeq, bwB, bhB,
-              bandKindCtx(band.kind), mb, blk.zeroBitPlanes, blk.totalPasses)
+              bandKindCtx(band.kind), mb, blk.zeroBitPlanes, blk.totalPasses,
+              cod.segSymbols)
             var i = 0
             while (i < vals.length) {
               val sm = vals(i)

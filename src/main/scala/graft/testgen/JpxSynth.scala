@@ -101,7 +101,7 @@ object JpxSynth {
   /** Encode sign-magnitude coefficients of one code-block. Returns the MQ
     * codeword segment and the number of coding passes. */
   private[graft] def encodeBlock(vals: Array[Int], w: Int, h: Int, band: Int,
-      mb: Int, zeroBitPlanes: Int): (Array[Byte], Int) = {
+      mb: Int, zeroBitPlanes: Int, segSymbols: Boolean = false): (Array[Byte], Int) = {
     val n = w * h
     val mag = new Array[Int](n)
     val neg = new Array[Byte](n)
@@ -251,6 +251,11 @@ object JpxSynth {
               x += 1
             }
             y0s += 4
+          }
+          // segmentation symbol 0xA after every cleanup pass (D.6)
+          if (segSymbols) {
+            enc.encode(cx, Jpx.CxUNI, 1); enc.encode(cx, Jpx.CxUNI, 0)
+            enc.encode(cx, Jpx.CxUNI, 1); enc.encode(cx, Jpx.CxUNI, 0)
           }
           java.util.Arrays.fill(vis, 0.toByte)
       }
@@ -416,7 +421,7 @@ object JpxSynth {
   def encode(planesIn: Array[Array[Int]], w: Int, h: Int, depth: Int,
       levels: Int, reversible: Boolean = true, mct: Int = 0,
       cbExp: Int = 6, tileW: Int = 0, tileH: Int = 0,
-      layers: Int = 1): Array[Byte] = {
+      layers: Int = 1, segSymbols: Boolean = false): Array[Byte] = {
     val comps = planesIn.length
     require(comps >= 1 && comps <= 4)
     val xt = if (tileW > 0) tileW else w
@@ -460,7 +465,8 @@ object JpxSynth {
     for (_ <- 0 until comps) { w8(depth - 1); w8(1); w8(1) }
     // COD: LRCP
     w16(0xff52); w16(12); w8(0); w8(0); w16(layers); w8(mct)
-    w8(levels); w8(cbExp - 2); w8(cbExp - 2); w8(0); w8(if (reversible) 1 else 0)
+    w8(levels); w8(cbExp - 2); w8(cbExp - 2)
+    w8(if (segSymbols) 0x20 else 0); w8(if (reversible) 1 else 0)
 
     // decompose every tile of every component first so QCD exponents can be
     // image-wide maxima (one QCD marker serves all tiles)
@@ -520,7 +526,8 @@ object JpxSynth {
       val body = new java.io.ByteArrayOutputStream()
       // packets in LRCP order: layer outer, then resolution, then component
       val plans = Array.tabulate(comps)(c => Array.tabulate(levels + 1)(r =>
-        planResolution(tilePlans(ti)(c)(r), r, cbExp, expByIdx, sbIndex, layers)))
+        planResolution(tilePlans(ti)(c)(r), r, cbExp, expByIdx, sbIndex,
+          layers, segSymbols)))
       var l = 0
       while (l < layers) {
         var r = 0
@@ -560,7 +567,8 @@ object JpxSynth {
       val incl: Array[TagTreeEnc], val zbps: Array[TagTreeEnc])
 
   private def planResolution(bands: Array[SubbandPlan], r: Int, cbExp: Int,
-      expByIdx: Array[Int], sbIndex: (Int, Int) => Int, layers: Int): ResPlan = {
+      expByIdx: Array[Int], sbIndex: (Int, Int) => Int, layers: Int,
+      segSymbols: Boolean): ResPlan = {
     val perBand = bands.map { sb =>
       val bwd = sb.x1 - sb.x0
       val bhd = sb.y1 - sb.y0
@@ -597,7 +605,7 @@ object JpxSynth {
           else {
             val zbp = mb - bits(maxMag)
             val (data, passes) = encodeBlock(vals, bw2, bh2,
-              Jpx.bandKindCtx(sb.kind), mb, zbp)
+              Jpx.bandKindCtx(sb.kind), mb, zbp, segSymbols)
             new BlkState(data, passes, zbp, nonzero = true)
           }
         }

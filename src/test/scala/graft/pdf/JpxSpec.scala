@@ -12,12 +12,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * Interop evidence (run out-of-band — node + the reference's OWN vendored
   * JPX decoder, pdf.combined.js JpxImage lines 10689-12880, extracted with
   * the ArithmeticDecoder closure plus shadow/log2/readUint* shims into
-  * /tmp/jpx_harness.js, the same playbook as the JBIG2 harness): nine
+  * /tmp/jpx_harness.js, the same playbook as the JBIG2 harness): eleven
   * JpxSynth codestream classes — gray 5/3 at levels 0/2/3 (odd dims
   * included), RGB + reversible RCT, gray 9/7, a 64-px block-aligned
-  * multi-tile grid, the JP2 box container, and 2- and 3-quality-layer
-  * streams (re-inclusion bits, persistent Lblock/tag trees, chunk
-  * concatenation) — were decoded by both
+  * multi-tile grid, the JP2 box container, 2- and 3-quality-layer streams
+  * (re-inclusion bits, persistent Lblock/tag trees, chunk concatenation),
+  * a delayed-first-inclusion near-flat multi-layer stream, and a
+  * segmentation-symbol stream (the vendored decoder VALIDATES each 0xA
+  * symbol, pinning the symbol bit placement) — were decoded by both
   * implementations: 0 mismatched samples on every stream (the vendored
   * decoder emits interleaved 0-255 tile items; compared against
   * `Jpx.decode`'s planes after DC shift/clamp). That pins this codec pair's
@@ -211,6 +213,20 @@ class JpxSpec extends AnyFunSuite {
     val dFlat = Jpx.decode(csFlat)
     assert(dFlat.isDefined)
     assert(dFlat.get.planes(0).toSeq == flat.toSeq)
+  }
+
+  test("segmentation symbols (style 0x20) round-trip and reject other styles") {
+    // the reference SUPPORTS segmentation symbols (checkSegmentationSymbol)
+    // while erroring on every other style bit — mirrored here
+    val (w, h) = (48, 40)
+    val px = JpxSynth.testGray(w, h, 7)
+    val cs = JpxSynth.encode(Array(px), w, h, 8, 2, segSymbols = true)
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    assert(out.get.planes(0).toSeq == px.toSeq)
+    // with layers too (symbols end every cleanup pass, across chunks)
+    val csL = JpxSynth.encode(Array(px), w, h, 8, 2, segSymbols = true, layers = 3)
+    assert(Jpx.decode(csL).get.planes(0).toSeq == px.toSeq)
   }
 
   test("QCC / COC per-component overrides parse (semantic no-op splice)") {
