@@ -421,7 +421,8 @@ object JpxSynth {
   def encode(planesIn: Array[Array[Int]], w: Int, h: Int, depth: Int,
       levels: Int, reversible: Boolean = true, mct: Int = 0,
       cbExp: Int = 6, tileW: Int = 0, tileH: Int = 0,
-      layers: Int = 1, segSymbols: Boolean = false): Array[Byte] = {
+      layers: Int = 1, segSymbols: Boolean = false,
+      sop: Boolean = false, eph: Boolean = false): Array[Byte] = {
     val comps = planesIn.length
     require(comps >= 1 && comps <= 4)
     val xt = if (tileW > 0) tileW else w
@@ -463,8 +464,10 @@ object JpxSynth {
     w32(w); w32(h); w32(0); w32(0); w32(xt); w32(yt); w32(0); w32(0)
     w16(comps)
     for (_ <- 0 until comps) { w8(depth - 1); w8(1); w8(1) }
-    // COD: LRCP
-    w16(0xff52); w16(12); w8(0); w8(0); w16(layers); w8(mct)
+    // COD: LRCP; Scod bits 1/2 signal SOP/EPH marker segments
+    w16(0xff52); w16(12)
+    w8((if (sop) 2 else 0) | (if (eph) 4 else 0))
+    w8(0); w16(layers); w8(mct)
     w8(levels); w8(cbExp - 2); w8(cbExp - 2)
     w8(if (segSymbols) 0x20 else 0); w8(if (reversible) 1 else 0)
 
@@ -529,12 +532,20 @@ object JpxSynth {
         planResolution(tilePlans(ti)(c)(r), r, cbExp, expByIdx, sbIndex,
           layers, segSymbols)))
       var l = 0
+      var seq = 0 // packet sequence number for SOP segments
       while (l < layers) {
         var r = 0
         while (r <= levels) {
           var c = 0
           while (c < comps) {
-            body.write(emitPacket(plans(c)(r), l, layers))
+            if (sop) {
+              // SOP marker segment (A.8.1): FF91 Lsop=4 Nsop
+              body.write(0xff); body.write(0x91)
+              body.write(0); body.write(4)
+              body.write((seq >> 8) & 0xff); body.write(seq & 0xff)
+              seq = (seq + 1) & 0xffff
+            }
+            body.write(emitPacket(plans(c)(r), l, layers, eph))
             c += 1
           }
           r += 1
@@ -634,7 +645,8 @@ object JpxSynth {
 
   /** One packet for (resolution plan, layer): first-inclusion via the tag
     * tree, re-inclusion via one bit, fair pass/byte split across layers. */
-  private def emitPacket(plan: ResPlan, layer: Int, layers: Int): Array[Byte] = {
+  private def emitPacket(plan: ResPlan, layer: Int, layers: Int,
+      eph: Boolean = false): Array[Byte] = {
     // a block's layer share: passes split evenly by cumulative targets,
     // bytes proportional to passes (exact on the final contribution)
     def layerShare(b: BlkState): (Int, Int) = {
@@ -664,7 +676,10 @@ object JpxSynth {
     if (!any) {
       bw.bit(0) // resolution carries no coded blocks at all
       bw.align()
-      return bw.toArray
+      val out0 = new java.io.ByteArrayOutputStream()
+      out0.write(bw.toArray)
+      if (eph) { out0.write(0xff); out0.write(0x92) }
+      return out0.toByteArray
     }
     bw.bit(1)
     plan.perBand.zipWithIndex.foreach { case ((blocks, nx, _), bi) =>
@@ -710,6 +725,7 @@ object JpxSynth {
     bw.align()
     val out = new java.io.ByteArrayOutputStream()
     out.write(bw.toArray)
+    if (eph) { out.write(0xff); out.write(0x92) } // end-of-packet-header
     segments.foreach { case (d, off, len) => out.write(d, off, len) }
     out.toByteArray
   }

@@ -12,14 +12,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * Interop evidence (run out-of-band — node + the reference's OWN vendored
   * JPX decoder, pdf.combined.js JpxImage lines 10689-12880, extracted with
   * the ArithmeticDecoder closure plus shadow/log2/readUint* shims into
-  * /tmp/jpx_harness.js, the same playbook as the JBIG2 harness): eleven
+  * /tmp/jpx_harness.js, the same playbook as the JBIG2 harness): twelve
   * JpxSynth codestream classes — gray 5/3 at levels 0/2/3 (odd dims
   * included), RGB + reversible RCT, gray 9/7, a 64-px block-aligned
   * multi-tile grid, the JP2 box container, 2- and 3-quality-layer streams
   * (re-inclusion bits, persistent Lblock/tag trees, chunk concatenation),
-  * a delayed-first-inclusion near-flat multi-layer stream, and a
+  * a delayed-first-inclusion near-flat multi-layer stream, a
   * segmentation-symbol stream (the vendored decoder VALIDATES each 0xA
-  * symbol, pinning the symbol bit placement) — were decoded by both
+  * symbol, pinning the symbol bit placement), and a 2-layer SOP+EPH
+  * stream — were decoded by both
   * implementations: 0 mismatched samples on every stream (the vendored
   * decoder emits interleaved 0-255 tile items; compared against
   * `Jpx.decode`'s planes after DC shift/clamp). That pins this codec pair's
@@ -227,6 +228,18 @@ class JpxSpec extends AnyFunSuite {
     // with layers too (symbols end every cleanup pass, across chunks)
     val csL = JpxSynth.encode(Array(px), w, h, 8, 2, segSymbols = true, layers = 3)
     assert(Jpx.decode(csL).get.planes(0).toSeq == px.toSeq)
+  }
+
+  test("SOP and EPH marker segments are consumed (single- and multi-layer)") {
+    val (w, h) = (48, 40)
+    val px = JpxSynth.testGray(w, h, 5)
+    for (layers <- Seq(1, 2)) {
+      val cs = JpxSynth.encode(Array(px), w, h, 8, 2, layers = layers,
+        sop = true, eph = true)
+      val out = Jpx.decode(cs)
+      assert(out.isDefined, s"layers=$layers")
+      assert(out.get.planes(0).toSeq == px.toSeq, s"layers=$layers")
+    }
   }
 
   test("QCC / COC per-component overrides parse (semantic no-op splice)") {
