@@ -344,24 +344,43 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // All doubles rounded to 3 decimals, and the sweep block printed as its
+    // OWN earlier line: the driver keeps only the last 2000 characters of
+    // stdout, so the compact {"metric":"total",...} headline must be the
+    // LAST line and must stay small (round 5's single 3.3 KB line overflowed
+    // the tail and came back parsed:null).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val base = results.toMap
-    val sweepQs = sweepResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sweepQs = sweepResults.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val sweepTotal = sweepResults.map(_._2).filter(_ >= 0).sum
     val sweepRatios = sweepResults.collect {
       case (k, v) if v >= 0 && base.getOrElse(k, -1.0) > 0 =>
-        "\"" + k + "\":" + math.round(v / base(k) * 100.0) / 100.0
+        "\"" + k + "\":" + f3(v / base(k))
     }.mkString("{", ",", "}")
+    val sweepRatioMax = sweepResults.collect {
+      case (k, v) if v >= 0 && base.getOrElse(k, -1.0) > 0 => v / base(k)
+    }.foldLeft(0.0)(math.max)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""extract_turns_per_sec_p2":$tp2,"extract_turns_per_sec_p8":$tp8,""" +
-      s""""extract_turns_per_sec_p32":$tp32,""" +
-      s""""scaling_efficiency_2_to_8":$eff2to8,"scaling_efficiency_8_to_32":$eff8to32,""" +
-      s""""pdf_ingest_runs_per_sec":$pdfRunsPerSec,""" +
-      s""""cpu_cal_8t_vs_1t_before":$calBefore,"cpu_cal_8t_vs_1t_after":$calAfter,""" +
-      s""""sweep_factor":$sweepFactor,"queries_sweep":$sweepQs,""" +
-      s""""sweep_total":$sweepTotal,"sweep_time_ratio":$sweepRatios,""" +
+      s"""{"metric":"sweep","sweep_factor":$sweepFactor,""" +
+      s""""queries_sweep":$sweepQs,"sweep_total":${f3(sweepTotal)},""" +
+      s""""sweep_time_ratio":$sweepRatios}""")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir",""" +
+      s""""extract_turns_per_sec_p2":${f3(tp2)},""" +
+      s""""extract_turns_per_sec_p8":${f3(tp8)},""" +
+      s""""extract_turns_per_sec_p32":${f3(tp32)},""" +
+      s""""scaling_efficiency_2_to_8":${f3(eff2to8)},""" +
+      s""""scaling_efficiency_8_to_32":${f3(eff8to32)},""" +
+      s""""pdf_ingest_runs_per_sec":${f3(pdfRunsPerSec)},""" +
+      s""""cpu_cal_8t_vs_1t_before":${f3(calBefore)},""" +
+      s""""cpu_cal_8t_vs_1t_after":${f3(calAfter)},""" +
+      s""""sweep_factor":$sweepFactor,"sweep_total":${f3(sweepTotal)},""" +
+      s""""sweep_ratio_max":${f3(sweepRatioMax)},""" +
       s""""extract_rows":$nTurns}""")
   }
 }

@@ -281,8 +281,9 @@ object Dedup {
       l: Int = 50, minDocs: Int = 2, maxDocs: Long = 0L,
       bloomItems: Long = 4L << 20, bloomBits: Long = 64L << 20): DataFrame = {
     import graft.functions.TextHashes.token_gram_hashes
+    import graft.functions.BloomMightContainBcast
     import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val grams = df.select(col(idCol),
       posexplode(token_gram_hashes(col(textCol), l)).as(Seq("__pos", "__h")))
@@ -301,8 +302,12 @@ object Dedup {
     val flagged =
       if (bloomBytes == null) grams.filter(lit(false)) // zero duplicated grams
       else {
-        val mightContain = GraftBridge.toColumn(BloomFilterMightContain(
-          Literal(bloomBytes), GraftBridge.toExpression(col("__h"))))
+        // broadcast the filter bytes (production sizing reaches 128 MB; a
+        // Literal would ride every task closure) and test map-side through
+        // the broadcast-backed expression
+        val bc = df.sparkSession.sparkContext.broadcast(bloomBytes)
+        val mightContain = GraftBridge.toColumn(
+          BloomMightContainBcast(bc, GraftBridge.toExpression(col("__h"))))
         grams.filter(mightContain).join(dup, Seq("__h"), "left_semi")
       }
     clipFlagged(df, idCol, textCol, l, flagged)

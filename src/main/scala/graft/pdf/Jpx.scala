@@ -664,7 +664,7 @@ object Jpx {
               if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x20) != 0) return None
               val base = if (cod != null) cod else return None
               codPerComp(ci) = base.copy(levels = levels, xcb = xcb, ycb = ycb,
-                reversible = wavelet == 1)
+                cbStyle = cbStyle, reversible = wavelet == 1)
             case 0xff5c => qcd = parseQ(data, p + 2, segEnd)
             case 0xff5d =>
               if (siz == null) return None

@@ -422,7 +422,8 @@ object JpxSynth {
       levels: Int, reversible: Boolean = true, mct: Int = 0,
       cbExp: Int = 6, tileW: Int = 0, tileH: Int = 0,
       layers: Int = 1, segSymbols: Boolean = false,
-      sop: Boolean = false, eph: Boolean = false): Array[Byte] = {
+      sop: Boolean = false, eph: Boolean = false,
+      cocSegSymbols: Map[Int, Boolean] = Map.empty): Array[Byte] = {
     val comps = planesIn.length
     require(comps >= 1 && comps <= 4)
     val xt = if (tileW > 0) tileW else w
@@ -470,6 +471,14 @@ object JpxSynth {
     w8(0); w16(layers); w8(mct)
     w8(levels); w8(cbExp - 2); w8(cbExp - 2)
     w8(if (segSymbols) 0x20 else 0); w8(if (reversible) 1 else 0)
+    // COC per-component overrides: same levels/cb/wavelet as the COD, but a
+    // code-block style whose segmentation-symbol bit may differ (A.6.2)
+    cocSegSymbols.toSeq.sortBy(_._1).foreach { case (ci, seg) =>
+      require(ci >= 0 && ci < comps)
+      w16(0xff53); w16(9); w8(ci); w8(0 /*Scoc*/)
+      w8(levels); w8(cbExp - 2); w8(cbExp - 2)
+      w8(if (seg) 0x20 else 0); w8(if (reversible) 1 else 0)
+    }
 
     // decompose every tile of every component first so QCD exponents can be
     // image-wide maxima (one QCD marker serves all tiles)
@@ -530,7 +539,7 @@ object JpxSynth {
       // packets in LRCP order: layer outer, then resolution, then component
       val plans = Array.tabulate(comps)(c => Array.tabulate(levels + 1)(r =>
         planResolution(tilePlans(ti)(c)(r), r, cbExp, expByIdx, sbIndex,
-          layers, segSymbols)))
+          layers, cocSegSymbols.getOrElse(c, segSymbols))))
       var l = 0
       var seq = 0 // packet sequence number for SOP segments
       while (l < layers) {

@@ -137,8 +137,24 @@ class PlanSpec extends AnyFunSuite {
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", l = 15)
     val plan = df.queryExecution.executedPlan.toString
     // the map-side bloom membership test appears as a Filter over the gram
-    // stream BEFORE any exchange — only candidates reach the exact semi-join
-    assert(plan.contains("might_contain"), plan.take(2000))
+    // stream BEFORE any exchange — only candidates reach the exact semi-join.
+    // The filter bytes ride ONE broadcast (BloomMightContainBcast), not a
+    // per-task expression Literal: the plan must show the bcast-backed name
+    // and must NOT embed the serialized bloom as a binary literal.
+    assert(plan.contains("might_contain_bcast"), plan.take(2000))
+    assert(!plan.contains("might_contain(0x"), plan.take(2000))
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val filters = root.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    val bcastExprs = filters.flatMap(_.expressions.flatMap(_.collect {
+      case b: graft.functions.BloomMightContainBcast => b.bloom.id
+    }))
+    assert(bcastExprs.distinct.length == 1, bcastExprs.toString)
     // two-pass output is byte-identical to the one-pass operator
     val onePass = graft.ops.Dedup.substringDedup(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", l = 15)

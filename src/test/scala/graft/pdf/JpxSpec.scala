@@ -269,6 +269,28 @@ class JpxSpec extends AnyFunSuite {
       assert(over.get.planes(c).toSeq == base.planes(c).toSeq, s"comp $c")
   }
 
+  test("COC segmentation-symbol bit differing from the COD is honored") {
+    // the COC's code-block style must override the COD's per component —
+    // a dropped 0x20 toggle desyncs the MQ cleanup passes silently
+    val (w, h) = (40, 32)
+    val planes = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 5),
+      JpxSynth.testGray(w, h, 9))
+    // COD: no seg symbols; COC on comp 1: seg symbols ON
+    val csOn = JpxSynth.encode(planes, w, h, 8, levels = 2, cbExp = 4,
+      cocSegSymbols = Map(1 -> true))
+    val outOn = Jpx.decode(csOn)
+    assert(outOn.isDefined)
+    for (c <- 0 until 3)
+      assert(outOn.get.planes(c).toSeq == planes(c).toSeq, s"on: comp $c")
+    // COD: seg symbols; COC on comp 2: seg symbols OFF
+    val csOff = JpxSynth.encode(planes, w, h, 8, levels = 2, cbExp = 4,
+      segSymbols = true, cocSegSymbols = Map(2 -> false))
+    val outOff = Jpx.decode(csOff)
+    assert(outOff.isDefined)
+    for (c <- 0 until 3)
+      assert(outOff.get.planes(c).toSeq == planes(c).toSeq, s"off: comp $c")
+  }
+
   test("out-of-subset streams degrade to None, never wrong pixels") {
     val (w, h) = (32, 24)
     val cs = JpxSynth.encode(Array(JpxSynth.testGray(w, h, 3)), w, h, 8, 2)
