@@ -244,24 +244,29 @@ object SparkEntry {
     }),
     "q62_pdf_text_items" -> ((s, dir) => {
       // reference-parity TEXT-CONTENT ITEMS (the getTextContent surface,
-      // round 5): per corpus PDF, page-1 item count + md5 of the
+      // rounds 5-6): per corpus PDF and page 1-3, item count + md5 of the
       // newline-joined item strings. The oracle literals are computed from
       // fixtures generated by the vendored engine ITSELF under node
-      // (src/test/resources/reference-*-page1-items.json), so this gate is
-      // item-level equality with the reference, not self-consistency.
+      // (src/test/resources/reference-*-page{1,2,3}-items.json), so this
+      // gate is item-level equality with the reference — multi-page, not a
+      // page-1-only induction.
       import s.implicits._
       val _ = dir
       s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
         .load("/root/reference/src/test/resources/input")
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
-        .map { case (path, bytes) =>
+        .flatMap { case (path, bytes) =>
           val paper = path.split('/').last.stripSuffix(".pdf")
-          val items = graft.pdf.PdfDocument.open(bytes).textContentItems(0)
-          (paper, items.length.toLong, items.map(_.str).mkString("\n"))
+          val doc = graft.pdf.PdfDocument.open(bytes)
+          (1 to 3).map { page =>
+            val items = doc.textContentItems(page - 1)
+            (paper, page, items.length.toLong, items.map(_.str).mkString("\n"))
+          }
         }
-        .toDF("paper", "n_items", "joined")
-        .select(col("paper"), col("n_items"), md5(col("joined")).as("items_md5"))
+        .toDF("paper", "page", "n_items", "joined")
+        .select(col("paper"), col("page"), col("n_items"),
+          md5(col("joined")).as("items_md5"))
     }),
     "q61_pdf_images" -> ((s, dir) => {
       // real raster decode over the PDF corpus (S13 upgraded from bbox-only
@@ -300,7 +305,12 @@ object SparkEntry {
         ("synthetic/jpx97.pdf",
           graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, lossy = true)),
         ("synthetic/jpxjp2.pdf",
-          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, jp2 = true))))
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, jp2 = true)),
+        // 4:2:0 component subsampling (round 6): full-res luma + half-res
+        // chroma decoded on their own grids and replicated up — six
+        // subsampled codestream classes cross-validated at 0 mismatches
+        ("synthetic/jpx420.pdf",
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, sub420 = true))))
       s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
         .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
         .select(col("path"), col("content"))
@@ -824,11 +834,19 @@ object SparkEntry {
         |) AS t(paper, exact_floor_ok)""".stripMargin,
     "q62_pdf_text_items" ->
       """SELECT * FROM (VALUES
-        | ('C04-1204', 648, '20924649ef98b695529248a272e6c6b9'),
-        | ('1301.4293', 118, '1b193ff8966f45571faa19d1f6b0c48b'),
-        | ('test24', 245, '1b11dcaf231c0be2a64a3598fb780b66'),
-        | ('test25', 279, '4c32bf86000fd0dd562d21bf6ea712ea')
-        |) AS t(paper, n_items, items_md5)""".stripMargin,
+        | ('C04-1204', 1, 648, '20924649ef98b695529248a272e6c6b9'),
+        | ('C04-1204', 2, 740, 'dc76e1c28b9fc89ba43b3f8dc3179d66'),
+        | ('C04-1204', 3, 623, '875d145d255c77c42218868b98288a55'),
+        | ('1301.4293', 1, 118, '1b193ff8966f45571faa19d1f6b0c48b'),
+        | ('1301.4293', 2, 310, 'ec41570a74102ca7f6d190c0da27c183'),
+        | ('1301.4293', 3, 113, 'e029aa4c20922fe3356b1a6e18276aed'),
+        | ('test24', 1, 245, '1b11dcaf231c0be2a64a3598fb780b66'),
+        | ('test24', 2, 528, 'd63508ef85c31af08f067c699261e211'),
+        | ('test24', 3, 391, 'b72d81990930a90904b959afff239e6b'),
+        | ('test25', 1, 279, '4c32bf86000fd0dd562d21bf6ea712ea'),
+        | ('test25', 2, 139, '4f6b6daa3d767632ccb12a5461968083'),
+        | ('test25', 3, 132, '63895249fc1578ec32272b855bf990fc')
+        |) AS t(paper, page, n_items, items_md5)""".stripMargin,
     "q61_pdf_images" ->
       """SELECT * FROM (VALUES
         | ('jbig2', 0, 'ImJ', 64, 48, 1, 'DeviceGray', 'JBIG2Decode', 64, 48, 3, 158),
@@ -839,6 +857,7 @@ object SparkEntry {
         | ('jpxrgb', 0, 'ImX', 64, 48, 8, 'DeviceRGB', 'JPXDecode', 64, 48, 3, 108),
         | ('jpx97', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpxjp2', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
+        | ('jpx420', 0, 'ImX', 64, 48, 8, 'DeviceRGB', 'JPXDecode', 64, 48, 3, 108),
         | ('test24', 0, 'Im1', 353, 274, 8, 'DeviceRGB', 'DCTDecode', 353, 274, 3, 204),
         | ('test24', 4, 'Im2', 497, 345, 8, 'DeviceRGB', 'DCTDecode', 497, 345, 3, 242),
         | ('test24', 4, 'Im3', 496, 291, 8, 'DeviceRGB', 'DCTDecode', 496, 291, 3, 238),

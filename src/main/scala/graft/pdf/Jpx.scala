@@ -21,7 +21,16 @@ package graft.pdf
   *     reversible (RCT) and irreversible (ICT) inverse component transforms,
   *     DC level shift.
   *
-  * Scope (disclosed): component subsampling (XRsiz/YRsiz > 1), non-default
+  * Component subsampling (XRsiz/YRsiz 1..8 — 4:2:0/4:2:2 chroma in scanned
+  * color PDFs) IS supported: every component decodes on its own sample grid
+  * (T.800 B.2/B.3 ceil-divided coordinates, through resolutions, code-block
+  * grids and the wavelet) and the decoded planes are replicated up to the
+  * reference grid for the caller. MCT requires identical subsampling on
+  * components 0-2 (the spec's own constraint); multi-tile subsampled
+  * streams additionally need tile sizes divisible by XRsiz·2^levels so
+  * every component-grid resolution origin stays even.
+  *
+  * Scope (disclosed): subsampling factors above 8, non-default
   * precinct partitions, the code-block style flags the reference ALSO errors
   * on (selective bypass, context reset, pass termination, vertical stripe,
   * predictable termination) and ROI (RGN) return None — the caller keeps the
@@ -35,9 +44,18 @@ object Jpx {
 
   /** Decoded image: per-component sample planes AFTER inverse wavelet,
     * inverse component transform and DC level shift, clamped to the
-    * component bit depth. Planes are row-major, full image grid. */
+    * component bit depth. Planes are row-major, full image grid (subsampled
+    * components are replicated up to the reference grid). */
   final case class Decoded(w: Int, h: Int, comps: Int, bitDepth: Int,
       planes: Array[Array[Int]])
+
+  /** Component-grid decode result (pre-replication): plane c is
+    * `cw(c)×ch(c)` where `cw = ceil(Xsiz/XRsiz)` per T.800 B.2. The
+    * cross-validation specs compare these against the vendored decoder's
+    * per-component tiles; `decode` replicates them to the reference grid. */
+  private[graft] final case class CompDecoded(w: Int, h: Int, comps: Int,
+      bitDepth: Int, xr: Array[Int], yr: Array[Int],
+      cw: Array[Int], ch: Array[Int], planes: Array[Array[Int]])
 
   // ── MQ contexts (T.800 C.2.3 / Table C-3 initial index assignments):
   // 19 contexts — ZC 0-8, SC 9-13, MR 14-16, RL 17, UNIFORM 18 ─────────────
@@ -490,7 +508,8 @@ object Jpx {
   // ── codestream structures ────────────────────────────────────────────────
   private final case class Siz(w: Int, h: Int, x0: Int, y0: Int,
       xt: Int, yt: Int, xto: Int, yto: Int,
-      comps: Int, depth: Array[Int], signed: Array[Boolean])
+      comps: Int, depth: Array[Int], signed: Array[Boolean],
+      xr: Array[Int], yr: Array[Int])
 
   private final case class Cod(progression: Int, layers: Int, mct: Int,
       levels: Int, xcb: Int, ycb: Int, cbStyle: Int, reversible: Boolean,
@@ -517,8 +536,37 @@ object Jpx {
     * None for anything outside the supported subset or malformed input —
     * the never-fail discipline the whole raster lane follows. */
   def decode(data: Array[Byte]): Option[Decoded] =
+    decodeComponents(data).map(upsample)
+
+  /** Component-grid decode (planes NOT replicated to the reference grid) —
+    * the surface the subsampling cross-validation specs compare. */
+  private[graft] def decodeComponents(data: Array[Byte]): Option[CompDecoded] =
     try decodeImpl(data)
     catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Replicate component-grid planes up to the reference grid: image pixel
+    * (x, y) takes component sample (x / XRsiz, y / YRsiz) — the standard
+    * nearest-sample expansion for subsampled chroma. */
+  private def upsample(cd: CompDecoded): Decoded = {
+    val planes = Array.tabulate(cd.comps) { c =>
+      if (cd.xr(c) == 1 && cd.yr(c) == 1) cd.planes(c)
+      else {
+        val out = new Array[Int](cd.w * cd.h)
+        val src = cd.planes(c)
+        val cw = cd.cw(c)
+        var y = 0
+        while (y < cd.h) {
+          val srow = (y / cd.yr(c)) * cw
+          val drow = y * cd.w
+          var x = 0
+          while (x < cd.w) { out(drow + x) = src(srow + x / cd.xr(c)); x += 1 }
+          y += 1
+        }
+        out
+      }
+    }
+    Decoded(cd.w, cd.h, cd.comps, cd.bitDepth, planes)
+  }
 
   private def u16(d: Array[Byte], p: Int): Int = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
   private def u32(d: Array[Byte], p: Int): Long =
@@ -547,7 +595,7 @@ object Jpx {
     None
   }
 
-  private def decodeImpl(data: Array[Byte]): Option[Decoded] = {
+  private def decodeImpl(data: Array[Byte]): Option[CompDecoded] = {
     val (cs, csEnd) = findCodestream(data).getOrElse(return None)
     var p = cs
     if (p + 2 > csEnd || u16(data, p) != 0xff4f) return None
@@ -613,14 +661,19 @@ object Jpx {
               if (nc < 1 || nc > 4) return None
               val depth = new Array[Int](nc)
               val signed = new Array[Boolean](nc)
+              val xrs = new Array[Int](nc)
+              val yrs = new Array[Int](nc)
               var c = 0
               while (c < nc) {
                 val ss = data(p + 38 + 3 * c) & 0xff
                 depth(c) = (ss & 0x7f) + 1
                 signed(c) = (ss & 0x80) != 0
-                val xr = data(p + 39 + 3 * c) & 0xff
-                val yr = data(p + 40 + 3 * c) & 0xff
-                if (xr != 1 || yr != 1) return None // subsampling: out of subset
+                xrs(c) = data(p + 39 + 3 * c) & 0xff
+                yrs(c) = data(p + 40 + 3 * c) & 0xff
+                // component subsampling 1..8 (4:2:0, 4:2:2, 4:1:1 chroma all
+                // land here); larger factors are out of subset
+                if (xrs(c) < 1 || xrs(c) > 8 || yrs(c) < 1 || yrs(c) > 8)
+                  return None
                 c += 1
               }
               if (w <= x0 || h <= y0 || w.toLong * h > 64L * 1024 * 1024) return None
@@ -629,7 +682,8 @@ object Jpx {
               // depths past 16 would wrap the final-clamp shifts at 32
               if (depth.distinct.length != 1) return None
               if (depth(0) < 1 || depth(0) > 16) return None
-              siz = Siz(w, h, x0, y0, xt, yt, xto, yto, nc, depth, signed)
+              siz = Siz(w, h, x0, y0, xt, yt, xto, yto, nc, depth, signed,
+                xrs, yrs)
             case 0xff52 => // COD
               val scod = data(p + 2) & 0xff
               if ((scod & 1) != 0) return None // custom precincts: out of subset
@@ -698,19 +752,35 @@ object Jpx {
     }
     if (siz == null || cod == null || qcd == null || tileParts.isEmpty) return None
     // subset: zero grid offsets; multi-tile only when tile sizes stay a
-    // multiple of 2^levels, which keeps every resolution origin EVEN (the
-    // fixed interleave parity inverse2D assumes)
+    // multiple of XRsiz·2^levels per component, which keeps every
+    // component-grid tile origin — hence every resolution origin — EVEN
+    // (the fixed interleave parity inverse2D assumes)
     if (siz.x0 != 0 || siz.y0 != 0 || siz.xto != 0 || siz.yto != 0) return None
+    // MCT mixes components sample-for-sample: the spec only permits it when
+    // components 0-2 share a sampling grid
+    if (cod.mct == 1 && siz.comps >= 3 &&
+      (1 until 3).exists(c => siz.xr(c) != siz.xr(0) || siz.yr(c) != siz.yr(0)))
+      return None
 
     val numXTiles = ceilDiv(siz.w - siz.xto, siz.xt)
     val numYTiles = ceilDiv(siz.h - siz.yto, siz.yt)
     if (numXTiles < 1 || numYTiles < 1 || numXTiles.toLong * numYTiles > 65535) return None
-    if ((numXTiles > 1 || numYTiles > 1) &&
-      (siz.xt % (1 << cod.levels) != 0 || siz.yt % (1 << cod.levels) != 0)) return None
+    if (numXTiles > 1 || numYTiles > 1) {
+      var c = 0
+      while (c < siz.comps) {
+        val lv = codPerComp.getOrElse(c, cod).levels
+        if (siz.xt % (siz.xr(c) << lv) != 0 || siz.yt % (siz.yr(c) << lv) != 0)
+          return None
+        c += 1
+      }
+    }
 
     val imgW = siz.w - siz.x0
     val imgH = siz.h - siz.y0
-    val planes = Array.fill(siz.comps)(new Array[Int](imgW * imgH))
+    // per-component sample grids (B.2): plane c is compW(c)×compH(c)
+    val compW = Array.tabulate(siz.comps)(c => ceilDiv(siz.w, siz.xr(c)))
+    val compH = Array.tabulate(siz.comps)(c => ceilDiv(siz.h, siz.yr(c)))
+    val planes = Array.tabulate(siz.comps)(c => new Array[Int](compW(c) * compH(c)))
 
     // group tile-part segments by tile (in order)
     val byTile = tileParts.groupBy(_._1)
@@ -730,11 +800,16 @@ object Jpx {
           case Some(tilePlanes) =>
             var c = 0
             while (c < siz.comps) {
-              val tw = tx1 - tx0
-              var y = ty0
-              while (y < ty1) {
-                System.arraycopy(tilePlanes(c), (y - ty0) * tw, planes(c),
-                  (y - siz.y0) * imgW + (tx0 - siz.x0), tw)
+              // copy back at component-grid coordinates (B.3 ceil division)
+              val cx0 = ceilDiv(tx0, siz.xr(c))
+              val cy0 = ceilDiv(ty0, siz.yr(c))
+              val cx1 = ceilDiv(tx1, siz.xr(c))
+              val cy1 = ceilDiv(ty1, siz.yr(c))
+              val ctw = cx1 - cx0
+              var y = cy0
+              while (y < cy1) {
+                System.arraycopy(tilePlanes(c), (y - cy0) * ctw, planes(c),
+                  y * compW(c) + cx0, ctw)
                 y += 1
               }
               c += 1
@@ -744,11 +819,13 @@ object Jpx {
       }
       ti += 1
     }
-    Some(Decoded(imgW, imgH, siz.comps, siz.depth(0), planes))
+    Some(CompDecoded(imgW, imgH, siz.comps, siz.depth(0), siz.xr, siz.yr,
+      compW, compH, planes))
   }
 
   /** Decode one tile from its concatenated tile-part data. Returns per-
-    * component planes of (tx1-tx0)×(ty1-ty0). */
+    * component planes on each component's own sample grid: plane c is
+    * (ceil(tx1/XRsiz)-ceil(tx0/XRsiz)) × (ceil(ty1/YRsiz)-ceil(ty0/YRsiz)). */
   private def decodeTile(data: Array[Byte], parts: Seq[(Int, Int)],
       siz: Siz, codG: Cod, codPerComp: collection.Map[Int, Cod],
       qcdG: Qcd, qcdPerComp: collection.Map[Int, Qcd],
@@ -759,6 +836,11 @@ object Jpx {
     val compCod = Array.tabulate(comps)(c => codPerComp.getOrElse(c, codG))
     val compQcd = Array.tabulate(comps)(c => qcdPerComp.getOrElse(c, qcdG))
     val maxLevels = compCod.map(_.levels).max
+    // tile-component rectangles on each component's sample grid (B.3)
+    val ctx0 = Array.tabulate(comps)(c => ceilDiv(tx0, siz.xr(c)))
+    val cty0 = Array.tabulate(comps)(c => ceilDiv(ty0, siz.yr(c)))
+    val ctx1 = Array.tabulate(comps)(c => ceilDiv(tx1, siz.xr(c)))
+    val cty1 = Array.tabulate(comps)(c => ceilDiv(ty1, siz.yr(c)))
 
     def bandRect(kind: Int, nb: Int, cx0: Int, cy0: Int, cx1: Int, cy1: Int) = {
       // T.800 B.5: band coordinates at decomposition level nb
@@ -778,16 +860,17 @@ object Jpx {
       val cod = compCod(c)
       Array.tabulate(cod.levels + 1) { r =>
         val shift = cod.levels - r
-        val rx0 = ceilDiv(tx0, 1 << shift)
-        val ry0 = ceilDiv(ty0, 1 << shift)
-        val rx1 = ceilDiv(tx1, 1 << shift)
-        val ry1 = ceilDiv(ty1, 1 << shift)
+        val rx0 = ceilDiv(ctx0(c), 1 << shift)
+        val ry0 = ceilDiv(cty0(c), 1 << shift)
+        val rx1 = ceilDiv(ctx1(c), 1 << shift)
+        val ry1 = ceilDiv(cty1(c), 1 << shift)
         val bands: Array[Band] =
           if (r == 0) Array(mkBand(0, rx0, ry0, rx1, ry1, cod))
           else {
             val nb = cod.levels - r + 1
             Array(1, 2, 3).map { kind =>
-              val (bx0, by0, bx1, by1) = bandRect(kind, nb, tx0, ty0, tx1, ty1)
+              val (bx0, by0, bx1, by1) =
+                bandRect(kind, nb, ctx0(c), cty0(c), ctx1(c), cty1(c))
               mkBand(kind, bx0, by0, bx1, by1, cod)
             }
           }
@@ -844,8 +927,6 @@ object Jpx {
     if (!ok) return None
 
     // Tier-1 decode + dequant + inverse DWT per component
-    val tw = tx1 - tx0
-    val th = ty1 - ty0
     val out = new Array[Array[Int]](comps)
     var c = 0
     while (c < comps) {
@@ -931,7 +1012,8 @@ object Jpx {
         r += 1
       }
       // scale non-reversible coefficients already handled; store tile plane
-      val plane = new Array[Int](tw * th)
+      // on the component grid
+      val plane = new Array[Int]((ctx1(c) - ctx0(c)) * (cty1(c) - cty0(c)))
       var i = 0
       while (i < plane.length) {
         plane(i) = math.rint(ll(i)).toInt
@@ -941,9 +1023,12 @@ object Jpx {
       c += 1
     }
 
-    // inverse component transform + DC level shift
+    // inverse component transform + DC level shift (MCT requires identical
+    // sampling on components 0-2 — enforced at parse; lengths match here)
     if (codG.mct == 1 && comps >= 3) {
       val y = out(0); val u = out(1); val v = out(2)
+      if (u.length != y.length || v.length != y.length)
+        throw new IllegalStateException("MCT plane dims") // -> None
       if (compCod(0).reversible) {
         var i = 0
         while (i < y.length) {

@@ -311,8 +311,10 @@ object PdfImages {
           case "JPXDecode" =>
             // real decode (graft.pdf.Jpx, from the public T.800 spec): raw
             // codestreams and JP2 containers, 5/3 + 9/7 wavelets, EBCOT
-            // Tier-1/Tier-2, RCT/ICT. Outside-subset streams (subsampling,
-            // custom precincts, bypass coding, ROI) → metadata-only row.
+            // Tier-1/Tier-2, RCT/ICT, component subsampling (4:2:0/4:2:2
+            // chroma replicated to the reference grid). Outside-subset
+            // streams (custom precincts, bypass coding, ROI) →
+            // metadata-only row.
             Jpx.decode(payload).map { dec =>
               val img = new java.awt.image.BufferedImage(
                 dec.w, dec.h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -417,23 +417,38 @@ object JpxSynth {
 
   /** Full single-layer LRCP codestream for 1..4 components of equal depth.
     * `mct`: 0 none, 1 = component transform (RCT when reversible, ICT
-    * otherwise; requires ≥3 components). */
+    * otherwise; requires ≥3 components with identical sampling).
+    * `xrs`/`yrs`: per-component subsampling factors (empty = all 1); plane c
+    * of `planesIn` must then be `ceil(w/xrs(c)) × ceil(h/yrs(c))` — the
+    * component's own sample grid, exactly what the decoder reconstructs. */
   def encode(planesIn: Array[Array[Int]], w: Int, h: Int, depth: Int,
       levels: Int, reversible: Boolean = true, mct: Int = 0,
       cbExp: Int = 6, tileW: Int = 0, tileH: Int = 0,
       layers: Int = 1, segSymbols: Boolean = false,
       sop: Boolean = false, eph: Boolean = false,
-      cocSegSymbols: Map[Int, Boolean] = Map.empty): Array[Byte] = {
+      cocSegSymbols: Map[Int, Boolean] = Map.empty,
+      xrs: Seq[Int] = Nil, yrs: Seq[Int] = Nil): Array[Byte] = {
     val comps = planesIn.length
     require(comps >= 1 && comps <= 4)
+    val xr = if (xrs.nonEmpty) xrs.toArray else Array.fill(comps)(1)
+    val yr = if (yrs.nonEmpty) yrs.toArray else Array.fill(comps)(1)
+    require(xr.length == comps && yr.length == comps)
+    require(xr.forall(v => v >= 1 && v <= 8) && yr.forall(v => v >= 1 && v <= 8))
+    val cwFull = Array.tabulate(comps)(c => Jpx.ceilDiv(w, xr(c)))
+    val chFull = Array.tabulate(comps)(c => Jpx.ceilDiv(h, yr(c)))
+    (0 until comps).foreach(c =>
+      require(planesIn(c).length == cwFull(c) * chFull(c),
+        s"plane $c must be on its component grid"))
     val xt = if (tileW > 0) tileW else w
     val yt = if (tileH > 0) tileH else h
-    // DC shift + optional MCT, on full-image planes
+    // DC shift + optional MCT, on component-grid planes
     val shifted = planesIn.map(_.map(_ - (1 << (depth - 1))))
     if (mct == 1) {
       require(comps >= 3)
+      require((0 until 3).forall(c => xr(c) == xr(0) && yr(c) == yr(0)),
+        "MCT requires identical sampling on components 0-2")
       var i = 0
-      while (i < w * h) {
+      while (i < shifted(0).length) {
         val r = shifted(0)(i); val g = shifted(1)(i); val b = shifted(2)(i)
         if (reversible) {
           val y = (r + 2 * g + b) >> 2
@@ -464,7 +479,7 @@ object JpxSynth {
     w16(0xff51); w16(38 + 3 * comps); w16(0)
     w32(w); w32(h); w32(0); w32(0); w32(xt); w32(yt); w32(0); w32(0)
     w16(comps)
-    for (_ <- 0 until comps) { w8(depth - 1); w8(1); w8(1) }
+    for (c <- 0 until comps) { w8(depth - 1); w8(xr(c)); w8(yr(c)) }
     // COD: LRCP; Scod bits 1/2 signal SOP/EPH marker segments
     w16(0xff52); w16(12)
     w8((if (sop) 2 else 0) | (if (eph) 4 else 0))
@@ -489,13 +504,18 @@ object JpxSynth {
       val ty0 = py * yt
       val tx1 = math.min(tx0 + xt, w)
       val ty1 = math.min(ty0 + yt, h)
-      val tw = tx1 - tx0
-      val th = ty1 - ty0
       Array.tabulate(comps) { c =>
+        // tile-component rect on the component grid (B.3 ceil division)
+        val cx0 = Jpx.ceilDiv(tx0, xr(c))
+        val cy0 = Jpx.ceilDiv(ty0, yr(c))
+        val cx1 = Jpx.ceilDiv(tx1, xr(c))
+        val cy1 = Jpx.ceilDiv(ty1, yr(c))
+        val tw = cx1 - cx0
+        val th = cy1 - cy0
         val sub = new Array[Int](tw * th)
         var y = 0
         while (y < th) {
-          System.arraycopy(shifted(c), (ty0 + y) * w + tx0, sub, y * tw, tw)
+          System.arraycopy(shifted(c), (cy0 + y) * cwFull(c) + cx0, sub, y * tw, tw)
           y += 1
         }
         decompose(sub, tw, th, levels, reversible)
@@ -802,19 +822,29 @@ object JpxSynth {
 
   /** Minimal one-page PDF carrying one JPXDecode image XObject. `rgb` uses
     * three components + reversible RCT; `lossy` switches to the 9/7 wavelet;
-    * `jp2` wraps the codestream in the JP2 box container. */
+    * `jp2` wraps the codestream in the JP2 box container; `sub420` emits a
+    * three-component 4:2:0 stream (full-res luma, half-res chroma planes, no
+    * MCT) — the subsampled shape scanned color PDFs actually carry. */
   def pdfWithJpx(w: Int, h: Int, seed: Long, rgb: Boolean = false,
       lossy: Boolean = false, jp2: Boolean = false,
-      levels: Int = 2): Array[Byte] = {
+      levels: Int = 2, sub420: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val planes =
-      if (rgb) Array(testGray(w, h, seed), testGray(w, h, seed + 3),
+      if (sub420) {
+        val cw = (w + 1) / 2
+        val ch = (h + 1) / 2
+        Array(testGray(w, h, seed), testGray(cw, ch, seed + 3),
+          testGray(cw, ch, seed + 7))
+      } else if (rgb) Array(testGray(w, h, seed), testGray(w, h, seed + 3),
         testGray(w, h, seed + 7))
       else Array(testGray(w, h, seed))
-    val cs0 = encode(planes, w, h, 8, levels, reversible = !lossy,
-      mct = if (rgb) 1 else 0)
+    val cs0 =
+      if (sub420) encode(planes, w, h, 8, levels, reversible = !lossy,
+        mct = 0, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2))
+      else encode(planes, w, h, 8, levels, reversible = !lossy,
+        mct = if (rgb) 1 else 0)
     val stream = if (jp2) wrapJp2(cs0, w, h, planes.length, 8) else cs0
-    val csName = if (rgb) "/DeviceRGB" else "/DeviceGray"
+    val csName = if (rgb || sub420) "/DeviceRGB" else "/DeviceGray"
     val content = s"q $w 0 0 $h 100 600 cm /ImX Do Q"
     val head = (s"""%PDF-1.5
        |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj

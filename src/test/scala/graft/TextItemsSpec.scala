@@ -7,16 +7,19 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 /** Item-level parity against the reference's AUTHENTIC text-content output:
-  * the src/test/resources/reference-*-page1-items.json fixtures were produced
-  * by the vendored engine itself under node (the getinfo.js surface —
-  * page.getTextContent() on page 1 of each corpus PDF, item strs + dirs
-  * dumped as JSON). Our TextItems walker must reproduce all 1290 items
-  * (648 + 118 + 245 + 279) one for one. */
+  * the src/test/resources/reference-*-page{1,2,3}-items.json fixtures were
+  * produced by the vendored engine itself under node (the getinfo.js
+  * surface — page.getTextContent() on pages 1-3 of each corpus PDF, item
+  * strs + dirs dumped as JSON). Our TextItems walker must reproduce all
+  * 4266 items (pages 1-3 of four papers) one for one — multi-page coverage
+  * so the parity claim isn't a page-1-only induction. */
 class TextItemsSpec extends AnyFunSuite {
 
   /** Minimal JSON parse for the fixture's flat shape
     * [{"str":..,"dir":..,"fontName":..},..] — no JSON dependency exists in
-    * this build, and the strings only contain \" and \\uXXXX escapes. */
+    * this build. Handles the full JSON escape set: Type3 math fonts with
+    * identity-ish encodings emit control chars that serialize as \b \f \r
+    * (decoding those as literal 'b'/'f'/'r' once produced phantom diffs). */
   private def parseFixture(json: String): Vector[(String, String)] = {
     val out = Vector.newBuilder[(String, String)]
     val m = java.util.regex.Pattern
@@ -35,7 +38,10 @@ class TextItemsSpec extends AnyFunSuite {
               i += 6
             case 'n' => sb.append('\n'); i += 2
             case 't' => sb.append('\t'); i += 2
-            case other => sb.append(other); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case other => sb.append(other); i += 2 // \" \\ \/
           }
         } else { sb.append(c); i += 1 }
       }
@@ -44,24 +50,29 @@ class TextItemsSpec extends AnyFunSuite {
     out.result()
   }
 
-  test("all four reference PDFs page 1: item-for-item equality with getTextContent") {
-    val counts = Map("C04-1204" -> 648, "1301.4293" -> 118,
-      "test24" -> 245, "test25" -> 279)
-    counts.foreach { case (name, n) =>
-      val fp = Paths.get(s"src/test/resources/reference-$name-page1-items.json")
+  test("all four reference PDFs pages 1-3: item-for-item equality with getTextContent") {
+    val counts = Map(
+      ("C04-1204", 1) -> 648, ("1301.4293", 1) -> 118,
+      ("test24", 1) -> 245, ("test25", 1) -> 279,
+      ("C04-1204", 2) -> 740, ("1301.4293", 2) -> 310,
+      ("test24", 2) -> 528, ("test25", 2) -> 139,
+      ("C04-1204", 3) -> 623, ("1301.4293", 3) -> 113,
+      ("test24", 3) -> 391, ("test25", 3) -> 132)
+    counts.toSeq.sortBy(k => (k._1._1, k._1._2)).foreach { case ((name, page), n) =>
+      val fp = Paths.get(s"src/test/resources/reference-$name-page$page-items.json")
       val pp = Paths.get(s"/root/reference/src/test/resources/input/$name.pdf")
       if (!Files.exists(fp) || !Files.exists(pp))
         cancel(s"fixture or reference PDF not present for $name")
       val expected = parseFixture(
         new String(Files.readAllBytes(fp), StandardCharsets.UTF_8))
-      assert(expected.length == n, s"$name fixture size")
+      assert(expected.length == n, s"$name p$page fixture size")
       val doc = PdfDocument.open(Files.readAllBytes(pp))
-      val got = doc.textContentItems(0)
+      val got = doc.textContentItems(page - 1)
       assert(got.length == expected.length,
-        s"$name item count ${got.length} vs ${expected.length}")
+        s"$name p$page item count ${got.length} vs ${expected.length}")
       got.zip(expected).zipWithIndex.foreach { case ((item, (str, dir)), i) =>
-        assert(item.str == str, s"$name item $i: '${item.str}' vs '$str'")
-        assert(item.dir == dir, s"$name item $i dir")
+        assert(item.str == str, s"$name p$page item $i: '${item.str}' vs '$str'")
+        assert(item.dir == dir, s"$name p$page item $i dir")
       }
     }
   }

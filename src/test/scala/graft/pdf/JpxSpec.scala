@@ -26,7 +26,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * `Jpx.decode`'s planes after DC shift/clamp). That pins this codec pair's
   * bit conventions (MQ contexts, scan order, packet headers, tag trees,
   * lifting, RCT) to the interchange behavior of a conformant third-party
-  * decoder, not just to internal round-trip consistency. */
+  * decoder, not just to internal round-trip consistency.
+  *
+  * Round 6 adds SIX SUBSAMPLED classes (/tmp/jpx_harness_sub.js, compared
+  * pre-interleave against each transformTile output with the non-MCT
+  * shift/clamp applied): gray XRsiz=YRsiz=2 at even and odd dims, gray 3×3,
+  * and three-component 4:2:0 — 5/3, 9/7 and a 2-tile grid — all at
+  * 0 mismatched samples against `Jpx.decodeComponents`' component-grid
+  * planes. Caveats pinned during this: the vendored SIZ parse has TWO bugs
+  * (pdf.combined.js:10839-10848 — YRsiz reads the XRsiz byte, and the
+  * per-component cursor `j` is never advanced, so every component gets
+  * component 0's Ssiz/XRsiz/YRsiz); single-component streams are unaffected
+  * (validated against the untouched harness), while the multi-component
+  * runs patch exactly those two parse lines — the vendored grid math
+  * (calculateComponentDimensions/calculateTileGrids), packet iteration,
+  * Tier-1/Tier-2 and wavelet code run unmodified. Its final interleave also
+  * assumes equal component sizes (transformComponents writes tile0-sized
+  * strides), so comparison happens per component before interleaving;
+  * our reference-grid replication (`upsample`) is covered by the
+  * replication assertions below. */
 class JpxSpec extends AnyFunSuite {
 
   private def u16(d: Array[Byte], p: Int) = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
@@ -291,6 +309,103 @@ class JpxSpec extends AnyFunSuite {
       assert(outOff.get.planes(c).toSeq == planes(c).toSeq, s"off: comp $c")
   }
 
+  test("subsampled components round-trip on their own grids (4:2:0, 4:2:2)") {
+    // each component decodes on its ceil(w/XRsiz)×ceil(h/YRsiz) grid (B.2);
+    // decodeComponents exposes the raw grids, decode() replicates up
+    for ((w, h, fx, fy, lbl) <- Seq(
+      (64, 48, 2, 2, "4:2:0"), (64, 48, 2, 1, "4:2:2"),
+      (57, 43, 2, 2, "odd dims"), (33, 25, 3, 2, "3x2"))) {
+      val cw = Jpx.ceilDiv(w, fx)
+      val ch = Jpx.ceilDiv(h, fy)
+      val planes = Array(JpxSynth.testGray(w, h, 1),
+        JpxSynth.testGray(cw, ch, 4), JpxSynth.testGray(cw, ch, 9))
+      val cs = JpxSynth.encode(planes, w, h, 8, 2,
+        xrs = Seq(1, fx, fx), yrs = Seq(1, fy, fy))
+      val cd = Jpx.decodeComponents(cs)
+      assert(cd.isDefined, lbl)
+      val d = cd.get
+      assert((d.cw(1), d.ch(1)) == ((cw, ch)), lbl)
+      for (c <- 0 until 3)
+        assert(d.planes(c).toSeq == planes(c).toSeq, s"$lbl comp $c")
+      // the public surface replicates chroma samples to the full grid
+      val up = Jpx.decode(cs).get
+      assert((up.w, up.h) == ((w, h)), lbl)
+      var mismatch = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (up.planes(1)(y * w + x) != planes(1)((y / fy) * cw + x / fx))
+            mismatch += 1
+          x += 1
+        }
+        y += 1
+      }
+      assert(mismatch == 0, s"$lbl replication")
+    }
+  }
+
+  test("subsampled 9/7 reconstructs within tolerance; multi-tile aligns") {
+    val (w, h) = (64, 48)
+    val cw = w / 2
+    val ch = h / 2
+    val planes = Array(JpxSynth.testGray(w, h, 2),
+      JpxSynth.testGray(cw, ch, 5), JpxSynth.testGray(cw, ch, 8))
+    val cs97 = JpxSynth.encode(planes, w, h, 8, 2, reversible = false,
+      xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2))
+    val d97 = Jpx.decodeComponents(cs97)
+    assert(d97.isDefined)
+    for (c <- 0 until 3) {
+      val got = d97.get.planes(c)
+      val src = planes(c)
+      val mse = src.indices.map(i => { val e = got(i) - src(i); e.toDouble * e })
+        .sum / src.length
+      val psnr = 10 * math.log10(255.0 * 255 / math.max(mse, 1e-9))
+      assert(psnr > 40, f"comp $c PSNR $psnr%.1f")
+    }
+    // multi-tile + subsampling: tile size must divide by XRsiz<<levels so
+    // component tile origins stay even; component tiles stay block-aligned
+    // with cbExp=3 (8 << 2 = 32 divides the 32-sample component tile)
+    val (w2, h2) = (128, 64)
+    val planes2 = Array(JpxSynth.testGray(w2, h2, 3),
+      JpxSynth.testGray(w2 / 2, h2 / 2, 6), JpxSynth.testGray(w2 / 2, h2 / 2, 11))
+    val csMt = JpxSynth.encode(planes2, w2, h2, 8, 2, cbExp = 3,
+      tileW = 64, tileH = 64, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2))
+    val dMt = Jpx.decodeComponents(csMt)
+    assert(dMt.isDefined)
+    for (c <- 0 until 3)
+      assert(dMt.get.planes(c).toSeq == planes2(c).toSeq, s"mt comp $c")
+    // misaligned tile size (36 % (2<<2) != 0 for the chroma comps): reject
+    val csBad = JpxSynth.encode(planes2, w2, h2, 8, 2, cbExp = 3,
+      tileW = 36, tileH = 64, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2))
+    assert(Jpx.decode(csBad).isEmpty, "misaligned multi-tile must reject")
+  }
+
+  test("MCT over mixed subsampling rejects (spec constraint)") {
+    // patch a 4:2:0 no-MCT stream's COD multiple-component-transform byte:
+    // the decoder must refuse rather than mix planes of different sizes
+    val (w, h) = (32, 24)
+    val planes = Array(JpxSynth.testGray(w, h, 1),
+      JpxSynth.testGray(16, 12, 4), JpxSynth.testGray(16, 12, 9))
+    val cs = JpxSynth.encode(planes, w, h, 8, 2,
+      xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2))
+    assert(Jpx.decode(cs).isDefined)
+    val cod = findMarker(cs, 0xff52)
+    val b = cs.clone()
+    b(cod + 4 + 4) = 1 // SGcod MCT byte (Scod prog layers(2) | mct)
+    assert(Jpx.decode(b).isEmpty)
+  }
+
+  test("4:2:0 PDF decodes through the full raster lane") {
+    val pdf = JpxSynth.pdfWithJpx(64, 48, seed = 2, sub420 = true)
+    val imgs = PdfImages.list(PdfDocument.open(pdf))
+    assert(imgs.length == 1)
+    val i = imgs.head
+    assert((i.filter, i.colorSpace) == (("JPXDecode", "DeviceRGB")))
+    assert((i.decodedW, i.decodedH, i.decodedBands) == ((64, 48, 3)))
+    assert(i.grayMean > 0)
+  }
+
   test("out-of-subset streams degrade to None, never wrong pixels") {
     val (w, h) = (32, 24)
     val cs = JpxSynth.encode(Array(JpxSynth.testGray(w, h, 3)), w, h, 8, 2)
@@ -299,9 +414,11 @@ class JpxSpec extends AnyFunSuite {
     def patched(pos: Int, v: Int): Array[Byte] = {
       val b = cs.clone(); b(pos) = v.toByte; b
     }
-    // component subsampling (XRsiz comp 0 = 2; the length field sits at
-    // siz+2, so comp-0 XRsiz is at (siz+2)+39)
-    assert(Jpx.decode(patched(siz + 2 + 39, 2)).isEmpty)
+    // component subsampling factors beyond 8 (or zero) are out of subset;
+    // the length field sits at siz+2, so comp-0 XRsiz is at (siz+2)+39
+    assert(Jpx.decode(patched(siz + 2 + 39, 9)).isEmpty)
+    assert(Jpx.decode(patched(siz + 2 + 39, 0)).isEmpty)
+    assert(Jpx.decode(patched(siz + 2 + 40, 255)).isEmpty) // YRsiz too
     // custom precincts (Scod bit 0)
     assert(Jpx.decode(patched(cod + 4, 1)).isEmpty)
     // code-block style flags (selective bypass)
