@@ -890,39 +890,34 @@ object Jpx {
       if (parts.length == 1) (parts.head._1, parts.head._2) else (0, stream.length)
 
     // packet iteration: with the default single whole-subband precinct the
-    // five progressions reduce to permutations of (layer, resolution,
-    // component); position is a single point
+    // position loop is a single point, so the five progressions (B.12)
+    // reduce to loop nestings of (layer, resolution, component) — LRCP
+    // l(r(c)), RLCP r(l(c)), RPCL r(p(c(l))) → r(c(l)), and PCRL/CPRL both
+    // degenerate to c(r(l)) since every precinct shares one position
     val layers = codG.layers
-    val order = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (comp, res)
+    val order = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)] // (comp, res, layer)
     codG.progression match {
       case 0 => // LRCP
-        for (r <- 0 to maxLevels; c <- 0 until comps)
-          if (r < resolutions(c).length) order += ((c, r))
-      case 1 | 2 => // RLCP / RPCL: resolution-major
-        for (r <- 0 to maxLevels; c <- 0 until comps)
-          if (r < resolutions(c).length) order += ((c, r))
-      case _ => // PCRL / CPRL: component-major
-        for (c <- 0 until comps; r <- 0 to maxLevels)
-          if (r < resolutions(c).length) order += ((c, r))
+        for (l <- 0 until layers; r <- 0 to maxLevels; c <- 0 until comps)
+          if (r < resolutions(c).length) order += ((c, r, l))
+      case 1 => // RLCP
+        for (r <- 0 to maxLevels; l <- 0 until layers; c <- 0 until comps)
+          if (r < resolutions(c).length) order += ((c, r, l))
+      case 2 => // RPCL
+        for (r <- 0 to maxLevels; c <- 0 until comps; l <- 0 until layers)
+          if (r < resolutions(c).length) order += ((c, r, l))
+      case _ => // PCRL / CPRL
+        for (c <- 0 until comps; r <- 0 to maxLevels; l <- 0 until layers)
+          if (r < resolutions(c).length) order += ((c, r, l))
     }
 
     val br = new PacketBitReader(stream, sStart, sEnd)
-    var layer = 0
     var ok = true
-    while (ok && layer < layers) {
-      // LRCP iterates (layer(r,c)) inner; others iterate layer inner — with
-      // default precincts both visit every (layer, r, c) exactly once, and
-      // for a SINGLE layer (the subset the fixture encoder emits and PDF
-      // viewers overwhelmingly meet) all five orders coincide. Multi-layer
-      // non-LRCP streams would interleave differently; reject them.
-      if (layers > 1 && codG.progression != 0) return None
-      var oi = 0
-      while (ok && oi < order.length) {
-        val (c, r) = order(oi)
-        ok = parsePacket(br, stream, sEnd, resolutions(c)(r), compCod(c), layer)
-        oi += 1
-      }
-      layer += 1
+    var oi = 0
+    while (ok && oi < order.length) {
+      val (c, r, l) = order(oi)
+      ok = parsePacket(br, stream, sEnd, resolutions(c)(r), compCod(c), l)
+      oi += 1
     }
     if (!ok) return None
 

@@ -415,19 +415,24 @@ object JpxSynth {
     out
   }
 
-  /** Full single-layer LRCP codestream for 1..4 components of equal depth.
+  /** Full codestream for 1..4 components of equal depth.
     * `mct`: 0 none, 1 = component transform (RCT when reversible, ICT
     * otherwise; requires ≥3 components with identical sampling).
     * `xrs`/`yrs`: per-component subsampling factors (empty = all 1); plane c
     * of `planesIn` must then be `ceil(w/xrs(c)) × ceil(h/yrs(c))` — the
-    * component's own sample grid, exactly what the decoder reconstructs. */
+    * component's own sample grid, exactly what the decoder reconstructs.
+    * `prog`: progression order 0..4 (LRCP/RLCP/RPCL/PCRL/CPRL); under the
+    * default single whole-subband precinct these are the B.12 loop nestings
+    * l(r(c)), r(l(c)), r(c(l)), c(r(l)), c(r(l)). */
   def encode(planesIn: Array[Array[Int]], w: Int, h: Int, depth: Int,
       levels: Int, reversible: Boolean = true, mct: Int = 0,
       cbExp: Int = 6, tileW: Int = 0, tileH: Int = 0,
       layers: Int = 1, segSymbols: Boolean = false,
       sop: Boolean = false, eph: Boolean = false,
       cocSegSymbols: Map[Int, Boolean] = Map.empty,
-      xrs: Seq[Int] = Nil, yrs: Seq[Int] = Nil): Array[Byte] = {
+      xrs: Seq[Int] = Nil, yrs: Seq[Int] = Nil,
+      prog: Int = 0): Array[Byte] = {
+    require(prog >= 0 && prog <= 4)
     val comps = planesIn.length
     require(comps >= 1 && comps <= 4)
     val xr = if (xrs.nonEmpty) xrs.toArray else Array.fill(comps)(1)
@@ -480,10 +485,10 @@ object JpxSynth {
     w32(w); w32(h); w32(0); w32(0); w32(xt); w32(yt); w32(0); w32(0)
     w16(comps)
     for (c <- 0 until comps) { w8(depth - 1); w8(xr(c)); w8(yr(c)) }
-    // COD: LRCP; Scod bits 1/2 signal SOP/EPH marker segments
+    // COD: progression order; Scod bits 1/2 signal SOP/EPH marker segments
     w16(0xff52); w16(12)
     w8((if (sop) 2 else 0) | (if (eph) 4 else 0))
-    w8(0); w16(layers); w8(mct)
+    w8(prog); w16(layers); w8(mct)
     w8(levels); w8(cbExp - 2); w8(cbExp - 2)
     w8(if (segSymbols) 0x20 else 0); w8(if (reversible) 1 else 0)
     // COC per-component overrides: same levels/cb/wavelet as the COD, but a
@@ -560,26 +565,27 @@ object JpxSynth {
       val plans = Array.tabulate(comps)(c => Array.tabulate(levels + 1)(r =>
         planResolution(tilePlans(ti)(c)(r), r, cbExp, expByIdx, sbIndex,
           layers, cocSegSymbols.getOrElse(c, segSymbols))))
-      var l = 0
+      // packet order per the signalled progression (single precinct)
+      val order: Seq[(Int, Int, Int)] = prog match { // (comp, res, layer)
+        case 0 => for (l <- 0 until layers; r <- 0 to levels; c <- 0 until comps)
+          yield (c, r, l)
+        case 1 => for (r <- 0 to levels; l <- 0 until layers; c <- 0 until comps)
+          yield (c, r, l)
+        case 2 => for (r <- 0 to levels; c <- 0 until comps; l <- 0 until layers)
+          yield (c, r, l)
+        case _ => for (c <- 0 until comps; r <- 0 to levels; l <- 0 until layers)
+          yield (c, r, l)
+      }
       var seq = 0 // packet sequence number for SOP segments
-      while (l < layers) {
-        var r = 0
-        while (r <= levels) {
-          var c = 0
-          while (c < comps) {
-            if (sop) {
-              // SOP marker segment (A.8.1): FF91 Lsop=4 Nsop
-              body.write(0xff); body.write(0x91)
-              body.write(0); body.write(4)
-              body.write((seq >> 8) & 0xff); body.write(seq & 0xff)
-              seq = (seq + 1) & 0xffff
-            }
-            body.write(emitPacket(plans(c)(r), l, layers, eph))
-            c += 1
-          }
-          r += 1
+      order.foreach { case (c, r, l) =>
+        if (sop) {
+          // SOP marker segment (A.8.1): FF91 Lsop=4 Nsop
+          body.write(0xff); body.write(0x91)
+          body.write(0); body.write(4)
+          body.write((seq >> 8) & 0xff); body.write(seq & 0xff)
+          seq = (seq + 1) & 0xffff
         }
-        l += 1
+        body.write(emitPacket(plans(c)(r), l, layers, eph))
       }
       val bodyBytes = body.toByteArray
       // SOT

@@ -1,0 +1,48 @@
+package graft
+
+import graft.pdf.Jpx
+import graft.testgen.JpxSynth
+
+/** Scratch cross-validation main (test scope): emit JpxSynth codestreams for
+  * the multi-layer non-LRCP progression classes plus our decoder's output
+  * (interleaved, DC-shifted/clamped 0-255 — the vendored tile-item format)
+  * so /tmp/jpx_harness.js can be diffed against them out-of-band. */
+object JpxXval {
+  def main(args: Array[String]): Unit = {
+    val (w, h) = (48, 40)
+    val planes = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 4),
+      JpxSynth.testGray(w, h, 9))
+    val gray = Array(JpxSynth.testGray(w, h, 7))
+    val cases: Seq[(String, Array[Byte], Int)] = Seq(
+      ("rlcp_l2", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = 2, prog = 1), 3),
+      ("rlcp_l3", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = 3, prog = 1), 3),
+      ("rpcl_l3", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = 3, prog = 2), 3),
+      ("pcrl_l2", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = 2, prog = 3), 3),
+      ("cprl_l3", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = 3, prog = 4), 3),
+      ("rpcl_gray_l3_97", JpxSynth.encode(gray, w, h, 8, 2, reversible = false, layers = 3, prog = 2), 1),
+      ("cprl_sopeph_l2", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = 2, prog = 4, sop = true, eph = true), 3))
+    for ((name, cs, comps) <- cases) {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/xval_$name.j2k"), cs)
+      val d = Jpx.decode(cs).getOrElse(sys.error(s"our decoder rejected $name"))
+      require(d.planes.length == comps)
+      val items = new Array[Int](w * h * comps)
+      var i = 0
+      var px = 0
+      while (px < w * h) {
+        var c = 0
+        while (c < comps) {
+          items(i) = math.max(0, math.min(255, d.planes(c)(px)))
+          i += 1; c += 1
+        }
+        px += 1
+      }
+      val sb = new StringBuilder
+      sb.append(s"""{"w":$w,"h":$h,"comps":$comps,"items":[""")
+      sb.append(items.mkString(","))
+      sb.append("]}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/xval_$name.ours.json"),
+        sb.toString.getBytes("UTF-8"))
+      println(s"wrote $name (${cs.length} bytes)")
+    }
+  }
+}

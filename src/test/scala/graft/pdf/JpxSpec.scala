@@ -44,7 +44,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * assumes equal component sizes (transformComponents writes tile0-sized
   * strides), so comparison happens per component before interleaving;
   * our reference-grid replication (`upsample`) is covered by the
-  * replication assertions below. */
+  * replication assertions below.
+  *
+  * Round 6 also adds SEVEN MULTI-LAYER NON-LRCP classes (test-scope main
+  * `graft.JpxXval` emits them; unpatched /tmp/jpx_harness.js decodes):
+  * RLCP at 2 and 3 layers, RPCL at 3, PCRL at 2, CPRL at 3 (all RGB+RCT),
+  * a 3-layer RPCL gray 9/7, and a 2-layer CPRL stream with SOP+EPH — all
+  * 0 mismatched samples, pinning the B.12 packet-interleave orders (under
+  * the default single whole-subband precinct the five progressions reduce
+  * to the loop nestings l(r(c)), r(l(c)), r(c(l)), c(r(l)), c(r(l))). */
 class JpxSpec extends AnyFunSuite {
 
   private def u16(d: Array[Byte], p: Int) = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
@@ -232,6 +240,33 @@ class JpxSpec extends AnyFunSuite {
     val dFlat = Jpx.decode(csFlat)
     assert(dFlat.isDefined)
     assert(dFlat.get.planes(0).toSeq == flat.toSeq)
+  }
+
+  test("multi-layer non-LRCP progressions round-trip (RLCP/RPCL/PCRL/CPRL)") {
+    // under the default single whole-subband precinct the five progressions
+    // are loop nestings of (layer, resolution, component); multi-layer
+    // streams interleave packets differently per order — each must parse
+    val (w, h) = (48, 40)
+    val planes = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 4),
+      JpxSynth.testGray(w, h, 9))
+    for (prog <- 1 to 4; layers <- Seq(2, 3)) {
+      val cs = JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = layers,
+        prog = prog)
+      val d = Jpx.decode(cs)
+      assert(d.isDefined, s"prog=$prog layers=$layers")
+      for (c <- 0 until 3)
+        assert(d.get.planes(c).toSeq == planes(c).toSeq,
+          s"prog=$prog layers=$layers comp $c")
+    }
+    // 4:2:0 subsampled + RPCL + 3 layers + SOP/EPH in one stream
+    val sub = Array(JpxSynth.testGray(w, h, 2),
+      JpxSynth.testGray(24, 20, 5), JpxSynth.testGray(24, 20, 8))
+    val cs = JpxSynth.encode(sub, w, h, 8, 2, layers = 3, prog = 2,
+      sop = true, eph = true, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2))
+    val d = Jpx.decodeComponents(cs)
+    assert(d.isDefined)
+    for (c <- 0 until 3)
+      assert(d.get.planes(c).toSeq == sub(c).toSeq, s"sub comp $c")
   }
 
   test("segmentation symbols (style 0x20) round-trip and reject other styles") {
