@@ -32,36 +32,45 @@ final case class TextItem(str: String, dir: String, fontFamily: String,
   *     space glyph (46101-46107);
   *   - per-item bidi with an ltr/rtl direction (runBidiTransform, 46033).
   *
-  * Disclosed deltas (str-neutral for the committed C04 fixture gate):
-  * the Type3 tsm height adjustment only shapes item.height, not item.str;
-  * the reference's full compatibility-normalization table is carried here
-  * as the Latin-ligature subset its fixtures exercise. Vertical items
-  * advance by /W2 vmetrics like the reference. */
+  * Disclosed deltas (str-neutral for the committed fixture gates):
+  * the Type3 tsm height adjustment only shapes item.height, not item.str.
+  * The reference's full 1377-entry compatibility-normalization table is
+  * carried verbatim (resource graft/normalized-unicodes.txt — round 6;
+  * the Latin-ligature subset stopped sufficing once the parity gate grew
+  * to every corpus page). Vertical items advance by /W2 vmetrics like the
+  * reference. */
 object TextItems {
 
-  /** NormalizedUnicodes subset (the reference maps every compatibility
-    * decomposition, pdf.combined.js:16856+; the Latin ligatures are the ones
-    * embedded text actually produces through /ToUnicode). */
-  private def normalize(s: String): String = {
-    var i = 0
-    var needs = false
-    while (!needs && i < s.length) {
-      val c = s.charAt(i)
-      if (c >= 'ﬀ' && c <= 'ﬆ') needs = true
-      i += 1
-    }
-    if (!needs) s
-    else s.flatMap {
-      case 'ﬀ' => "ff"
-      case 'ﬁ' => "fi"
-      case 'ﬂ' => "fl"
-      case 'ﬃ' => "ffi"
-      case 'ﬄ' => "ffl"
-      case 'ﬅ' => "ſt"
-      case 'ﬆ' => "st"
-      case c => c.toString
-    }
+  /** The full compatibility-normalization table the reference applies to
+    * each glyph's unicode string before item assembly
+    * (pdf.combined.js:16856-18250, applied at 46083-46086): 1377
+    * single-char keys → replacement sequences (spacing diacritics to
+    * space+combining mark, ligatures, presentation forms). NOT plain NFKD —
+    * 69 entries deviate (e.g. U+01C4 → "DŽ", U+FB05 → "ſt") and ~1000
+    * compat-decomposable chars are deliberately absent — so the mapping is
+    * carried verbatim as a classpath resource. Lookup is keyed on the WHOLE
+    * glyph string, and every key is one char, so multi-char /ToUnicode
+    * expansions never normalize (same as the reference). */
+  private lazy val normalizedUnicodes: java.util.HashMap[Character, String] = {
+    val m = new java.util.HashMap[Character, String](2048)
+    val in = getClass.getResourceAsStream("/graft/normalized-unicodes.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().foreach { line =>
+      val sep = line.indexOf(';')
+      val key = Integer.parseInt(line.substring(0, sep), 16).toChar
+      val value = line.substring(sep + 1).split(' ')
+        .map(h => Integer.parseInt(h, 16).toChar).mkString
+      m.put(key, value)
+    } finally src.close()
+    m
   }
+
+  private def normalize(s: String): String =
+    if (s.length != 1) s
+    else {
+      val v = normalizedUnicodes.get(s.charAt(0))
+      if (v == null) s else v
+    }
 
   private final class State {
     var ctm: Array[Double] = NumFmt.Identity

@@ -7,12 +7,13 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 /** Item-level parity against the reference's AUTHENTIC text-content output:
-  * the src/test/resources/reference-*-page{1,2,3}-items.json fixtures were
+  * the src/test/resources/reference-*-page*-items.json fixtures were
   * produced by the vendored engine itself under node (the getinfo.js
-  * surface — page.getTextContent() on pages 1-3 of each corpus PDF, item
+  * surface — page.getTextContent() on EVERY page of each corpus PDF, item
   * strs + dirs dumped as JSON). Our TextItems walker must reproduce all
-  * 4266 items (pages 1-3 of four papers) one for one — multi-page coverage
-  * so the parity claim isn't a page-1-only induction. */
+  * 10556 items (30 pages: 1301.4293 ×4, C04-1204 ×7, test24 ×12,
+  * test25 ×7) one for one — full-document coverage, no per-page
+  * induction gap. */
 class TextItemsSpec extends AnyFunSuite {
 
   /** Minimal JSON parse for the fixture's flat shape
@@ -50,31 +51,47 @@ class TextItemsSpec extends AnyFunSuite {
     out.result()
   }
 
-  test("all four reference PDFs pages 1-3: item-for-item equality with getTextContent") {
+  test("all four reference PDFs, every page: item-for-item equality with getTextContent") {
+    // per-(paper, page) item counts pinned from the vendored-engine fixtures
     val counts = Map(
-      ("C04-1204", 1) -> 648, ("1301.4293", 1) -> 118,
-      ("test24", 1) -> 245, ("test25", 1) -> 279,
-      ("C04-1204", 2) -> 740, ("1301.4293", 2) -> 310,
-      ("test24", 2) -> 528, ("test25", 2) -> 139,
-      ("C04-1204", 3) -> 623, ("1301.4293", 3) -> 113,
-      ("test24", 3) -> 391, ("test25", 3) -> 132)
-    counts.toSeq.sortBy(k => (k._1._1, k._1._2)).foreach { case ((name, page), n) =>
-      val fp = Paths.get(s"src/test/resources/reference-$name-page$page-items.json")
+      ("1301.4293", 1) -> 118, ("1301.4293", 2) -> 310,
+      ("1301.4293", 3) -> 113, ("1301.4293", 4) -> 44,
+      ("C04-1204", 1) -> 648, ("C04-1204", 2) -> 740,
+      ("C04-1204", 3) -> 623, ("C04-1204", 4) -> 725,
+      ("C04-1204", 5) -> 787, ("C04-1204", 6) -> 695,
+      ("C04-1204", 7) -> 625,
+      ("test24", 1) -> 245, ("test24", 2) -> 528, ("test24", 3) -> 391,
+      ("test24", 4) -> 463, ("test24", 5) -> 206, ("test24", 6) -> 244,
+      ("test24", 7) -> 162, ("test24", 8) -> 220, ("test24", 9) -> 296,
+      ("test24", 10) -> 175, ("test24", 11) -> 388, ("test24", 12) -> 493,
+      ("test25", 1) -> 279, ("test25", 2) -> 139, ("test25", 3) -> 132,
+      ("test25", 4) -> 85, ("test25", 5) -> 141, ("test25", 6) -> 390,
+      ("test25", 7) -> 151)
+    assert(counts.values.sum == 10556)
+    var total = 0
+    counts.keys.map(_._1).toSeq.distinct.sorted.foreach { name =>
       val pp = Paths.get(s"/root/reference/src/test/resources/input/$name.pdf")
-      if (!Files.exists(fp) || !Files.exists(pp))
-        cancel(s"fixture or reference PDF not present for $name")
-      val expected = parseFixture(
-        new String(Files.readAllBytes(fp), StandardCharsets.UTF_8))
-      assert(expected.length == n, s"$name p$page fixture size")
+      if (!Files.exists(pp)) cancel(s"reference PDF not present for $name")
       val doc = PdfDocument.open(Files.readAllBytes(pp))
-      val got = doc.textContentItems(page - 1)
-      assert(got.length == expected.length,
-        s"$name p$page item count ${got.length} vs ${expected.length}")
-      got.zip(expected).zipWithIndex.foreach { case ((item, (str, dir)), i) =>
-        assert(item.str == str, s"$name p$page item $i: '${item.str}' vs '$str'")
-        assert(item.dir == dir, s"$name p$page item $i dir")
+      val pages = counts.keys.filter(_._1 == name).map(_._2).max
+      assert(doc.pages.length == pages, s"$name page count")
+      (1 to pages).foreach { page =>
+        val fp = Paths.get(s"src/test/resources/reference-$name-page$page-items.json")
+        if (!Files.exists(fp)) cancel(s"fixture not present for $name p$page")
+        val expected = parseFixture(
+          new String(Files.readAllBytes(fp), StandardCharsets.UTF_8))
+        assert(expected.length == counts((name, page)), s"$name p$page fixture size")
+        val got = doc.textContentItems(page - 1)
+        assert(got.length == expected.length,
+          s"$name p$page item count ${got.length} vs ${expected.length}")
+        got.zip(expected).zipWithIndex.foreach { case ((item, (str, dir)), i) =>
+          assert(item.str == str, s"$name p$page item $i: '${item.str}' vs '$str'")
+          assert(item.dir == dir, s"$name p$page item $i dir")
+        }
+        total += got.length
       }
     }
+    assert(total == 10556)
   }
 
   test("same-line Td merge joins words; a large move flushes") {
