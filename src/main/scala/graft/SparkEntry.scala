@@ -242,6 +242,47 @@ object SparkEntry {
         .select(col("paper"),
           ((col("exact") / col("total")) >= floorExpr).cast("long").as("exact_floor_ok"))
     }),
+    "q63_pdf_text_styles" -> ((s, dir) => {
+      // the getTextContent STYLES surface (SURVEY.md §2.7 R8, round 6): per
+      // corpus PDF and page, the per-item fontName sequence and the styles
+      // dict (loadedName → fontFamily/ascent/descent) reduced to md5s. The
+      // oracle literals are computed from fixtures the vendored engine
+      // itself produced under node with ONE process iterating all pages
+      // (reference-*-styles.json — doc-cumulative g_d0_f<id> font ids), so
+      // this gates the id-assignment rules (sequential descriptor ids,
+      // num_gen Type3s, missing-file name overrides), the fallback-family
+      // flags+heuristic, and TrueType hhea metrics on all 30 pages.
+      import s.implicits._
+      val _ = dir
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          val doc = graft.pdf.PdfDocument.open(bytes)
+          def fmt(d: Double): String =
+            if (d.isNaN) "null"
+            else {
+              val s0 = new java.math.BigDecimal(d)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .stripTrailingZeros.toPlainString
+              if (s0.isEmpty) "0" else s0
+            }
+          (1 to doc.pages.length).map { page =>
+            val (items, styles) = doc.textContentItemsWithStyles(page - 1)
+            val names = items.map(_.fontName).mkString("\n")
+            val canon = styles.map { case (k, st) =>
+              val vert = st.vertical.map(_.toString).getOrElse("-")
+              s"$k|${st.fontFamily}|${fmt(st.ascent)}|${fmt(st.descent)}|$vert"
+            }.mkString(";")
+            (paper, page, items.length.toLong, styles.length.toLong, names, canon)
+          }
+        }
+        .toDF("paper", "page", "n_items", "n_styles", "names", "canon")
+        .select(col("paper"), col("page"), col("n_items"), col("n_styles"),
+          md5(col("names")).as("names_md5"), md5(col("canon")).as("styles_md5"))
+    }),
     "q62_pdf_text_items" -> ((s, dir) => {
       // reference-parity TEXT-CONTENT ITEMS (the getTextContent surface,
       // rounds 5-6): per corpus PDF and EVERY page, item count + md5 of the
@@ -865,6 +906,39 @@ object SparkEntry {
         | ('test25', 6, 390, '8d0dfa27eb8fb69a1153e4c803daa071'),
         | ('test25', 7, 151, 'a115c53d002206042a3d5e6f39f500da')
         |) AS t(paper, page, n_items, items_md5)""".stripMargin,
+    "q63_pdf_text_styles" ->
+      """SELECT * FROM (VALUES
+        | ('1301.4293', 1, 118, 2, '5befe135e7e30addbd6204eafc58e9c5', '171a1b32ff883c4e9f41f57c369d9940'),
+        | ('1301.4293', 2, 310, 14, 'f6168d978e910b70271a7f760375b38a', 'af51d0a7c68bc8c5251b3612b7e82862'),
+        | ('1301.4293', 3, 113, 1, 'bda8d89d89b9bfe01a7f10c01a3fc86b', 'e3ad992c609f74d3e722165b439edde1'),
+        | ('1301.4293', 4, 44, 1, '5f511657cae8adeb293a185bff98036d', 'e3ad992c609f74d3e722165b439edde1'),
+        | ('C04-1204', 1, 648, 2, '229543b52cdc3a9e9679bc61b174b483', '171a1b32ff883c4e9f41f57c369d9940'),
+        | ('C04-1204', 2, 740, 3, 'a554b2c5ed066fd6c15586cfe5bfea2b', '9e577fe626fec236686b64eb9196feca'),
+        | ('C04-1204', 3, 623, 3, '50a1e2ac34b043d130a2d9df4ce3d626', '26bd515eea30c3b4535572671f9030b5'),
+        | ('C04-1204', 4, 725, 4, '5854d6777843d683992fec5f3233343d', 'bcdd6e0a8cd2424bac1f3cf96078bd4a'),
+        | ('C04-1204', 5, 787, 6, 'd8ed112ce702b5137f2011ddc2570921', '80b1e60e2bf3c8b33ae254de1b36c503'),
+        | ('C04-1204', 6, 695, 3, '49a54f8918d38017bc015f21a8882177', '986b282157017378d15b9f0dcb2fdf3f'),
+        | ('C04-1204', 7, 625, 1, '855898e7a1bc572ae7fddbb2493c223d', 'e3ad992c609f74d3e722165b439edde1'),
+        | ('test24', 1, 245, 16, 'c15b5fd75468c7ec7fa8c1a3fd42c1f2', '23cb60d3cb6bb809be31fbf5e2883282'),
+        | ('test24', 2, 528, 16, '1be940c03040506485e304bafa54bd76', '9e1125da947118a43994b660b56eb4d8'),
+        | ('test24', 3, 391, 11, '13157551a49629b07bc81c9297ac5fc3', '6e541dcdb28ea06b8df279434642d8ff'),
+        | ('test24', 4, 463, 12, '28e908df4e8c2adb7e19f894bb146407', '8a7ddfa100551eb9977e5c3275925ffb'),
+        | ('test24', 5, 206, 12, 'd5926178348060364c85363912eca4d6', 'b2a363aa23167b725f02670d44d888d4'),
+        | ('test24', 6, 244, 11, 'ba9225591b55b690c7b812ddd111a1ee', 'e4caa6386aec98ffaac08874c7cdbca5'),
+        | ('test24', 7, 162, 10, '326149d70e27b2c0dd1367c1911352e2', '92bc688d3555cda17fe9e8e278fc2163'),
+        | ('test24', 8, 220, 9, '040325d25ac385dfb5d2336ebc9a1d1f', '15597dfc5190cc140538a3583e6b72e3'),
+        | ('test24', 9, 296, 12, 'e4372a4e67ae4c096765c8abf2723ab2', 'd6ed2792123d0d1272aae89e650e3acb'),
+        | ('test24', 10, 175, 11, 'fc04ccf2e92b890ddbb9a339600eb3fe', '5b482e5bc8fc326bddc5bd2568effe4a'),
+        | ('test24', 11, 388, 15, 'cb8d6648e102665dc0f3628315880d71', 'f04d36e8feb704cf8f0615acfff32fd2'),
+        | ('test24', 12, 493, 10, 'e9ba6ec892f605fffea26adf9f19cf3f', '547c52a0fcdc7b1e791755e34d827f5f'),
+        | ('test25', 1, 279, 8, '6356cd13d6bf28f85bc2f71bf8edd425', 'b931d11634545f064290c91e8c56688f'),
+        | ('test25', 2, 139, 6, '0e5fa1f34aae09052084db09b8336f37', '81c5a37702b68a4a6f8d9d219285056f'),
+        | ('test25', 3, 132, 3, '375fb48d24c0b44c2dd7f9884f51d3a2', '3df43282daf5e1737cfdf5b517281344'),
+        | ('test25', 4, 85, 3, 'f8539a9a4d33913dd061389aa71f7ec1', '3df43282daf5e1737cfdf5b517281344'),
+        | ('test25', 5, 141, 6, '932a81481984d870412dc039db5a4482', 'b31a4296dfd0a991865a01f3aea4c50f'),
+        | ('test25', 6, 390, 5, 'd55e449f7a9610652c8859cf30a6b60f', 'e023ad6c7e702794dccb7b27221aeb49'),
+        | ('test25', 7, 151, 2, 'b9da9c851e7d66b08ff347d2aa8a1179', '132356a69242b80e60c675c4c04ef5ac')
+        |) AS t(paper, page, n_items, n_styles, names_md5, styles_md5)""".stripMargin,
     "q61_pdf_images" ->
       """SELECT * FROM (VALUES
         | ('jbig2', 0, 'ImJ', 64, 48, 1, 'DeviceGray', 'JBIG2Decode', 64, 48, 3, 158),

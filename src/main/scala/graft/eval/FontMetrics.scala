@@ -37,7 +37,32 @@ final case class FontSpec(
     /** true when the code has an EXPLICIT /W2 entry — the reference's item
       * surface advances by vmetric[0] only then; default-vmetric codes
       * advance by the horizontal width (46067-46077). */
-    vmetricExplicit: Int => Boolean = null) {
+    vmetricExplicit: Int => Boolean = null,
+    /** CSS-generic fallback family the styles dict exposes (Font.fallbackName,
+      * pdf.combined.js:34266-34267): monospace if FixedPitch — descriptor flag
+      * OR the all-equal-nonzero-widths heuristic (extractWidths 46630-46648) —
+      * else serif if the Serif flag, else sans-serif. */
+    fallbackFamily: String = "sans-serif",
+    /** Em-normalized ascent/descent for the styles dict: descriptor
+      * /Ascent / /Descent ÷ 1000 (Font ctor, 34275-34276), overridden for
+      * embedded TrueType programs by hhea ascender/descender ÷ head
+      * unitsPerEm ("FontDescriptor metrics lie", 36026-36037). NaN when the
+      * descriptor carries none (serializes as null, like the reference). */
+    ascent: Double = Double.NaN,
+    descent: Double = Double.NaN,
+    /** Non-null for missing-file fonts: the reference's loadedName OVERRIDE
+      * (std-font-mapped name without its style suffix — Font ctor 34350,
+      * 34412: `fontName.split('-')[0]`). Type3 fonts never set this (the
+      * ctor's Type3 early-return precedes the missing-file branch). */
+    styleName: String = null,
+    /** Type0 composite font (drives the styles dict `vertical` key, which
+      * the reference emits only when properties.vertical is defined —
+      * translateFont 46928 sets it for composite fonts only). */
+    composite: Boolean = false,
+    /** Document-scoped getTextContent font name (`g_d0_f<id>` / the
+      * styleName override) — assigned by PdfDocument at first load, NOT by
+      * the cross-document font cache (ids are per-document state). */
+    loadedName: String = "") {
 
   /** string → glyphs; 1-byte charcodes through the font mapping (charsToGlyphs,
     * pdf.combined.js:36674-36719, simple-font path). */

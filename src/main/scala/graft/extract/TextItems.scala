@@ -9,7 +9,15 @@ import scala.collection.mutable.ArrayBuffer
 
 /** One reference-parity text-content item (the `getTextContent` unit). */
 final case class TextItem(str: String, dir: String, fontFamily: String,
-    width: Double, height: Double)
+    width: Double, height: Double, fontName: String = "")
+
+/** One styles-dict entry (`textContent.styles[loadedName]`,
+  * pdf.combined.js:45952-45958): CSS-generic fallback family, em-normalized
+  * ascent/descent (NaN ⇔ the reference's null), and the `vertical` key —
+  * present only for composite fonts (properties.vertical is otherwise
+  * undefined and JSON-omitted). */
+final case class TextStyle(fontFamily: String, ascent: Double, descent: Double,
+    vertical: Option[Boolean])
 
 /** The reference's TEXT-CONTENT item surface (getTextContent,
   * pdf.combined.js:45900-46420) as an alternative to the generalized
@@ -117,7 +125,14 @@ object TextItems {
   }
 
   def extract(content: Array[Byte], res: PageResources,
-      initialCtm: Array[Double] = NumFmt.Identity): Vector[TextItem] = {
+      initialCtm: Array[Double] = NumFmt.Identity): Vector[TextItem] =
+    extractWithStyles(content, res, initialCtm)._1
+
+  /** Items plus the page's styles dict, keyed by loadedName in first-use
+    * order (ensureTextContentItem registers a style the first time a font
+    * initializes an item — a Tf that shows no text contributes nothing). */
+  def extractWithStyles(content: Array[Byte], res: PageResources,
+      initialCtm: Array[Double] = NumFmt.Identity): (Vector[TextItem], Vector[(String, TextStyle)]) = {
     // plain buffer, NOT a Vector builder: the Do-replay cache reads slices
     // mid-build (builder result() mid-use is undefined for ReusableBuilder)
     val items = ArrayBuffer.empty[TextItem]
@@ -138,6 +153,9 @@ object TextItems {
     var fakeMultiSpaceMax = 0.0
     var textRunBreakAllowed = false
     var itemFamily = ""
+    var itemFontName = ""
+    val styles = ArrayBuffer.empty[(String, TextStyle)]
+    val styleKeys = scala.collection.mutable.Set.empty[String]
 
     def fontOr(): FontSpec = {
       if (st.font == null) st.font = res.font("")
@@ -176,6 +194,11 @@ object TextItems {
         textRunBreakAllowed = false
       }
       itemFamily = font.family
+      itemFontName = font.loadedName
+      if (styleKeys.add(font.loadedName))
+        styles += font.loadedName -> TextStyle(font.fallbackFamily,
+          font.ascent, font.descent,
+          if (font.composite) Some(font.vertical) else None)
       initialized = true
     }
 
@@ -191,7 +214,7 @@ object TextItems {
       val raw = buf.toString
       val rtl = Bidi.rtlRatio(raw) >= 0.3
       val str = if (rtl) Bidi.reverseIfRtl(raw) else raw
-      items += TextItem(str, if (rtl) "rtl" else "ltr", itemFamily, itemWidth, itemHeight)
+      items += TextItem(str, if (rtl) "rtl" else "ltr", itemFamily, itemWidth, itemHeight, itemFontName)
       initialized = false
       buf.setLength(0)
     }
@@ -439,6 +462,6 @@ object TextItems {
       walk(content, res, 0)
       flushItem()
     } catch { case scala.util.control.NonFatal(_) => flushItem() }
-    items.toVector
+    (items.toVector, styles.toVector)
   }
 }

@@ -160,8 +160,16 @@ object FontLoader {
         (if (FontData.symbolsFonts.contains(fontNameWoStyle)) FlagSymbolic else FlagNonsymbolic)
       val ds = extractDataStructures(dict, baseDict, file, tpe, flags, hasFile = false, name = baseFontName)
       val widths = buildCharCodeToWidth(metrics.widths, ds)
-      return buildFont(baseFontName, None, None, tpe, composite = false, ds,
+      val spec0 = buildFont(baseFontName, None, None, tpe, composite = false, ds,
         widths, metrics.defaultWidth, fontMatrix0 = 0.001, file)
+      // style surface: simulated flags only (the reference's no-descriptor
+      // branch returns before the extractWidths monospace heuristic runs);
+      // missing file by construction → the loadedName override applies
+      val mapped = FontData.stdFontMap.getOrElse(baseFontName,
+        FontData.nonStdFontMap.getOrElse(baseFontName, baseFontName))
+      return spec0.copy(
+        fallbackFamily = familyOf(flags),
+        styleName = mapped.split("-")(0))
     }
 
     val fontName: String = {
@@ -190,8 +198,96 @@ object FontLoader {
     val (widths, defaultWidth) = extractWidths(dict, descriptor, file, ds, fontName, composite)
     val vmet = if (vertical) Some(extractVMetrics(dict, file, defaultWidth)) else None
 
-    buildFont(fontName, fontFile.map(s => file.decodeStream(s)), subtype, tpe, composite, ds,
+    val fileBytes = fontFile.map(s => file.decodeStream(s))
+    val spec0 = buildFont(fontName, fileBytes, subtype, tpe, composite, ds,
       widths, defaultWidth, fontMatrix0, file, vmet, cidCMap)
+
+    // ── style surface (getTextContent styles dict) ────────────────────────
+    // monospace: descriptor FixedPitch OR the all-equal-nonzero-widths
+    // heuristic the reference runs over the extracted width table
+    // (extractWidths, pdf.combined.js:46630-46648; vacuously true when every
+    // width is zero)
+    val effFlags =
+      if (widthsAllEqual(widths, defaultWidth)) flags | FlagFixedPitch else flags
+    // ascent/descent: descriptor values ÷ 1000; embedded TrueType programs
+    // override with hhea/head metrics ("PDF FontDescriptor metrics lie",
+    // pdf.combined.js:36026-36037)
+    def descMetric(key: String): Double = descriptor
+      .flatMap(d => dictGet(d, key)).collect { case PNum(v) => v / 1000.0 }
+      .getOrElse(Double.NaN)
+    val (asc, desc) = fileBytes.filter(_.length >= 12).flatMap(ttfMetrics)
+      .getOrElse((descMetric("Ascent"), descMetric("Descent")))
+    val hasFileBytes = fileBytes.exists(_.nonEmpty)
+    val style =
+      if (!hasFileBytes && tpe != "Type3") {
+        // missing-file loadedName override (Font ctor 34350, 34412)
+        val n0 = fontName.replaceAll("[,_]", "-")
+        val mapped = FontData.stdFontMap.getOrElse(n0,
+          FontData.nonStdFontMap.getOrElse(n0, n0))
+        mapped.split("-")(0)
+      } else null
+    spec0.copy(
+      fallbackFamily = familyOf(effFlags),
+      ascent = asc, descent = desc,
+      styleName = style,
+      composite = composite)
+  }
+
+  /** Font.fallbackName (pdf.combined.js:34266-34267). */
+  private def familyOf(flags: Int): String =
+    if ((flags & FlagFixedPitch) != 0) "monospace"
+    else if ((flags & FlagSerif) != 0) "serif"
+    else "sans-serif"
+
+  /** The reference's monospace-detection heuristic (pdf.combined.js
+    * 46630-46645): walk the width table in ascending code order; skip zero
+    * widths; the first non-zero width seeds the comparison unless a non-zero
+    * default width already does; any differing non-zero width breaks. */
+  private def widthsAllEqual(widths: Map[Int, Double], defaultWidth: Double): Boolean = {
+    var firstWidth = defaultWidth
+    val it = widths.toArray.sortBy(_._1).iterator
+    while (it.hasNext) {
+      val w = it.next()._2
+      if (w != 0.0 && !w.isNaN) {
+        if (firstWidth == 0.0 || firstWidth.isNaN) firstWidth = w
+        else if (firstWidth != w) return false
+      }
+    }
+    true
+  }
+
+  /** hhea ascender (unsigned int16) / descender (signed int16) ÷ head
+    * unitsPerEm from an embedded sfnt program (checkAndRepair metrics
+    * override, pdf.combined.js:36026-36037 — int16/signedInt16 exactly).
+    * None for non-sfnt bytes (CFF/Type1) or a missing table. */
+  private def ttfMetrics(bytes: Array[Byte]): Option[(Double, Double)] = {
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def s16(o: Int): Int = { val v = u16(o); if ((v & 0x8000) != 0) v - 0x10000 else v }
+    val tag = u32(0)
+    // 0x00010000, 'true', 'OTTO' — the sfnt containers the reference routes
+    // through TrueTypeFont (ttcf collections are not in the subset)
+    if (tag != 0x00010000L && tag != 0x74727565L && tag != 0x4f54544fL) return None
+    val numTables = u16(4)
+    if (12 + 16 * numTables > bytes.length) return None
+    var head = -1; var hhea = -1
+    var i = 0
+    while (i < numTables) {
+      val rec = 12 + 16 * i
+      val t = u32(rec)
+      val off = u32(rec + 8).toInt
+      if (t == 0x68656164L) head = off // 'head'
+      else if (t == 0x68686561L) hhea = off // 'hhea'
+      i += 1
+    }
+    if (head < 0 || hhea < 0 || head + 20 > bytes.length || hhea + 8 > bytes.length) None
+    else {
+      val unitsPerEm = u16(head + 18)
+      if (unitsPerEm == 0) None
+      else Some((u16(hhea + 4).toDouble / unitsPerEm, s16(hhea + 6).toDouble / unitsPerEm))
+    }
   }
 
   // ── extractDataStructures (pdf.combined.js:46408-46501) ────────────────────

@@ -20,6 +20,86 @@ final class PdfDocument private (val file: PdfFile) {
   private val formCache = mutable.Map.empty[String, Option[graft.eval.FormXObject]]
   private[pdf] var formDecodeCount = 0 // observability hook for the memo test
 
+  // ── getTextContent font naming (loadFont, pdf.combined.js:45460-45508) ──
+  // Sequential per-document ids for descriptor-bearing fonts, aliased by
+  // (descriptor ref, preEvaluateFont-style content hash) so distinct refs to
+  // the same translated font share one id; descriptor-less refs use the
+  // `num_gen` form; inline font dicts use the resource name; the Font
+  // constructor's missing-file styleName override wins last. Assigned at
+  // first load in stream order — a Tf that never shows text still consumes
+  // an id, exactly like the reference.
+  private var fontSeqId = 0
+  private val fontAliasIds = mutable.Map.empty[String, Int]
+
+  private def withLoadedName(spec: FontSpec, fontRef: PObj, resourceName: String): FontSpec =
+    spec.copy(loadedName = loadedNameFor(spec, fontRef, resourceName))
+
+  private def loadedNameFor(spec: FontSpec, fontRef: PObj, resourceName: String): String = {
+    import file.dictGet
+    val baseDict = file.resolve(fontRef) match { case d: PDict => d; case _ => PDict(Map.empty) }
+    // composite fonts carry the descriptor on the descendant (preEvaluateFont)
+    val dict: PDict = dictGet(baseDict, "DescendantFonts") match {
+      case Some(PArr(items)) if items.nonEmpty =>
+        file.resolve(items.head) match { case d: PDict => d; case _ => baseDict }
+      case _ => baseDict
+    }
+    val descRaw = dict.get("FontDescriptor").filter {
+      case _: PRef | _: PDict => true
+      case _ => false
+    }
+    if (descRaw.isDefined) {
+      val descKey = descRaw.get match {
+        case PRef(n, g) => s"$n-$g"
+        case _ => // inline descriptor dict: identity is per font ref
+          fontRef match { case PRef(n, g) => s"inl-$n-$g"; case _ => s"inl-$resourceName" }
+      }
+      val id = fontAliasIds.getOrElseUpdate(descKey + "|" + preEvalHash(baseDict, dict), {
+        fontSeqId += 1; fontSeqId
+      })
+      if (spec.styleName != null) spec.styleName else s"g_d0_f$id"
+    } else if (spec.styleName != null) spec.styleName
+    else fontRef match {
+      case PRef(n, g) => s"g_d0_f${n}_$g"
+      case _ => "g_d0_f" + resourceName.replaceAll("\\W", "")
+    }
+  }
+
+  /** preEvaluateFont's alias hash (pdf.combined.js:46740-46783): the raw
+    * /Encoding shape, the /ToUnicode stream bytes, and the /Widths values —
+    * enough to keep genuinely different fonts on one descriptor apart. */
+  private def preEvalHash(baseDict: PDict, dict: PDict): String = {
+    val sb = new StringBuilder
+    baseDict.get("Encoding").foreach {
+      case PName(n) => sb.append(n)
+      case PRef(n, g) => sb.append(n).append('_').append(g)
+      case d: PDict =>
+        d.entries.toSeq.sortBy(_._1).foreach {
+          case (_, PName(n)) => sb.append(n)
+          case (_, PRef(n, g)) => sb.append(n).append('_').append(g)
+          case (_, PArr(items)) => sb.append(items.length)
+          case _ => ()
+        }
+      case _ => ()
+    }
+    sb.append('|')
+    dict.get("ToUnicode").orElse(baseDict.get("ToUnicode")).map(file.resolve).foreach {
+      case s: PStream =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        sb.append(md.digest(s.raw).map("%02x".format(_)).mkString)
+      case PName(n) => sb.append(n)
+      case _ => ()
+    }
+    sb.append('|')
+    dict.get("Widths").orElse(baseDict.get("Widths")).map(file.resolve).foreach {
+      case PArr(items) => items.foreach {
+        case PNum(v) => sb.append(v).append(',')
+        case _ => sb.append("R,")
+      }
+      case _ => ()
+    }
+    sb.toString
+  }
+
   /** Page dicts in document order (depth-first /Kids walk, cycle-guarded). */
   val pages: Vector[PageInfo] = {
     import file.{dictGet, resolve}
@@ -205,10 +285,11 @@ final class PdfDocument private (val file: PdfFile) {
             case other => other
           }
           fontCache.getOrElseUpdate(key, {
-            file.resolve(ref) match {
+            val spec = file.resolve(ref) match {
               case d: PDict => FontLoader.load(d, file)
               case _ => FontMetrics.Helvetica
             }
+            withLoadedName(spec, ref, name)
           })
         case None => FontMetrics.resolve(name)
       }
@@ -225,10 +306,11 @@ final class PdfDocument private (val file: PdfFile) {
               case other => other
             }
             val spec = fontCache.getOrElseUpdate(key, {
-              file.resolve(fref) match {
+              val s0 = file.resolve(fref) match {
                 case d: PDict => FontLoader.load(d, file)
                 case _ => FontMetrics.Helvetica
               }
+              withLoadedName(s0, fref, name)
             })
             val size = file.resolve(sz) match { case PNum(v) => v; case _ => 0.0 }
             (spec, size)
@@ -327,6 +409,17 @@ final class PdfDocument private (val file: PdfFile) {
       val p = pages(i)
       graft.extract.TextItems.extract(p.content, p.resources)
     } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+
+  /** Items plus the page's styles dict (getTextContent's second surface):
+    * loadedName → (fontFamily, ascent, descent[, vertical]) in first-use
+    * order. Font ids are document-scoped, so sequential calls over pages
+    * observe exactly what the reference's sequential getPage consumer does. */
+  def textContentItemsWithStyles(i: Int)
+      : (Vector[graft.extract.TextItem], Vector[(String, graft.extract.TextStyle)]) =
+    try {
+      val p = pages(i)
+      graft.extract.TextItems.extractWithStyles(p.content, p.resources)
+    } catch { case scala.util.control.NonFatal(_) => (Vector.empty, Vector.empty) }
 
   /** Page text through the ITEM surface, items joined by single spaces —
     * the reference CLI's own plain-text rendering (getinfo.js:
