@@ -100,7 +100,7 @@ object Bench {
     * replicating text verbatim would grow candidate pairs quadratically by
     * construction of the data, not the operators. Dims (region/nation) stay
     * fixed, the TPC-H scaling convention. */
-  private def materializeScaled(s: SparkSession, sfDir: String, factor: Int,
+  private[graft] def materializeScaled(s: SparkSession, sfDir: String, factor: Int,
       path: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.DataFrame

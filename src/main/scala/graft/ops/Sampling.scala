@@ -18,16 +18,83 @@ object Sampling {
     * mixture-weighting primitive: set per-stratum `n` proportional to the
     * target mixture and the sample follows it exactly.
     *
-    * Scale shape: one hash shuffle on the stratum key; rank keys are computed
-    * map-side by a codegen'd kernel. For strata far larger than `n`, swap the
-    * full window rank for a per-partition top-n pre-filter (the standard
-    * top-k-per-group optimization) — same semantics, bounded shuffle. */
+    * Scale shape (round 6): a map-side per-partition top-n pre-filter (the
+    * standard top-k-per-group optimization) runs BEFORE the stratum-key
+    * shuffle — each input partition forwards at most `n` rows per stratum
+    * it sees, so the exchange volume is bounded by
+    * `partitions × strata × n` instead of the corpus size; for strata far
+    * larger than `n` (the mixture-weighting regime) that is the difference
+    * between shuffling everything and shuffling the sample. The window rank
+    * then runs exactly as before over the surviving superset — any row in
+    * the global top-n of its stratum is in the top-n of its partition under
+    * the same (mix64, id) total order, so results are identical. The
+    * pre-filter needs a partition-local id ordering that matches the
+    * window's (strings compare by UTF-8 bytes, like UTF8String); id types
+    * outside the supported set skip the pre-filter and keep the plain
+    * window plan. Per-partition state: distinct-strata-in-partition × n
+    * buffered rows. */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(graft.functions.TextHashes.mix64_col(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
+    val keyed = df.withColumn("__rk", graft.functions.TextHashes.mix64_col(col(idCol)))
+    val schema = keyed.schema
+    val rkIdx = schema.fieldIndex("__rk")
+    val idIdx = schema.fieldIndex(idCol)
+    val stIdx = schema.fieldIndex(stratumCol)
+    val pre = idOrdering(schema(idIdx).dataType) match {
+      case Some(idOrd) =>
+        val rowOrd: Ordering[org.apache.spark.sql.Row] =
+          Ordering.by[org.apache.spark.sql.Row, Long](_.getLong(rkIdx))
+            .orElse(Ordering.by[org.apache.spark.sql.Row, Any](_.get(idIdx))(idOrd))
+        keyed.mapPartitions { it =>
+          val heaps = scala.collection.mutable.HashMap
+            .empty[Any, scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]]
+          it.foreach { row =>
+            val heap = heaps.getOrElseUpdate(row.get(stIdx),
+              scala.collection.mutable.PriorityQueue.empty(rowOrd)) // max-heap
+            if (heap.size < n) heap += row
+            else if (rowOrd.compare(row, heap.head) < 0) { heap.dequeue(); heap += row }
+          }
+          heaps.valuesIterator.flatMap(_.iterator)
+        }(org.apache.spark.sql.Encoders.row(schema))
+      case None => keyed
+    }
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("__rk"), col(idCol))
+    pre.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
-      .drop("__rn")
+      .drop("__rn", "__rk")
+  }
+
+  /** Partition-local ordering matching Spark's sort order for the id type —
+    * strings by UTF-8 bytes (UTF8String.binaryCompare), integral/floating
+    * types naturally. None ⇒ the caller skips the pre-filter. */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | TimestampType | DateType =>
+        Some(Ordering.by { v: Any =>
+          v match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case s: Short => s.toLong
+            case b: Byte => b.toLong
+            case t: java.sql.Timestamp => t.getTime
+            case d: java.sql.Date => d.getTime
+            case _ => 0L
+          }
+        })
+      case DoubleType | FloatType =>
+        Some(Ordering.by { v: Any =>
+          v match { case d: Double => d; case f: Float => f.toDouble; case _ => 0.0 }
+        })
+      case StringType =>
+        Some(new Ordering[Any] {
+          def compare(a: Any, b: Any): Int = {
+            val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            java.util.Arrays.compareUnsigned(x, y)
+          }
+        })
+      case _ => None
+    }
   }
 
   /** Greedy contiguous sequence packing: within each group (ordered by id),

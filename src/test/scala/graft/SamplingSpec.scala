@@ -26,6 +26,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(s2.subsetOf(s3.toSet))
   }
 
+  test("stratifiedSample: map-side top-n pre-filter is in the plan and exact") {
+    import spark.implicits._
+    // many partitions, strata ≫ n — the pre-filter regime
+    val df = spark.range(0, 5000, 1, numPartitions = 17)
+      .select(col("id"), pmod(col("id"), lit(7)).as("stratum"))
+    val got = Sampling.stratifiedSample(df, "id", "stratum", 4)
+    // the exchange input is the MapPartitions pre-filter, not the raw scan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan.take(800))
+    // exact equality with the n-smallest-(mix64,id)-per-stratum definition
+    val keys = df.withColumn("rk", graft.functions.TextHashes.mix64_col(col("id")))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+    val expect = keys.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._2, r._3)).take(4).map(r => (r._3, r._1)).toSeq
+    }.toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    assert(expect.size == 28)
+  }
+
   test("packSequences: greedy fill, oversized doc gets its own sequence") {
     import spark.implicits._
     val df = Seq(
