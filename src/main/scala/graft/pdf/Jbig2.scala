@@ -370,14 +370,15 @@ object Jbig2 {
     * cut — the caller keeps the metadata-only row). */
   private[graft] def decodeSymbolDict(
       data: Array[Byte], start: Int, end: Int,
-      inputSyms: Vector[Bitmap]): Option[Vector[Bitmap]] = {
+      inputSyms: Vector[Bitmap],
+      customTables: Vector[Jbig2Huffman.Table] = Vector.empty): Option[Vector[Bitmap]] = {
     if (start + 2 > end) return None
     val flags = ((data(start) & 0xff) << 8) | (data(start + 1) & 0xff)
     val huffman = (flags & 1) != 0
     val refAgg = (flags & 2) != 0
     val template = (flags >> 10) & 3
     val rTemplate = (flags >> 12) & 1
-    if (huffman) return None
+    if (huffman) return decodeSymbolDictHuff(data, start + 2, end, flags, inputSyms, customTables)
     var p = start + 2
     val nAt = atCount(template)
     if (p + 2 * nAt + 8 > end) return None
@@ -499,6 +500,129 @@ object Jbig2 {
     Some(exported.result())
   }
 
+  /** Huffman-coded symbol dictionary (6.5 with SDHUFF=1, 6.5.9): height
+    * classes carry table-coded ΔH/ΔW runs; each class's symbol bitmaps
+    * arrive as ONE collective bitmap — BMSIZE 0 ⇒ uncompressed rows (each
+    * padded to a byte), else an MMR (T.6) stream of exactly BMSIZE bytes —
+    * split by the accumulated widths. Export runs decode with Table B.1.
+    * SDHUFF + REFAGG degrades (disclosed — refinement data is
+    * arithmetic-coded mid-huffman). Custom tables come from referred table
+    * segments, consumed in DH, DW, BMSIZE, AGGINST selector order. */
+  private def decodeSymbolDictHuff(
+      data: Array[Byte], start: Int, end: Int, flags: Int,
+      inputSyms: Vector[Bitmap],
+      customs: Vector[Jbig2Huffman.Table]): Option[Vector[Bitmap]] = {
+    import Jbig2Huffman._
+    if ((flags & 2) != 0) return None // REFAGG + huffman: disclosed degrade
+    var ti = 0
+    def nextCustom(): Option[Table] = { val t = customs.lift(ti); ti += 1; t }
+    def pick2(sel: Int, t0: Table, t1: Table): Option[Table] = sel match {
+      case 0 => Some(t0)
+      case 1 => Some(t1)
+      case 3 => nextCustom()
+      case _ => None
+    }
+    def pick1(sel: Int, t0: Table): Option[Table] =
+      if (sel == 0) Some(t0) else nextCustom()
+    val tDH = pick2((flags >> 2) & 3, B4, B5).getOrElse(return None)
+    val tDW = pick2((flags >> 4) & 3, B2, B3).getOrElse(return None)
+    val tBM = pick1((flags >> 6) & 1, B1).getOrElse(return None)
+    pick1((flags >> 7) & 1, B1).getOrElse(return None) // AGGINST slot (unused, REFAGG off)
+    // no AT pixels on the huffman path (7.4.3.1.2: present only if SDHUFF=0)
+    if (start + 8 > end) return None
+    val numExSyms = be32(data, start).toInt
+    val numNewSyms = be32(data, start + 4).toInt
+    if (numNewSyms < 0 || numNewSyms > MaxSymbols ||
+      numExSyms < 0 || numExSyms > MaxSymbols ||
+      inputSyms.length + numNewSyms > MaxSymbols) return None
+    val r = new Reader(data, start + 8, end)
+    val newSyms = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
+    var hcHeight = 0
+    var classGuard = 0
+    var totalPixels = 0L
+    while (newSyms.length < numNewSyms) {
+      classGuard += 1
+      if (classGuard > numNewSyms + 1024) return None
+      hcHeight += (tDH.decode(r) match { case Value(v) => v; case _ => return None })
+      if (hcHeight <= 0 || hcHeight > MaxSymbolDim) return None
+      var symWidth = 0
+      var totWidth = 0L
+      val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var endClass = false
+      while (!endClass) {
+        tDW.decode(r) match {
+          case Oob => endClass = true
+          case Value(dw) =>
+            symWidth += dw
+            totWidth += symWidth
+            totalPixels += symWidth.toLong * hcHeight
+            if (symWidth <= 0 || symWidth > MaxSymbolDim ||
+              newSyms.length + widths.length >= numNewSyms + 1 ||
+              totWidth > (1 << 24) || totalPixels > 16L * 1024 * 1024) return None
+            widths += symWidth
+          case Fail => return None
+        }
+      }
+      // collective bitmap for the class (6.5.9)
+      val bmSize = tBM.decode(r) match { case Value(v) if v >= 0 => v; case _ => return None }
+      r.align()
+      val tw = totWidth.toInt
+      val collective: Array[Byte] =
+        if (widths.isEmpty) Array.emptyByteArray
+        else if (bmSize == 0) {
+          // uncompressed: each row padded to a whole byte
+          val rowBytes = (tw + 7) / 8
+          if (r.remaining < rowBytes * hcHeight) return None
+          val bits = new Array[Byte](tw * hcHeight)
+          var y = 0
+          while (y < hcHeight) {
+            var x = 0
+            while (x < tw) {
+              bits(y * tw + x) = ((r.bit()) & 1).toByte
+              x += 1
+            }
+            r.align()
+            y += 1
+          }
+          bits
+        } else {
+          if (r.remaining < bmSize) return None
+          val from = r.pos
+          val bmp = decodeMmr(data, from, from + bmSize, tw, hcHeight).getOrElse(return None)
+          r.pos = from + bmSize
+          bmp
+        }
+      // split the collective bitmap into the class's symbols by width
+      var xOff = 0
+      widths.foreach { w =>
+        val bits = new Array[Byte](w * hcHeight)
+        var y = 0
+        while (y < hcHeight) {
+          System.arraycopy(collective, y * tw + xOff, bits, y * w, w)
+          y += 1
+        }
+        newSyms += Bitmap(w, hcHeight, bits)
+        xOff += w
+      }
+    }
+    // 6.5.10 export flags, runs over input ++ new via Table B.1
+    val all = inputSyms ++ newSyms
+    val exported = Vector.newBuilder[Bitmap]
+    var exIndex = 0L
+    var curFlag = false
+    var runGuard = 0
+    while (exIndex < all.length) {
+      runGuard += 1
+      if (runGuard > all.length + 1024) return None
+      val run = B1.decode(r) match { case Value(v) => v; case _ => return None }
+      if (run < 0 || exIndex + run > all.length) return None
+      if (curFlag) (exIndex.toInt until (exIndex + run).toInt).foreach(i => exported += all(i))
+      exIndex += run
+      curFlag = !curFlag
+    }
+    Some(exported.result())
+  }
+
   /** Text region segment decoding (6.4, arithmetic, no refinement): places
     * symbol-dictionary bitmaps at arithmetic-coded strip coordinates. The
     * control flow — strip loop, per-strip OOB terminator, reference-corner
@@ -508,7 +632,8 @@ object Jbig2 {
     * target). Returns the region bitmap or None for unsupported coding. */
   private[graft] def decodeTextRegion(
       data: Array[Byte], start: Int, end: Int,
-      syms: Vector[Bitmap]): Option[(Int, Int, Int, Int, Array[Byte])] = {
+      syms: Vector[Bitmap],
+      customTables: Vector[Jbig2Huffman.Table] = Vector.empty): Option[(Int, Int, Int, Int, Array[Byte])] = {
     if (start + 17 + 2 + 4 > end) return None
     val rw = be32(data, start).toInt
     val rh = be32(data, start + 4).toInt
@@ -528,7 +653,10 @@ object Jbig2 {
     val rTemplate = (flags >> 15) & 1
     // SBCOMBOP: OR and XOR are the operators the reference draws
     // (pdf.combined.js textRegion compose); AND/XNOR streams are skipped
-    if (huffman || (combOp != 0 && combOp != 2)) return None
+    if (combOp != 0 && combOp != 2) return None
+    if (huffman)
+      return decodeTextRegionHuff(data, p, end, rw, rh, rx, ry, refine, strips,
+        refCorner, transposed, combOp, defPixel, dsOffset, syms, customTables)
     val rAt: Array[(Int, Int)] =
       if (refine && rTemplate == 0) {
         if (p + 4 + 4 > end) return None
@@ -545,6 +673,163 @@ object Jbig2 {
     decodeTextRegionCore(mq, st, rw, rh, defPixel, numInstances, strips, syms,
       symCodeLen, transposed, dsOffset, refCorner, refine, rTemplate, rAt, combOp)
       .map(region => (rw, rh, rx, ry, region))
+  }
+
+  /** Huffman-coded text region (6.4 with SBHUFF=1): per-region symbol-ID
+    * codes built from the 35-runcode scheme (6.4.5.1 — 4-bit runcode
+    * lengths, runcodes 32/33/34 repeat/zero-fill, canonical assignment,
+    * byte-align after), FS/DS/DT values from the selected huffman tables,
+    * CURT as `log2(SBSTRIPS)` raw bits. Standard selectors resolving to
+    * tables B.6–B.15 degrade (see Jbig2Huffman's scope note): huffman text
+    * regions decode when FS/DS/DT are custom (selector 3). Refinement +
+    * huffman degrades. Placement/advance is the shared placeSymbol kernel —
+    * identical corner semantics to the arithmetic path. */
+  private def decodeTextRegionHuff(
+      data: Array[Byte], start: Int, end: Int,
+      rw: Int, rh: Int, rx: Int, ry: Int,
+      refine: Boolean, strips: Int, refCorner: Int, transposed: Boolean,
+      combOp: Int, defPixel: Int, dsOffset: Int,
+      syms: Vector[Bitmap],
+      customs: Vector[Jbig2Huffman.Table]): Option[(Int, Int, Int, Int, Array[Byte])] = {
+    import Jbig2Huffman._
+    if (refine) return None // huffman + refinement: disclosed degrade
+    if (start + 2 + 4 > end) return None
+    val hf = ((data(start) & 0xff) << 8) | (data(start + 1) & 0xff)
+    var p = start + 2
+    var ti = 0
+    def nextCustom(): Option[Table] = { val t = customs.lift(ti); ti += 1; t }
+    // selector 3 = custom; 0-2 name standard tables B.6–B.15 (not carried)
+    def pick(sel: Int): Option[Table] =
+      if (sel == 3) nextCustom() else None
+    val tFS = pick(hf & 3).getOrElse(return None)
+    val tDS = pick((hf >> 2) & 3).getOrElse(return None)
+    val tDT = pick((hf >> 4) & 3).getOrElse(return None)
+    val numInstances = be32(data, p).toInt
+    p += 4
+    if (numInstances < 0 || numInstances > (1 << 20) || syms.isEmpty) return None
+    val r = new Reader(data, p, end)
+    // symbol-ID code table (6.4.5.1)
+    val runLens = Array.fill(35)(r.bits(4).toInt)
+    if (r.exhausted) return None
+    val runTable = fromLengths(runLens)
+    val symLens = new Array[Int](syms.length)
+    var i = 0
+    var prev = 0
+    while (i < symLens.length) {
+      runTable.decode(r) match {
+        case Value(c) if c >= 0 && c < 32 => symLens(i) = c; prev = c; i += 1
+        case Value(32) =>
+          val rep = 3 + r.bits(2).toInt
+          var k = 0
+          while (k < rep && i < symLens.length) { symLens(i) = prev; i += 1; k += 1 }
+        case Value(33) =>
+          val rep = 3 + r.bits(3).toInt
+          var k = 0
+          while (k < rep && i < symLens.length) { symLens(i) = 0; i += 1; k += 1 }
+        case Value(34) =>
+          val rep = 11 + r.bits(7).toInt
+          var k = 0
+          while (k < rep && i < symLens.length) { symLens(i) = 0; i += 1; k += 1 }
+        case _ => return None
+      }
+      if (r.exhausted) return None
+    }
+    r.align()
+    val symTable = fromLengths(symLens)
+    val logStrips = ceilLog2(strips)
+    val region = new Array[Byte](rw * rh)
+    if (rw <= 0 || rh <= 0 || rw.toLong * rh > 64L * 1024 * 1024) return None
+    if (defPixel != 0) java.util.Arrays.fill(region, 1.toByte)
+    def dec(t: Table): Option[Int] = t.decode(r) match {
+      case Value(v) => Some(v)
+      case _ => None
+    }
+    var stripT = -dec(tDT).getOrElse(return None)
+    var firstS = 0
+    var inst = 0
+    var drawn = 0L
+    while (inst < numInstances) {
+      stripT += dec(tDT).getOrElse(return None)
+      firstS += dec(tFS).getOrElse(return None)
+      var curS = firstS
+      var endStrip = false
+      while (!endStrip) {
+        val curT = if (strips == 1) 0 else r.bits(logStrips).toInt
+        val t = strips * stripT + curT
+        val id = symTable.decode(r) match {
+          case Value(v) if v >= 0 && v < syms.length => v
+          case _ => return None
+        }
+        val sym = syms(id)
+        drawn += sym.w.toLong * sym.h
+        if (drawn > 256L * 1024 * 1024 || r.exhausted) return None
+        curS = placeSymbol(region, rw, rh, sym, curS, t, transposed, refCorner,
+          xor = combOp == 2)
+        inst += 1
+        tDS.decode(r) match {
+          case Oob => endStrip = true
+          case Value(ds) =>
+            if (inst >= numInstances) endStrip = true
+            else curS += ds + dsOffset
+          case Fail => return None
+        }
+      }
+    }
+    Some((rw, rh, rx, ry, region))
+  }
+
+  /** Draw one symbol instance at (curS, t) and return the advanced CURS —
+    * the reference-corner placement shared by the arithmetic and huffman
+    * text-region loops (T.88 6.4.5 steps 3c(vi)-(xi); corner semantics
+    * documented at the arithmetic call site). */
+  private def placeSymbol(region: Array[Byte], rw: Int, rh: Int, sym: Bitmap,
+      curS0: Int, t: Int, transposed: Boolean, refCorner: Int, xor: Boolean): Int = {
+    var curS = curS0
+    val offX =
+      if (!transposed) curS
+      else t - (if ((refCorner & 2) != 0) sym.w - 1 else 0)
+    val offY =
+      if (!transposed) t - (if ((refCorner & 1) != 0) 0 else sym.h - 1)
+      else curS
+    if (!transposed) {
+      var t2 = 0
+      while (t2 < sym.h) {
+        val yy = offY + t2
+        if (yy >= 0 && yy < rh) {
+          var s2 = 0
+          while (s2 < sym.w) {
+            val xx = offX + s2
+            if (xx >= 0 && xx < rw && sym.bits(t2 * sym.w + s2) != 0) {
+              val i = yy * rw + xx
+              region(i) = if (xor) (region(i) ^ 1).toByte else 1
+            }
+            s2 += 1
+          }
+        }
+        t2 += 1
+      }
+      curS += sym.w - 1
+    } else {
+      // transposed: S runs down rows, T across columns
+      var s2 = 0
+      while (s2 < sym.h) {
+        val yy = offY + s2
+        if (yy >= 0 && yy < rh) {
+          var t2 = 0
+          while (t2 < sym.w) {
+            val xx = offX + t2
+            if (xx >= 0 && xx < rw && sym.bits(s2 * sym.w + t2) != 0) {
+              val i = yy * rw + xx
+              region(i) = if (xor) (region(i) ^ 1).toByte else 1
+            }
+            t2 += 1
+          }
+        }
+        s2 += 1
+      }
+      curS += sym.h - 1
+    }
+    curS
   }
 
   /** Context state for one text-region decode — persistent across the
@@ -634,51 +919,8 @@ object Jbig2 {
         // known off-by-ones on non-top-left corners (fixed in later upstream
         // pdf.js), so node cross-validation covers top-left only; the other
         // corners are gated by from-spec hand-coded placement tests.
-        val offX =
-          if (!transposed) curS
-          else t - (if ((refCorner & 2) != 0) sym.w - 1 else 0)
-        val offY =
-          if (!transposed) t - (if ((refCorner & 1) != 0) 0 else sym.h - 1)
-          else curS
-        val xor = combOp == 2
-        if (!transposed) {
-          var t2 = 0
-          while (t2 < sym.h) {
-            val yy = offY + t2
-            if (yy >= 0 && yy < rh) {
-              var s2 = 0
-              while (s2 < sym.w) {
-                val xx = offX + s2
-                if (xx >= 0 && xx < rw && sym.bits(t2 * sym.w + s2) != 0) {
-                  val i = yy * rw + xx
-                  region(i) = if (xor) (region(i) ^ 1).toByte else 1
-                }
-                s2 += 1
-              }
-            }
-            t2 += 1
-          }
-          curS += sym.w - 1
-        } else {
-          // transposed: S runs down rows, T across columns
-          var s2 = 0
-          while (s2 < sym.h) {
-            val yy = offY + s2
-            if (yy >= 0 && yy < rh) {
-              var t2 = 0
-              while (t2 < sym.w) {
-                val xx = offX + t2
-                if (xx >= 0 && xx < rw && sym.bits(s2 * sym.w + t2) != 0) {
-                  val i = yy * rw + xx
-                  region(i) = if (xor) (region(i) ^ 1).toByte else 1
-                }
-                t2 += 1
-              }
-            }
-            s2 += 1
-          }
-          curS += sym.h - 1
-        }
+        curS = placeSymbol(region, rw, rh, sym, curS, t, transposed, refCorner,
+          xor = combOp == 2)
         inst += 1
         // every strip — including the last — terminates with an OOB IADS; a
         // malformed stream that keeps yielding values past the declared
@@ -719,6 +961,8 @@ object Jbig2 {
       if (width <= 0 || height <= 0 || width.toLong * height > 64L * 1024 * 1024) return None
       // segment number -> exported symbol bitmaps (symbol dictionaries)
       val dicts = scala.collection.mutable.HashMap.empty[Long, Vector[Bitmap]]
+      // segment number -> custom huffman table (type-53 table segments)
+      val tables = scala.collection.mutable.HashMap.empty[Long, Jbig2Huffman.Table]
       // page information (7.4.8): default pixel + page combination operator,
       // with the override bit selecting the region's own external operator
       var pageDefPixel: Byte = 0
@@ -799,15 +1043,22 @@ object Jbig2 {
               pageDefPixel = if ((pageFlags & 4) != 0) 1 else 0
               pageCombOp = (pageFlags >> 3) & 3
               pageOpOverride = (pageFlags & 0x40) != 0
+            } else if (segType == 53) {
+              // custom huffman table segment (7.4.13) — referred to by
+              // huffman symbol dictionaries / text regions
+              Jbig2Huffman.parseTableSegment(data, p, segEnd)
+                .foreach(t => tables(segNum) = t)
             } else if (segType == 0) {
               // symbol dictionary: inputs = exported symbols of referred dicts
               val inputs = referred.toVector.flatMap(n => dicts.getOrElse(n, Vector.empty))
-              decodeSymbolDict(data, p, segEnd, inputs)
+              val customs = referred.toVector.flatMap(tables.get)
+              decodeSymbolDict(data, p, segEnd, inputs, customs)
                 .foreach(ex => dicts(segNum) = ex)
             } else if (segType == 4 || segType == 6 || segType == 7) {
               val inputs = referred.toVector.flatMap(n => dicts.getOrElse(n, Vector.empty))
+              val customs = referred.toVector.flatMap(tables.get)
               val extOp = if (dataLen >= 17) data(p + 16) & 7 else 0
-              decodeTextRegion(data, p, segEnd, inputs).foreach {
+              decodeTextRegion(data, p, segEnd, inputs, customs).foreach {
                 case (rw, rh, rx, ry, bmp) => compose(rw, rh, rx, ry, bmp, extOp)
               }
             } else if ((segType == 36 || segType == 38 || segType == 39) && dataLen >= 18) {

@@ -1,6 +1,6 @@
 package graft.testgen
 
-import graft.pdf.Jbig2
+import graft.pdf.{Jbig2, Jbig2Huffman}
 
 /** Deterministic JBIG2 ENCODER for fixtures (T.88 Annex E encoder procedures
   * + generic region coding): the decoding lane needs real arithmetic-coded
@@ -754,10 +754,17 @@ object Jbig2Synth {
     * no JBIG2 instance and no JDK codec can author one). `symbolCoded` swaps
     * the generic-region payload for the symbol-dictionary + text-region one. */
   def pdfWithJbig2(w: Int, h: Int, seed: Long, symbolCoded: Boolean = false,
-      mmr: Boolean = false, globalsSplit: Boolean = false): Array[Byte] = {
+      mmr: Boolean = false, globalsSplit: Boolean = false,
+      huffman: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val (stream, globals) =
-      if (globalsSplit) { val (g, p) = textStreamWithGlobals(w, h); (p, Some(g)) }
+      if (huffman) {
+        // the same symbol-coded page, SDHUFF/SBHUFF-coded (MMR collective
+        // bitmaps + custom FS/DS/DT table segments) — identical raster
+        val (glyphs, instances) = textFixture
+        (embeddedHuffTextStream(w, h, glyphs, instances, mmr = true), None)
+      }
+      else if (globalsSplit) { val (g, p) = textStreamWithGlobals(w, h); (p, Some(g)) }
       else if (symbolCoded) (textStream(w, h), None)
       else if (mmr) (embeddedMmrStream(testBitmap(w, h, seed), w, h), None)
       else (embeddedStream(testBitmap(w, h, seed), w, h), None)
@@ -803,6 +810,232 @@ object Jbig2Synth {
     globalsObj.foreach(out.write)
     out.write(tail.getBytes(ISO_8859_1))
     out.toByteArray
+  }
+
+  // ── Huffman-coded fixtures (T.88 SDHUFF/SBHUFF paths, round 6) ─────────
+
+  /** MSB-first bit writer (mirror of Jbig2Huffman.Reader). */
+  final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nBits = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nBits += 1
+      if (nBits == 8) { buf += cur.toByte; cur = 0; nBits = 0 }
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >>> i) & 1).toInt); i -= 1 }
+    }
+    def align(): Unit = while (nBits != 0) bit(0)
+    def bytes(a: Array[Byte]): Unit = { align(); a.foreach(buf += _) }
+    def result(): Array[Byte] = { align(); buf.toArray }
+  }
+
+  /** Emit one table-coded value (or OOB for None) — uses the table's own
+    * B.3-assigned codes, so the encoder and decoder cannot disagree. */
+  def encodeHuffValue(w: BitWriter, t: Jbig2Huffman.Table, v: Option[Int]): Unit = {
+    val lines = t.lines
+    val codes = t.codes
+    v match {
+      case None =>
+        val i = lines.indexWhere(_.oob)
+        require(i >= 0, "table has no OOB line")
+        w.bits(codes(i), lines(i).prefLen)
+      case Some(value) =>
+        var best = -1
+        var i = 0
+        while (i < lines.length && best < 0) {
+          val l = lines(i)
+          if (!l.oob && l.prefLen > 0) {
+            val inRange =
+              if (l.lower) value <= l.rangeLow
+              else if (l.rangeLen >= 32) value >= l.rangeLow
+              else value >= l.rangeLow && value < l.rangeLow + (1L << l.rangeLen)
+            if (inRange) best = i
+          }
+          i += 1
+        }
+        require(best >= 0, s"value $value not representable")
+        val l = lines(best)
+        w.bits(codes(best), l.prefLen)
+        val off = if (l.lower) l.rangeLow - value else value - l.rangeLow
+        w.bits(off, l.rangeLen)
+    }
+  }
+
+  /** Custom table segment payload (7.4.13) from normal lines + lower/upper/
+    * OOB prefix lengths; parse it back for the Table used to encode values. */
+  def encodeTableSegment(htLow: Int, htHigh: Int,
+      normal: Seq[(Int, Int)], lowerPref: Int, upperPref: Int,
+      oobPref: Int = 0): (Array[Byte], Jbig2Huffman.Table) = {
+    val htPs = 4
+    val htRs = 6
+    val w = new BitWriter
+    normal.foreach { case (pref, range) => w.bits(pref, htPs); w.bits(range, htRs) }
+    w.bits(lowerPref, htPs)
+    w.bits(upperPref, htPs)
+    if (oobPref > 0) w.bits(oobPref, htPs)
+    val body = w.result()
+    val out = java.nio.ByteBuffer.allocate(9 + body.length)
+    out.put((((if (oobPref > 0) 1 else 0)) | ((htPs - 1) << 1) | ((htRs - 1) << 4)).toByte)
+    out.putInt(htLow).putInt(htHigh)
+    out.put(body)
+    val bytes = out.array()
+    val table = Jbig2Huffman.parseTableSegment(bytes, 0, bytes.length)
+      .getOrElse(sys.error("self-built table segment failed to parse"))
+    (bytes, table)
+  }
+
+  /** Huffman symbol dictionary payload (SDHUFF=1, standard B.4/B.2/B.1
+    * selectors): glyphs grouped into ascending height classes, widths
+    * ascending within a class, one collective bitmap per class —
+    * uncompressed (BMSIZE 0) or MMR-coded. Exports everything. */
+  def encodeSymbolDictHuffData(glyphs: Seq[Jbig2.Bitmap], mmr: Boolean = false): Array[Byte] = {
+    import Jbig2Huffman.{B1, B2, B4}
+    val w = new BitWriter
+    var hcHeight = 0
+    glyphs.groupBy(_.h).toSeq.sortBy(_._1).foreach { case (h, gs0) =>
+      val gs = gs0.sortBy(_.w)
+      encodeHuffValue(w, B4, Some(h - hcHeight))
+      hcHeight = h
+      var symWidth = 0
+      var totWidth = 0
+      gs.foreach { g =>
+        encodeHuffValue(w, B2, Some(g.w - symWidth))
+        symWidth = g.w
+        totWidth += g.w
+      }
+      encodeHuffValue(w, B2, None) // OOB: class complete
+      // collective bitmap: symbols side by side
+      val coll = new Array[Byte](totWidth * h)
+      var x0 = 0
+      gs.foreach { g =>
+        var y = 0
+        while (y < h) {
+          System.arraycopy(g.bits, y * g.w, coll, y * totWidth + x0, g.w)
+          y += 1
+        }
+        x0 += g.w
+      }
+      if (!mmr) {
+        encodeHuffValue(w, B1, Some(0))
+        w.align()
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < totWidth) { w.bit(coll(y * totWidth + x)); x += 1 }
+          w.align()
+          y += 1
+        }
+      } else {
+        val enc = encodeMmrG4(coll, totWidth, h)
+        encodeHuffValue(w, B1, Some(enc.length))
+        w.bytes(enc)
+      }
+    }
+    // export all: run 0 (not exported), run N (exported), via Table B.1
+    encodeHuffValue(w, B1, Some(0))
+    encodeHuffValue(w, B1, Some(glyphs.length))
+    val body = w.result()
+    val out = java.nio.ByteBuffer.allocate(2 + 8 + body.length)
+    out.putShort(1.toShort) // SDHUFF=1, all-standard selectors, template 0
+    out.putInt(glyphs.length).putInt(glyphs.length)
+    out.put(body)
+    out.array()
+  }
+
+  /** Huffman text region payload (SBHUFF=1, custom FS/DS/DT tables): same
+    * instance model as encodeTextRegionData — (symId, x, y) with the
+    * corner-invariant S axis — but table-coded, with the 35-runcode
+    * symbol-ID scheme (uniform ceil(log2 n) code lengths). */
+  def encodeTextRegionHuffData(rw: Int, rh: Int,
+      glyphs: Seq[Jbig2.Bitmap], instances: Seq[(Int, Int, Int)],
+      tFS: Jbig2Huffman.Table, tDS: Jbig2Huffman.Table, tDT: Jbig2Huffman.Table,
+      refCorner: Int = 1, combOp: Int = 0): Array[Byte] = {
+    require(glyphs.length >= 2, "huffman fixture needs >= 2 symbols")
+    val w = new BitWriter
+    // symbol-ID codes: all symbols at length L (canonical 0..n-1)
+    val symLen = Jbig2.ceilLog2(glyphs.length)
+    val runLens = new Array[Int](35)
+    runLens(symLen) = 1 // runcode `symLen` gets the single length-1 code "0"
+    runLens.foreach(l => w.bits(l, 4))
+    glyphs.indices.foreach(_ => w.bit(0)) // n × runcode symLen
+    w.align()
+    def tOf(inst: (Int, Int, Int)) =
+      inst._3 + (if ((refCorner & 1) != 0) 0 else glyphs(inst._1).h - 1)
+    def sOf(inst: (Int, Int, Int)) = inst._2
+    val strips = instances.groupBy(tOf).toSeq.sortBy(_._1)
+      .map { case (t, is) => (t, is.sortBy(_._2)) }
+    encodeHuffValue(w, tDT, Some(0)) // STRIPT init
+    var stripT = 0
+    var firstS = 0
+    strips.foreach { case (t, is) =>
+      encodeHuffValue(w, tDT, Some(t - stripT))
+      stripT = t
+      var curS = 0
+      is.zipWithIndex.foreach { case (inst, k) =>
+        val s = sOf(inst)
+        if (k == 0) {
+          encodeHuffValue(w, tFS, Some(s - firstS))
+          firstS = s
+          curS = s
+        } else {
+          encodeHuffValue(w, tDS, Some(s - curS))
+          curS = s
+        }
+        // SBSTRIPS == 1: no CURT bits
+        w.bits(inst._1, symLen) // symbol ID at uniform length
+        curS += glyphs(inst._1).w - 1
+      }
+      encodeHuffValue(w, tDS, None) // OOB terminates the strip
+    }
+    val body = w.result()
+    // SBHUFF=1, LOGSBSTRIPS=0, refCorner, combOp
+    val flags = 1 | ((refCorner & 3) << 4) | ((combOp & 3) << 7)
+    val hf = 3 | (3 << 2) | (3 << 4) // FS/DS/DT custom, R selectors 0
+    val out = java.nio.ByteBuffer.allocate(17 + 2 + 2 + 4 + body.length)
+    out.putInt(rw).putInt(rh).putInt(0).putInt(0)
+    out.put(0.toByte)
+    out.putShort(flags.toShort)
+    out.putShort(hf.toShort)
+    out.putInt(instances.length)
+    out.put(body)
+    out.array()
+  }
+
+  /** Fixture custom tables: FS covers 0..15 (+lower/upper), DS covers −8..7
+    * with a short OOB, DT covers 0..15 (+lower/upper). */
+  def fixtureTextTables(): (Array[Byte], Jbig2Huffman.Table, Array[Byte], Jbig2Huffman.Table, Array[Byte], Jbig2Huffman.Table) = {
+    val (fsB, fsT) = encodeTableSegment(0, 16, Seq((1, 4)), lowerPref = 2, upperPref = 2)
+    val (dsB, dsT) = encodeTableSegment(-8, 8, Seq((2, 4)), lowerPref = 3, upperPref = 3, oobPref = 1)
+    val (dtB, dtT) = encodeTableSegment(0, 16, Seq((1, 4)), lowerPref = 2, upperPref = 2)
+    (fsB, fsT, dsB, dsT, dtB, dtT)
+  }
+
+  /** PDF-embedded huffman symbol-coded stream: page info + three custom
+    * table segments + huffman symbol dictionary + huffman text region. */
+  def embeddedHuffTextStream(w: Int, h: Int, glyphs: Seq[Jbig2.Bitmap],
+      instances: Seq[(Int, Int, Int)], mmr: Boolean = false,
+      refCorner: Int = 1): Array[Byte] = {
+    val page = java.nio.ByteBuffer.allocate(19)
+      .putInt(w).putInt(h).putInt(0).putInt(0)
+      .put(0.toByte).putShort(0.toShort).array()
+    val (fsB, fsT, dsB, dsT, dtB, dtT) = fixtureTextTables()
+    val dict = encodeSymbolDictHuffData(glyphs, mmr)
+    // the dictionary's height-class regrouping reorders symbols: rebuild the
+    // exported order (classes by ascending height, widths ascending within)
+    val exported = glyphs.groupBy(_.h).toSeq.sortBy(_._1).flatMap(_._2.sortBy(_.w))
+    val remap = glyphs.map(g => exported.indexWhere(e => e eq g))
+    val remapped = instances.map { case (id, x, y) => (remap(id), x, y) }
+    val text = encodeTextRegionHuffData(w, h, exported, remapped, fsT, dsT, dtT, refCorner)
+    segment(0, 48, Nil, page) ++
+      segment(1, 53, Nil, fsB) ++
+      segment(2, 53, Nil, dsB) ++
+      segment(3, 53, Nil, dtB) ++
+      segment(4, 0, Nil, dict) ++
+      segment(5, 6, Seq(4, 1, 2, 3), text)
   }
 
   /** Deterministic test bitmap: diagonal bands + a filled box, seeded. */
