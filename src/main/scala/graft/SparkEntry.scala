@@ -353,7 +353,9 @@ object SparkEntry {
         // chroma decoded on their own grids and replicated up — six
         // subsampled codestream classes cross-validated at 0 mismatches
         ("synthetic/jpx420.pdf",
-          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, sub420 = true))))
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, sub420 = true)),
+        ("synthetic/jpxprec.pdf",
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, precincts = true))))
       s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
         .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
         .select(col("path"), col("content"))
@@ -953,6 +955,7 @@ object SparkEntry {
         | ('jpx97', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpxjp2', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpx420', 0, 'ImX', 64, 48, 8, 'DeviceRGB', 'JPXDecode', 64, 48, 3, 108),
+        | ('jpxprec', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('test24', 0, 'Im1', 353, 274, 8, 'DeviceRGB', 'DCTDecode', 353, 274, 3, 204),
         | ('test24', 4, 'Im2', 497, 345, 8, 'DeviceRGB', 'DCTDecode', 497, 345, 3, 242),
         | ('test24', 4, 'Im3', 496, 291, 8, 'DeviceRGB', 'DCTDecode', 496, 291, 3, 238),

@@ -6,9 +6,14 @@ package graft.pdf
   *
   *   - raw codestreams (SOC..EOC) and JP2 box containers (the 'jp2c' box);
   *   - SIZ/COD/COC/QCD/QCC main-header markers, single or multiple
-  *     tile-parts (SOT/SOD), any of the five progression orders (with the
-  *     default whole-subband precincts each progression reduces to plain
-  *     nested layer/resolution/component loops);
+  *     tile-parts (SOT/SOD), any of the five progression orders — realized
+  *     as a stable sort of the packet list by each order's B.12 key, with
+  *     precinct positions projected to the reference grid for the
+  *     position-dependent orders;
+  *   - custom precinct partitions (round 6 — Scod/Scoc bit 0 size bytes):
+  *     per-resolution precinct grids (B.6), precinct-clamped code-block
+  *     sizes (B.7), per-precinct inclusion/zero-bitplane tag trees (B.10.2)
+  *     and one packet per (component, resolution, precinct, layer);
   *   - Tier-2 packet headers (B.10): bit-stuffed reader, inclusion and
   *     zero-bitplane tag trees, coding-pass counts, Lblock length codes,
   *     optional SOP/EPH marker segments;
@@ -30,12 +35,11 @@ package graft.pdf
   * streams additionally need tile sizes divisible by XRsiz·2^levels so
   * every component-grid resolution origin stays even.
   *
-  * Scope (disclosed): subsampling factors above 8, non-default
-  * precinct partitions, the code-block style flags the reference ALSO errors
-  * on (selective bypass, context reset, pass termination, vertical stripe,
-  * predictable termination) and ROI (RGN) return None — the caller keeps the
-  * metadata-only row; segmentation symbols (style 0x20) are SUPPORTED, like
-  * the reference. The reference wires its own vendored decoder
+  * Scope (disclosed): subsampling factors above 8, the code-block style
+  * flags the reference ALSO errors on (selective bypass, context reset,
+  * pass termination, vertical stripe, predictable termination) and ROI
+  * (RGN) return None — the caller keeps the metadata-only row; segmentation
+  * symbols (style 0x20) and custom precincts are SUPPORTED. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
   * cross-validated against that decoder on encoder-generated fixtures.
@@ -200,7 +204,8 @@ object Jpx {
 
   // ── code-block Tier-1 state ──────────────────────────────────────────────
   private[graft] final class CodeBlock(
-      val x0: Int, val y0: Int, val x1: Int, val y1: Int, val band: Int) {
+      val x0: Int, val y0: Int, val x1: Int, val y1: Int, val band: Int,
+      val gi: Int = 0, val gj: Int = 0, val prec: Int = 0) {
     var zeroBitPlanes: Int = -1 // revealed at first inclusion
     var lblock: Int = 3
     var included: Boolean = false
@@ -513,24 +518,46 @@ object Jpx {
 
   private final case class Cod(progression: Int, layers: Int, mct: Int,
       levels: Int, xcb: Int, ycb: Int, cbStyle: Int, reversible: Boolean,
-      sop: Boolean, eph: Boolean) {
+      sop: Boolean, eph: Boolean,
+      /** Custom precinct size bytes, one per resolution 0..levels (PPx in
+        * the low nibble, PPy high — A.6.1); null = the 2^15 defaults. */
+      precSizes: Array[Int] = null) {
     /** Segmentation symbols (style bit 0x20): a 4-bit error-detection
       * symbol after each cleanup pass — supported, like the reference. */
     def segSymbols: Boolean = (cbStyle & 0x20) != 0
+    def ppx(r: Int): Int =
+      if (precSizes == null) 15 else precSizes(math.min(r, precSizes.length - 1)) & 0xf
+    def ppy(r: Int): Int =
+      if (precSizes == null) 15 else (precSizes(math.min(r, precSizes.length - 1)) >> 4) & 0xf
   }
 
   private final case class Qcd(style: Int, guard: Int,
       exponents: Array[Int], mantissas: Array[Int])
 
+  /** One band-side precinct: the tag trees (per B.10.2 one inclusion + one
+    * zero-bitplane tree per precinct per band) plus the code-block grid
+    * window they cover. Null entries = no code-blocks of this band fall in
+    * that precinct (its packets read the single empty/non-empty bit only). */
+  private final class BandPrecinct(val iMin: Int, val jMin: Int,
+      val nw: Int, val nh: Int) {
+    val inclTree = new TagTree(nw, nh)
+    val zbpTree = new TagTree(nw, nh)
+  }
+
   private final class Band(val kind: Int, // 0 LL, 1 HL, 2 LH, 3 HH
       val x0: Int, val y0: Int, val x1: Int, val y1: Int,
       val blocks: Array[CodeBlock],
       val bw: Int, val bh: Int, // block grid dims
-      val inclTree: TagTree, val zbpTree: TagTree)
+      val precincts: Array[BandPrecinct])
 
   private final class Resolution(val r: Int,
       val x0: Int, val y0: Int, val x1: Int, val y1: Int,
-      val bands: Array[Band])
+      val bands: Array[Band],
+      /** Precinct grid of this resolution (B.6): columns, rows, and the
+        * 2^ppx × 2^ppy partition anchored at 0 on the resolution grid. */
+      val npw: Int, val nph: Int, val ppx: Int, val ppy: Int) {
+    def numPrec: Int = npw * nph
+  }
 
   /** Decode a JPX payload (raw codestream or JP2 box container). Returns
     * None for anything outside the supported subset or malformed input —
@@ -686,7 +713,6 @@ object Jpx {
                 xrs, yrs)
             case 0xff52 => // COD
               val scod = data(p + 2) & 0xff
-              if ((scod & 1) != 0) return None // custom precincts: out of subset
               val prog = data(p + 3) & 0xff
               val layers = u16(data, p + 4)
               val mct = data(p + 6) & 0xff
@@ -695,6 +721,17 @@ object Jpx {
               val ycb = (data(p + 9) & 0x0f) + 2
               val cbStyle = data(p + 10) & 0xff
               val wavelet = data(p + 11) & 0xff
+              // custom precinct partition (Scod bit 0): one size byte per
+              // resolution; PPx/PPy must be ≥ 1 above resolution 0 (B.6)
+              val precSizes: Array[Int] =
+                if ((scod & 1) == 0) null
+                else {
+                  if (p + 12 + levels + 1 > segEnd) return None
+                  val ps = Array.tabulate(levels + 1)(i => data(p + 12 + i) & 0xff)
+                  if (ps.indices.exists(r => r > 0 && ((ps(r) & 0xf) < 1 || (ps(r) >> 4) < 1)))
+                    return None
+                  ps
+                }
               // 1 << shift wraps at 32 on the JVM: cap the subset at 30.
               // Style bits other than segmentation symbols (0x20) — bypass,
               // context reset, pass termination, vertical stripe — are out
@@ -702,23 +739,32 @@ object Jpx {
               if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x20) != 0) return None
               if (layers < 1 || prog > 4) return None
               cod = Cod(prog, layers, mct, levels, xcb, ycb, cbStyle,
-                wavelet == 1, (scod & 2) != 0, (scod & 4) != 0)
+                wavelet == 1, (scod & 2) != 0, (scod & 4) != 0, precSizes)
             case 0xff53 => // COC
               if (siz == null) return None
               val (ci, off) =
                 if (siz.comps < 257) (data(p + 2) & 0xff, p + 3)
                 else (u16(data, p + 2), p + 4)
               val scoc = data(off) & 0xff
-              if ((scoc & 1) != 0) return None
               val levels = data(off + 1) & 0xff
               val xcb = (data(off + 2) & 0x0f) + 2
               val ycb = (data(off + 3) & 0x0f) + 2
               val cbStyle = data(off + 4) & 0xff
               val wavelet = data(off + 5) & 0xff
               if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x20) != 0) return None
+              val precSizesC: Array[Int] =
+                if ((scoc & 1) == 0) null
+                else {
+                  if (off + 6 + levels + 1 > segEnd) return None
+                  val ps = Array.tabulate(levels + 1)(i => data(off + 6 + i) & 0xff)
+                  if (ps.indices.exists(r => r > 0 && ((ps(r) & 0xf) < 1 || (ps(r) >> 4) < 1)))
+                    return None
+                  ps
+                }
               val base = if (cod != null) cod else return None
               codPerComp(ci) = base.copy(levels = levels, xcb = xcb, ycb = ycb,
-                cbStyle = cbStyle, reversible = wavelet == 1)
+                cbStyle = cbStyle, reversible = wavelet == 1,
+                precSizes = precSizesC)
             case 0xff5c => qcd = parseQ(data, p + 2, segEnd)
             case 0xff5d =>
               if (siz == null) return None
@@ -864,17 +910,30 @@ object Jpx {
         val ry0 = ceilDiv(cty0(c), 1 << shift)
         val rx1 = ceilDiv(ctx1(c), 1 << shift)
         val ry1 = ceilDiv(cty1(c), 1 << shift)
+        // precinct partition of the resolution (B.6), anchored at 0
+        val ppx = cod.ppx(r)
+        val ppy = cod.ppy(r)
+        val npw = if (rx1 > rx0) ceilDiv(rx1, 1 << ppx) - (rx0 >> ppx) else 0
+        val nph = if (ry1 > ry0) ceilDiv(ry1, 1 << ppy) - (ry0 >> ppy) else 0
+        // code-block size clamped to the precinct (B.7: xcb' ≤ PPx at r=0,
+        // PPx−1 above); the same offset maps the partition into band coords
+        val sub = if (r == 0) 0 else 1
+        val xcbEff = math.min(cod.xcb, ppx - sub)
+        val ycbEff = math.min(cod.ycb, ppy - sub)
         val bands: Array[Band] =
-          if (r == 0) Array(mkBand(0, rx0, ry0, rx1, ry1, cod))
+          if (r == 0)
+            Array(mkBand(0, rx0, ry0, rx1, ry1, xcbEff, ycbEff,
+              ppx, ppy, npw, npw * nph))
           else {
             val nb = cod.levels - r + 1
             Array(1, 2, 3).map { kind =>
               val (bx0, by0, bx1, by1) =
                 bandRect(kind, nb, ctx0(c), cty0(c), ctx1(c), cty1(c))
-              mkBand(kind, bx0, by0, bx1, by1, cod)
+              mkBand(kind, bx0, by0, bx1, by1, xcbEff, ycbEff,
+                ppx - sub, ppy - sub, npw, npw * nph)
             }
           }
-        new Resolution(r, rx0, ry0, rx1, ry1, bands)
+        new Resolution(r, rx0, ry0, rx1, ry1, bands, npw, nph, ppx, ppy)
       }
     }
 
@@ -889,34 +948,46 @@ object Jpx {
     val (sStart, sEnd) =
       if (parts.length == 1) (parts.head._1, parts.head._2) else (0, stream.length)
 
-    // packet iteration: with the default single whole-subband precinct the
-    // position loop is a single point, so the five progressions (B.12)
-    // reduce to loop nestings of (layer, resolution, component) — LRCP
-    // l(r(c)), RLCP r(l(c)), RPCL r(p(c(l))) → r(c(l)), and PCRL/CPRL both
-    // degenerate to c(r(l)) since every precinct shares one position
+    // packet iteration (B.12): one packet per (component, resolution,
+    // precinct, layer). The five progressions are realized as a STABLE sort
+    // of the canonical packet list by each progression's key — for the
+    // position-dependent orders (RPCL/PCRL/CPRL) a precinct's key is its
+    // top-left sample position projected to the reference grid
+    // (x · XRsiz · 2^(NL−r)), exactly the coordinate the spec's nested
+    // position loops step over; with the default single whole-subband
+    // precinct every position is the tile origin and the orders reduce to
+    // the loop nestings rounds 1-5 shipped.
     val layers = codG.layers
-    val order = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)] // (comp, res, layer)
-    codG.progression match {
-      case 0 => // LRCP
-        for (l <- 0 until layers; r <- 0 to maxLevels; c <- 0 until comps)
-          if (r < resolutions(c).length) order += ((c, r, l))
-      case 1 => // RLCP
-        for (r <- 0 to maxLevels; l <- 0 until layers; c <- 0 until comps)
-          if (r < resolutions(c).length) order += ((c, r, l))
-      case 2 => // RPCL
-        for (r <- 0 to maxLevels; c <- 0 until comps; l <- 0 until layers)
-          if (r < resolutions(c).length) order += ((c, r, l))
-      case _ => // PCRL / CPRL
-        for (c <- 0 until comps; r <- 0 to maxLevels; l <- 0 until layers)
-          if (r < resolutions(c).length) order += ((c, r, l))
+    val base = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)] // (c, r, p, l)
+    for (c <- 0 until comps; r <- 0 to maxLevels; if r < resolutions(c).length;
+         p <- 0 until resolutions(c)(r).numPrec; l <- 0 until layers)
+      base += ((c, r, p, l))
+    def posKey(c: Int, r: Int, p: Int): (Long, Long) = {
+      val res = resolutions(c)(r)
+      val pi = p % res.npw
+      val pj = p / res.npw
+      val px = math.max(res.x0, ((res.x0 >> res.ppx) + pi).toLong << res.ppx)
+      val py = math.max(res.y0, ((res.y0 >> res.ppy) + pj).toLong << res.ppy)
+      val shift = compCod(c).levels - r
+      ((py * siz.yr(c)) << shift, (px * siz.xr(c)) << shift)
+    }
+    val order = codG.progression match {
+      case 0 => base.sortBy { case (c, r, p, l) => (l, r, c, p) } // LRCP
+      case 1 => base.sortBy { case (c, r, p, l) => (r, l, c, p) } // RLCP
+      case 2 => base.sortBy { case (c, r, p, l) => // RPCL
+        val (y, x) = posKey(c, r, p); (r.toLong, y, x, c.toLong, l.toLong) }
+      case 3 => base.sortBy { case (c, r, p, l) => // PCRL
+        val (y, x) = posKey(c, r, p); (y, x, c.toLong, r.toLong, l.toLong) }
+      case _ => base.sortBy { case (c, r, p, l) => // CPRL
+        val (y, x) = posKey(c, r, p); (c.toLong, y, x, r.toLong, l.toLong) }
     }
 
     val br = new PacketBitReader(stream, sStart, sEnd)
     var ok = true
     var oi = 0
     while (ok && oi < order.length) {
-      val (c, r, l) = order(oi)
-      ok = parsePacket(br, stream, sEnd, resolutions(c)(r), compCod(c), l)
+      val (c, r, p, l) = order(oi)
+      ok = parsePacket(br, stream, sEnd, resolutions(c)(r), compCod(c), l, p)
       oi += 1
     }
     if (!ok) return None
@@ -1068,19 +1139,29 @@ object Jpx {
     case _ => 0
   }
 
-  private def mkBand(kind: Int, x0: Int, y0: Int, x1: Int, y1: Int, cod: Cod): Band = {
-    val cbw = 1 << cod.xcb
-    val cbh = 1 << cod.ycb
+  /** Build one band's code-block grid (B.7) and its per-precinct tag trees
+    * (B.10.2). `xcbEff`/`ycbEff` are the precinct-clamped code-block
+    * exponents; `ppxSub`/`ppySub` the precinct partition exponents in BAND
+    * coordinates (PPx at r=0, PPx−1 above — the partition is anchored at 0
+    * like the code-block grid, so each block falls wholly in one precinct);
+    * `npw`/`numPrec` come from the resolution's precinct grid. */
+  private def mkBand(kind: Int, x0: Int, y0: Int, x1: Int, y1: Int,
+      xcbEff: Int, ycbEff: Int, ppxSub: Int, ppySub: Int,
+      npw: Int, numPrec: Int): Band = {
+    val cbw = 1 << xcbEff
+    val cbh = 1 << ycbEff
     val bw0 = math.max(0, x1 - x0)
     val bh0 = math.max(0, y1 - y0)
     if (bw0 == 0 || bh0 == 0)
       return new Band(kind, x0, y0, x1, y1, Array.empty, 0, 0,
-        new TagTree(1, 1), new TagTree(1, 1))
+        new Array[BandPrecinct](math.max(1, numPrec)))
     // code-block grid aligned to absolute multiples of the block size (B.7)
     val gx0 = (x0 / cbw) * cbw
     val gy0 = (y0 / cbh) * cbh
     val nx = ceilDiv(x1 - gx0, cbw)
     val ny = ceilDiv(y1 - gy0, cbh)
+    val pi0 = x0 >> ppxSub
+    val pj0 = y0 >> ppySub
     val blocks = new Array[CodeBlock](nx * ny)
     var j = 0
     while (j < ny) {
@@ -1090,19 +1171,35 @@ object Jpx {
         val by0 = math.max(y0, gy0 + j * cbh)
         val bx1 = math.min(x1, gx0 + (i + 1) * cbw)
         val by1 = math.min(y1, gy0 + (j + 1) * cbh)
-        blocks(j * nx + i) = new CodeBlock(bx0, by0, bx1, by1, kind)
+        val pi = (bx0 >> ppxSub) - pi0
+        val pj = (by0 >> ppySub) - pj0
+        val prec = math.max(0, math.min(numPrec - 1, pj * npw + pi))
+        blocks(j * nx + i) = new CodeBlock(bx0, by0, bx1, by1, kind, i, j, prec)
         i += 1
       }
       j += 1
     }
-    new Band(kind, x0, y0, x1, y1, blocks, nx, ny,
-      new TagTree(nx, ny), new TagTree(nx, ny))
+    val precincts = new Array[BandPrecinct](math.max(1, numPrec))
+    blocks.foreach { blk =>
+      val p = precincts(blk.prec)
+      if (p == null)
+        precincts(blk.prec) = new BandPrecinct(blk.gi, blk.gj, 1, 1)
+      else {
+        val iMin = math.min(p.iMin, blk.gi)
+        val jMin = math.min(p.jMin, blk.gj)
+        val nw = math.max(p.iMin + p.nw, blk.gi + 1) - iMin
+        val nh = math.max(p.jMin + p.nh, blk.gj + 1) - jMin
+        if (iMin != p.iMin || jMin != p.jMin || nw != p.nw || nh != p.nh)
+          precincts(blk.prec) = new BandPrecinct(iMin, jMin, nw, nh)
+      }
+    }
+    new Band(kind, x0, y0, x1, y1, blocks, nx, ny, precincts)
   }
 
-  /** Parse one packet for (resolution, layer) — default single precinct.
+  /** Parse one packet for (resolution, precinct, layer).
     * Mutates code-block states; returns false on malformed input. */
   private def parsePacket(br: PacketBitReader, data: Array[Byte], end: Int,
-      res: Resolution, cod: Cod, layer: Int): Boolean = {
+      res: Resolution, cod: Cod, layer: Int, prec: Int): Boolean = {
     // SOP marker segment (A.8.1) if signalled
     if (cod.sop && br.pos + 6 <= end &&
       (data(br.pos) & 0xff) == 0xff && (data(br.pos + 1) & 0xff) == 0x91) {
@@ -1117,15 +1214,16 @@ object Jpx {
       var bi = 0
       while (bi < res.bands.length) {
         val band = res.bands(bi)
+        val bp = if (prec < band.precincts.length) band.precincts(prec) else null
         var idx = 0
-        while (idx < band.blocks.length) {
+        while (bp != null && idx < band.blocks.length) {
           val blk = band.blocks(idx)
-          val i = idx % math.max(1, band.bw)
-          val j = idx / math.max(1, band.bw)
+          val i = blk.gi - bp.iMin
+          val j = blk.gj - bp.jMin
           var newPasses = 0
-          if (blk.x1 > blk.x0 && blk.y1 > blk.y0) {
+          if (blk.prec == prec && blk.x1 > blk.x0 && blk.y1 > blk.y0) {
             val included =
-              if (!blk.included) band.inclTree.decode(hdr, i, j, layer + 1) >= 0
+              if (!blk.included) bp.inclTree.decode(hdr, i, j, layer + 1) >= 0
               else hdr.bit() == 1
             if (included) {
               if (!blk.included) {
@@ -1133,7 +1231,7 @@ object Jpx {
                 var t = 1
                 var zbp = -1
                 while (zbp < 0) {
-                  zbp = band.zbpTree.decode(hdr, i, j, t)
+                  zbp = bp.zbpTree.decode(hdr, i, j, t)
                   t += 1
                   if (t > 64) return false
                 }

@@ -431,8 +431,24 @@ object JpxSynth {
       sop: Boolean = false, eph: Boolean = false,
       cocSegSymbols: Map[Int, Boolean] = Map.empty,
       xrs: Seq[Int] = Nil, yrs: Seq[Int] = Nil,
-      prog: Int = 0): Array[Byte] = {
+      prog: Int = 0,
+      /** Custom precinct size bytes (PPx | PPy<<4), one per resolution
+        * 0..levels — Scod bit 0. Single-tile only (the encoder's band
+        * coordinates are tile-relative; a non-origin tile would need
+        * precinct-aligned tile sizes to stay absolute-anchored). */
+      precSizes: Seq[Int] = Nil): Array[Byte] = {
     require(prog >= 0 && prog <= 4)
+    if (precSizes.nonEmpty) {
+      require(precSizes.length == levels + 1, "one precinct byte per resolution")
+      require((tileW == 0 || tileW >= w) && (tileH == 0 || tileH >= h),
+        "custom precincts: single tile only")
+      precSizes.zipWithIndex.foreach { case (ps, r) =>
+        require(r == 0 || ((ps & 0xf) >= 1 && ((ps >> 4) & 0xf) >= 1),
+          "PPx/PPy must be >= 1 above resolution 0")
+      }
+    }
+    def ppxOf(r: Int): Int = if (precSizes.isEmpty) 15 else precSizes(r) & 0xf
+    def ppyOf(r: Int): Int = if (precSizes.isEmpty) 15 else (precSizes(r) >> 4) & 0xf
     val comps = planesIn.length
     require(comps >= 1 && comps <= 4)
     val xr = if (xrs.nonEmpty) xrs.toArray else Array.fill(comps)(1)
@@ -485,12 +501,14 @@ object JpxSynth {
     w32(w); w32(h); w32(0); w32(0); w32(xt); w32(yt); w32(0); w32(0)
     w16(comps)
     for (c <- 0 until comps) { w8(depth - 1); w8(xr(c)); w8(yr(c)) }
-    // COD: progression order; Scod bits 1/2 signal SOP/EPH marker segments
-    w16(0xff52); w16(12)
-    w8((if (sop) 2 else 0) | (if (eph) 4 else 0))
+    // COD: progression order; Scod bit 0 = custom precincts, bits 1/2
+    // signal SOP/EPH marker segments
+    w16(0xff52); w16(12 + precSizes.length)
+    w8((if (precSizes.nonEmpty) 1 else 0) | (if (sop) 2 else 0) | (if (eph) 4 else 0))
     w8(prog); w16(layers); w8(mct)
     w8(levels); w8(cbExp - 2); w8(cbExp - 2)
     w8(if (segSymbols) 0x20 else 0); w8(if (reversible) 1 else 0)
+    precSizes.foreach(w8)
     // COC per-component overrides: same levels/cb/wavelet as the COD, but a
     // code-block style whose segmentation-symbol bit may differ (A.6.2)
     cocSegSymbols.toSeq.sortBy(_._1).foreach { case (ci, seg) =>
@@ -561,23 +579,47 @@ object JpxSynth {
     var ti = 0
     while (ti < numYT * numXT) {
       val body = new java.io.ByteArrayOutputStream()
-      // packets in LRCP order: layer outer, then resolution, then component
-      val plans = Array.tabulate(comps)(c => Array.tabulate(levels + 1)(r =>
-        planResolution(tilePlans(ti)(c)(r), r, cbExp, expByIdx, sbIndex,
-          layers, cocSegSymbols.getOrElse(c, segSymbols))))
-      // packet order per the signalled progression (single precinct)
-      val order: Seq[(Int, Int, Int)] = prog match { // (comp, res, layer)
-        case 0 => for (l <- 0 until layers; r <- 0 to levels; c <- 0 until comps)
-          yield (c, r, l)
-        case 1 => for (r <- 0 to levels; l <- 0 until layers; c <- 0 until comps)
-          yield (c, r, l)
-        case 2 => for (r <- 0 to levels; c <- 0 until comps; l <- 0 until layers)
-          yield (c, r, l)
-        case _ => for (c <- 0 until comps; r <- 0 to levels; l <- 0 until layers)
-          yield (c, r, l)
+      val tpx = ti % numXT
+      val tpy = ti / numXT
+      val ttx0 = tpx * xt; val ttx1 = math.min(ttx0 + xt, w)
+      val tty0 = tpy * yt; val tty1 = math.min(tty0 + yt, h)
+      val plans = Array.tabulate(comps) { c =>
+        val tw = Jpx.ceilDiv(ttx1, xr(c)) - Jpx.ceilDiv(ttx0, xr(c))
+        val th = Jpx.ceilDiv(tty1, yr(c)) - Jpx.ceilDiv(tty0, yr(c))
+        Array.tabulate(levels + 1) { r =>
+          planResolution(tilePlans(ti)(c)(r), r, cbExp, expByIdx, sbIndex,
+            layers, cocSegSymbols.getOrElse(c, segSymbols),
+            resW = Jpx.ceilDiv(tw, 1 << (levels - r)),
+            resH = Jpx.ceilDiv(th, 1 << (levels - r)),
+            ppx = ppxOf(r), ppy = ppyOf(r))
+        }
+      }
+      // packet order per the signalled progression — the same stable-sort
+      // realization of B.12 the decoder uses (precinct position projected
+      // to the reference grid for the position-dependent orders)
+      val basePk = for (c <- 0 until comps; r <- 0 to levels;
+                        p <- 0 until plans(c)(r).numPrec; l <- 0 until layers)
+        yield (c, r, p, l)
+      def posKey(c: Int, r: Int, p: Int): (Long, Long) = {
+        val plan = plans(c)(r)
+        val pi = p % plan.npw
+        val pj = p / plan.npw
+        val shift = levels - r
+        (((pj.toLong << plan.ppy) * yr(c)) << shift,
+          ((pi.toLong << plan.ppx) * xr(c)) << shift)
+      }
+      val order = prog match {
+        case 0 => basePk.sortBy { case (c, r, p, l) => (l, r, c, p) } // LRCP
+        case 1 => basePk.sortBy { case (c, r, p, l) => (r, l, c, p) } // RLCP
+        case 2 => basePk.sortBy { case (c, r, p, l) =>
+          val (y, x) = posKey(c, r, p); (r.toLong, y, x, c.toLong, l.toLong) }
+        case 3 => basePk.sortBy { case (c, r, p, l) =>
+          val (y, x) = posKey(c, r, p); (y, x, c.toLong, r.toLong, l.toLong) }
+        case _ => basePk.sortBy { case (c, r, p, l) =>
+          val (y, x) = posKey(c, r, p); (c.toLong, y, x, r.toLong, l.toLong) }
       }
       var seq = 0 // packet sequence number for SOP segments
-      order.foreach { case (c, r, l) =>
+      order.foreach { case (c, r, p, l) =>
         if (sop) {
           // SOP marker segment (A.8.1): FF91 Lsop=4 Nsop
           body.write(0xff); body.write(0x91)
@@ -585,7 +627,7 @@ object JpxSynth {
           body.write((seq >> 8) & 0xff); body.write(seq & 0xff)
           seq = (seq + 1) & 0xffff
         }
-        body.write(emitPacket(plans(c)(r), l, layers, eph))
+        body.write(emitPacket(plans(c)(r), l, layers, eph, p))
       }
       val bodyBytes = body.toByteArray
       // SOT
@@ -607,30 +649,52 @@ object JpxSynth {
     var byteOff = 0
   }
 
-  /** Per-resolution plan: block grid + encoded data + the tag-tree encoders
-    * (which must persist across layers, like the decoder's). */
+  /** One band-side precinct's tag-tree encoders over its code-block window
+    * (mirror of the decoder's BandPrecinct). */
+  private final class PrecinctEnc(val iMin: Int, val jMin: Int,
+      val nw: Int, val nh: Int, val incl: TagTreeEnc, val zbps: TagTreeEnc)
+
+  /** Per-resolution plan: block grid + encoded data + per-precinct tag-tree
+    * encoders (which must persist across layers, like the decoder's), plus
+    * the resolution's precinct grid for iteration. */
   private final class ResPlan(val perBand: Array[(Array[BlkState], Int, Int)],
-      val incl: Array[TagTreeEnc], val zbps: Array[TagTreeEnc])
+      val precs: Array[Array[PrecinctEnc]], // per band, per precinct index
+      val blkPrec: Array[Array[Int]], // per band, per block: precinct index
+      val numPrec: Int, val npw: Int, val ppx: Int, val ppy: Int,
+      val resW: Int, val resH: Int)
 
   private def planResolution(bands: Array[SubbandPlan], r: Int, cbExp: Int,
       expByIdx: Array[Int], sbIndex: (Int, Int) => Int, layers: Int,
-      segSymbols: Boolean): ResPlan = {
-    val perBand = bands.map { sb =>
+      segSymbols: Boolean, resW: Int, resH: Int,
+      ppx: Int = 15, ppy: Int = 15): ResPlan = {
+    // precinct grid of the resolution (origin 0 — single-tile fixtures)
+    val npw = if (resW > 0) Jpx.ceilDiv(resW, 1 << ppx) else 0
+    val nph = if (resH > 0) Jpx.ceilDiv(resH, 1 << ppy) else 0
+    val numPrec = npw * nph
+    val sub = if (r == 0) 0 else 1
+    val cbW = 1 << math.min(cbExp, ppx - sub)
+    val cbH = 1 << math.min(cbExp, ppy - sub)
+    val ppxSub = ppx - sub
+    val ppySub = ppy - sub
+    val blkPrec = new Array[Array[Int]](bands.length)
+    val perBand = bands.zipWithIndex.map { case (sb, bi) =>
       val bwd = sb.x1 - sb.x0
       val bhd = sb.y1 - sb.y0
-      val cb = 1 << cbExp
-      if (bwd <= 0 || bhd <= 0) (Array.empty[BlkState], 0, 0)
+      if (bwd <= 0 || bhd <= 0) { blkPrec(bi) = Array.empty; (Array.empty[BlkState], 0, 0) }
       else {
-        val nx = Jpx.ceilDiv(bwd, cb)
-        val ny = Jpx.ceilDiv(bhd, cb)
+        val nx = Jpx.ceilDiv(bwd, cbW)
+        val ny = Jpx.ceilDiv(bhd, cbH)
         val mb = Guard + expByIdx(sbIndex(r, sb.kind)) - 1
+        blkPrec(bi) = new Array[Int](ny * nx)
         val blocks = Array.tabulate(ny * nx) { idx =>
           val i = idx % nx
           val j = idx / nx
-          val x0 = i * cb
-          val y0 = j * cb
-          val x1 = math.min(x0 + cb, bwd)
-          val y1 = math.min(y0 + cb, bhd)
+          val x0 = i * cbW
+          val y0 = j * cbH
+          blkPrec(bi)(idx) =
+            math.max(0, math.min(numPrec - 1, (y0 >> ppySub) * npw + (x0 >> ppxSub)))
+          val x1 = math.min(x0 + cbW, bwd)
+          val y1 = math.min(y0 + cbH, bhd)
           val bw2 = x1 - x0
           val bh2 = y1 - y0
           val vals = new Array[Int](bw2 * bh2)
@@ -667,21 +731,40 @@ object JpxSynth {
       while (l < layers && (b.passes.toLong * (l + 1) / layers).toInt == 0) l += 1
       l
     }
-    val incl = perBand.map { case (blocks, nx, ny) =>
-      new TagTreeEnc(math.max(1, nx), math.max(1, ny),
-        if (blocks.isEmpty) Array(layers) else blocks.map(firstLayer))
+    val precs = perBand.zipWithIndex.map { case ((blocks, nx, _), bi) =>
+      val out = new Array[PrecinctEnc](math.max(1, numPrec))
+      if (blocks.nonEmpty) {
+        // window of the band's code-block grid falling in each precinct
+        val byPrec = blocks.indices.groupBy(blkPrec(bi))
+        byPrec.foreach { case (p, idxs) =>
+          val is = idxs.map(_ % nx)
+          val js = idxs.map(_ / nx)
+          val iMin = is.min; val jMin = js.min
+          val nw = is.max - iMin + 1
+          val nh = js.max - jMin + 1
+          def leaves(f: Int => Int): Array[Int] = {
+            val a = new Array[Int](nw * nh)
+            idxs.foreach { idx =>
+              a((idx / nx - jMin) * nw + (idx % nx - iMin)) = f(idx)
+            }
+            a
+          }
+          out(p) = new PrecinctEnc(iMin, jMin, nw, nh,
+            new TagTreeEnc(nw, nh, leaves(i => firstLayer(blocks(i)))),
+            new TagTreeEnc(nw, nh, leaves(i => blocks(i).zbp)))
+        }
+      }
+      out
     }
-    val zbps = perBand.map { case (blocks, nx, ny) =>
-      new TagTreeEnc(math.max(1, nx), math.max(1, ny),
-        if (blocks.isEmpty) Array(0) else blocks.map(_.zbp))
-    }
-    new ResPlan(perBand, incl, zbps)
+    new ResPlan(perBand, precs, blkPrec, numPrec, math.max(1, npw),
+      ppx, ppy, resW, resH)
   }
 
-  /** One packet for (resolution plan, layer): first-inclusion via the tag
-    * tree, re-inclusion via one bit, fair pass/byte split across layers. */
+  /** One packet for (resolution plan, precinct, layer): first-inclusion via
+    * the precinct's tag tree, re-inclusion via one bit, fair pass/byte split
+    * across layers. */
   private def emitPacket(plan: ResPlan, layer: Int, layers: Int,
-      eph: Boolean = false): Array[Byte] = {
+      eph: Boolean = false, prec: Int = 0): Array[Byte] = {
     // a block's layer share: passes split evenly by cumulative targets,
     // bytes proportional to passes (exact on the final contribution)
     def layerShare(b: BlkState): (Int, Int) = {
@@ -707,9 +790,11 @@ object JpxSynth {
     // and require multiple 0-bits at the first non-empty layer, which
     // jump-style inclusion trees (the vendored decoder's) cannot follow;
     // one inclusion 0-bit per layer keeps every conformant decoder in sync
-    val any = plan.perBand.exists(_._1.exists(_.nonzero))
+    val any = plan.perBand.zipWithIndex.exists { case ((blocks, _, _), bi) =>
+      blocks.indices.exists(i => plan.blkPrec(bi)(i) == prec && blocks(i).nonzero)
+    }
     if (!any) {
-      bw.bit(0) // resolution carries no coded blocks at all
+      bw.bit(0) // this precinct carries no coded blocks at all
       bw.align()
       val out0 = new java.io.ByteArrayOutputStream()
       out0.write(bw.toArray)
@@ -718,23 +803,23 @@ object JpxSynth {
     }
     bw.bit(1)
     plan.perBand.zipWithIndex.foreach { case ((blocks, nx, _), bi) =>
-      if (blocks.nonEmpty) {
-        val incl = plan.incl(bi)
-        val zbps = plan.zbps(bi)
+      val pe = if (prec < plan.precs(bi).length) plan.precs(bi)(prec) else null
+      if (blocks.nonEmpty && pe != null) {
         var idx = 0
         while (idx < blocks.length) {
+          if (plan.blkPrec(bi)(idx) == prec) {
           val b = blocks(idx)
-          val i = idx % nx
-          val j = idx / nx
+          val i = idx % nx - pe.iMin
+          val j = idx / nx - pe.jMin
           val (lp, lb) = layerShare(b)
           if (!b.included) {
-            incl.encode(bw, i, j, layer + 1) // tag-tree first inclusion
+            pe.incl.encode(bw, i, j, layer + 1) // tag-tree first inclusion
           } else {
             bw.bit(if (lp > 0) 1 else 0) // re-inclusion bit
           }
           if (lp > 0) {
             if (!b.included) {
-              zbps.encode(bw, i, j, b.zbp + 1) // decode loops until pinned
+              pe.zbps.encode(bw, i, j, b.zbp + 1) // decode loops until pinned
               b.included = true
             }
             // coding passes (Table B.4)
@@ -752,6 +837,7 @@ object JpxSynth {
             segments += ((b.data, b.byteOff, lb))
             b.passOff += lp
             b.byteOff += lb
+          }
           }
           idx += 1
         }
@@ -833,7 +919,8 @@ object JpxSynth {
     * MCT) — the subsampled shape scanned color PDFs actually carry. */
   def pdfWithJpx(w: Int, h: Int, seed: Long, rgb: Boolean = false,
       lossy: Boolean = false, jp2: Boolean = false,
-      levels: Int = 2, sub420: Boolean = false): Array[Byte] = {
+      levels: Int = 2, sub420: Boolean = false,
+      precincts: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val planes =
       if (sub420) {
@@ -844,11 +931,12 @@ object JpxSynth {
       } else if (rgb) Array(testGray(w, h, seed), testGray(w, h, seed + 3),
         testGray(w, h, seed + 7))
       else Array(testGray(w, h, seed))
+    val ps = if (precincts) (0 to levels).map(r => if (r == 0) 0x44 else 0x44 + (if (r == levels) 0x11 else 0)) else Nil
     val cs0 =
       if (sub420) encode(planes, w, h, 8, levels, reversible = !lossy,
-        mct = 0, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2))
+        mct = 0, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2), precSizes = ps)
       else encode(planes, w, h, 8, levels, reversible = !lossy,
-        mct = if (rgb) 1 else 0)
+        mct = if (rgb) 1 else 0, cbExp = if (precincts) 4 else 6, precSizes = ps)
     val stream = if (jp2) wrapJp2(cs0, w, h, planes.length, 8) else cs0
     val csName = if (rgb || sub420) "/DeviceRGB" else "/DeviceGray"
     val content = s"q $w 0 0 $h 100 600 cm /ImX Do Q"

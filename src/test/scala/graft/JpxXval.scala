@@ -20,7 +20,17 @@ object JpxXval {
       ("pcrl_l2", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = 2, prog = 3), 3),
       ("cprl_l3", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = 3, prog = 4), 3),
       ("rpcl_gray_l3_97", JpxSynth.encode(gray, w, h, 8, 2, reversible = false, layers = 3, prog = 2), 1),
-      ("cprl_sopeph_l2", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = 2, prog = 4, sop = true, eph = true), 3))
+      ("cprl_sopeph_l2", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = 2, prog = 4, sop = true, eph = true), 3),
+      // custom precinct partitions (round 6): 48×40 levels 2, PPx/PPy
+      // 4/4, 4/4, 5/5 → grids 1×1 / 2×2 / 2×2, code-blocks clamped to 8 at
+      // r1 — across progressions, layers, RGB and 9/7
+      ("prec_lrcp", JpxSynth.encode(gray, w, h, 8, 2, cbExp = 4, precSizes = Seq(0x44, 0x44, 0x55)), 1),
+      ("prec_rlcp_l2", JpxSynth.encode(gray, w, h, 8, 2, cbExp = 4, precSizes = Seq(0x44, 0x44, 0x55), prog = 1, layers = 2), 1),
+      ("prec_rpcl_l3", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, cbExp = 4, precSizes = Seq(0x44, 0x44, 0x55), prog = 2, layers = 3), 3),
+      ("prec_pcrl", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, cbExp = 4, precSizes = Seq(0x44, 0x44, 0x55), prog = 3), 3),
+      ("prec_cprl_l2", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, cbExp = 4, precSizes = Seq(0x44, 0x44, 0x55), prog = 4, layers = 2), 3),
+      ("prec_97_rpcl", JpxSynth.encode(gray, w, h, 8, 2, reversible = false, cbExp = 4, precSizes = Seq(0x44, 0x44, 0x55), prog = 2), 1),
+      ("prec_tiny_lrcp", JpxSynth.encode(gray, w, h, 8, 2, cbExp = 5, precSizes = Seq(0x33, 0x33, 0x44), layers = 2), 1))
     for ((name, cs, comps) <- cases) {
       java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/xval_$name.j2k"), cs)
       val d = Jpx.decode(cs).getOrElse(sys.error(s"our decoder rejected $name"))

@@ -441,6 +441,63 @@ class JpxSpec extends AnyFunSuite {
     assert(i.grayMean > 0)
   }
 
+  test("custom precincts round-trip bit-exactly (grids, clamped blocks, tag trees)") {
+    val (w, h) = (64, 48)
+    val px = JpxSynth.testGray(w, h, 11)
+    // levels 2: r0 16×12, r1 32×24, r2 64×48. PPx/PPy = 4/4, 4/4, 5/5 →
+    // precinct grids 1×1, 2×2, 2×2; effective code-blocks clamp from 16 to
+    // 8 at r1/r2 (PPx−1 = 3 < cbExp 4 at r1; 16 at r2 via PPx−1 = 4)
+    val ps = Seq(0x44, 0x44, 0x55)
+    for (prog <- 0 to 4) {
+      val cs = JpxSynth.encode(Array(px), w, h, 8, 2, cbExp = 4,
+        precSizes = ps, prog = prog)
+      val out = Jpx.decode(cs)
+      assert(out.isDefined, s"prog=$prog")
+      assert(out.get.planes(0).toSeq == px.toSeq, s"prog=$prog")
+    }
+    // multi-layer + precincts, every progression
+    for (prog <- 0 to 4; layers <- Seq(2, 3)) {
+      val cs = JpxSynth.encode(Array(px), w, h, 8, 2, cbExp = 4,
+        precSizes = ps, prog = prog, layers = layers)
+      val out = Jpx.decode(cs)
+      assert(out.isDefined, s"prog=$prog layers=$layers")
+      assert(out.get.planes(0).toSeq == px.toSeq, s"prog=$prog layers=$layers")
+    }
+    // RGB + RCT + precincts (position-dependent orders interleave the
+    // components' precinct grids)
+    val planes = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 4),
+      JpxSynth.testGray(w, h, 9))
+    for (prog <- Seq(0, 2, 3, 4)) {
+      val cs = JpxSynth.encode(planes, w, h, 8, 2, mct = 1, cbExp = 4,
+        precSizes = ps, prog = prog, layers = 2)
+      val out = Jpx.decode(cs)
+      assert(out.isDefined, s"rgb prog=$prog")
+      (0 until 3).foreach(c =>
+        assert(out.get.planes(c).toSeq == planes(c).toSeq, s"rgb prog=$prog c=$c"))
+    }
+    // subsampled chroma + precincts: per-component precinct counts differ
+    val cw = Jpx.ceilDiv(w, 2)
+    val ch = Jpx.ceilDiv(h, 2)
+    val sub = Array(JpxSynth.testGray(w, h, 2), JpxSynth.testGray(cw, ch, 5),
+      JpxSynth.testGray(cw, ch, 8))
+    for (prog <- Seq(0, 2)) {
+      val cs = JpxSynth.encode(sub, w, h, 8, 2, cbExp = 4, precSizes = ps,
+        prog = prog, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2))
+      val out = Jpx.decodeComponents(cs)
+      assert(out.isDefined, s"sub prog=$prog")
+      assert(out.get.planes(0).toSeq == sub(0).toSeq, s"sub prog=$prog c0")
+      assert(out.get.planes(1).toSeq == sub(1).toSeq, s"sub prog=$prog c1")
+    }
+    // 9/7 + precincts within tolerance
+    val cs97 = JpxSynth.encode(Array(px), w, h, 8, 2, reversible = false,
+      cbExp = 4, precSizes = ps, prog = 2)
+    val out97 = Jpx.decode(cs97)
+    assert(out97.isDefined)
+    val err = out97.get.planes(0).zip(px).map { case (a, b) => (a - b).toDouble }
+    val mse = err.map(e => e * e).sum / err.length
+    assert(mse < 2.0, s"9/7 precinct mse $mse")
+  }
+
   test("out-of-subset streams degrade to None, never wrong pixels") {
     val (w, h) = (32, 24)
     val cs = JpxSynth.encode(Array(JpxSynth.testGray(w, h, 3)), w, h, 8, 2)
@@ -454,7 +511,8 @@ class JpxSpec extends AnyFunSuite {
     assert(Jpx.decode(patched(siz + 2 + 39, 9)).isEmpty)
     assert(Jpx.decode(patched(siz + 2 + 39, 0)).isEmpty)
     assert(Jpx.decode(patched(siz + 2 + 40, 255)).isEmpty) // YRsiz too
-    // custom precincts (Scod bit 0)
+    // Scod bit 0 (custom precincts) WITHOUT the per-resolution size bytes
+    // is malformed — custom precincts themselves decode (round 6)
     assert(Jpx.decode(patched(cod + 4, 1)).isEmpty)
     // code-block style flags (selective bypass)
     assert(Jpx.decode(patched(cod + 4 + 8, 1)).isEmpty)
