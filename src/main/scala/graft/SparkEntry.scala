@@ -338,6 +338,8 @@ object SparkEntry {
           graft.testgen.Jbig2Synth.pdfWithJbig2(64, 48, seed = 5, mmr = true)),
         ("synthetic/jbig2huff.pdf",
           graft.testgen.Jbig2Synth.pdfWithJbig2(40, 24, seed = 0, huffman = true)),
+        ("synthetic/jbig2ht.pdf",
+          graft.testgen.Jbig2Synth.pdfWithJbig2(48, 32, seed = 0, halftone = true)),
         // JPX (round 5): raw codestream gray, RGB + reversible RCT, 9/7
         // lossy, and the JP2 box container — all via the from-spec T.800
         // decoder, cross-validated against the reference's vendored JPX
@@ -950,6 +952,7 @@ object SparkEntry {
         | ('jbig2glob', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 231),
         | ('jbig2mmr', 0, 'ImJ', 64, 48, 1, 'DeviceGray', 'JBIG2Decode', 64, 48, 3, 158),
         | ('jbig2huff', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 231),
+        | ('jbig2ht', 0, 'ImJ', 48, 32, 1, 'DeviceGray', 'JBIG2Decode', 48, 32, 3, 128),
         | ('jpx', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpxrgb', 0, 'ImX', 64, 48, 8, 'DeviceRGB', 'JPXDecode', 64, 48, 3, 108),
         | ('jpx97', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),

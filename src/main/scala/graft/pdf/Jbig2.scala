@@ -675,6 +675,136 @@ object Jbig2 {
       .map(region => (rw, rh, rx, ry, region))
   }
 
+  /** Pattern dictionary segment (6.7/7.4.4): GRAYMAX+1 patterns of
+    * HDPW×HDPH decoded from ONE collective generic region of width
+    * (GRAYMAX+1)·HDPW with the spec's fixed AT pixels (AT1 = (−HDPW, 0) —
+    * each pattern predicts from its left neighbor). MMR-coded dictionaries
+    * decode through the fax lane. The vendored reference decoder has no
+    * pattern-dictionary branch at all, so this EXCEEDS it. */
+  private[graft] def decodePatternDict(
+      data: Array[Byte], start: Int, end: Int): Option[Vector[Bitmap]] = {
+    if (start + 7 > end) return None
+    val flags = data(start) & 0xff
+    val mmr = (flags & 1) != 0
+    val template = (flags >> 1) & 3
+    val hdpw = data(start + 1) & 0xff
+    val hdph = data(start + 2) & 0xff
+    val grayMax = be32(data, start + 3).toInt
+    if (hdpw < 1 || hdph < 1 || hdpw > 64 || hdph > 64 ||
+      grayMax < 0 || grayMax > 1023) return None
+    val n = grayMax + 1
+    val tw = n * hdpw
+    if (tw.toLong * hdph > 16L * 1024 * 1024) return None
+    val collective: Array[Byte] =
+      if (mmr) decodeMmr(data, start + 7, end, tw, hdph).getOrElse(return None)
+      else {
+        val at = Array((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+        decodeGenericRegion(data, start + 7, end, tw, hdph, template,
+          at.take(atCount(template)), tpgdon = false)
+      }
+    Some(Vector.tabulate(n) { k =>
+      val bits = new Array[Byte](hdpw * hdph)
+      var y = 0
+      while (y < hdph) {
+        System.arraycopy(collective, y * tw + k * hdpw, bits, y * hdpw, hdpw)
+        y += 1
+      }
+      Bitmap(hdpw, hdph, bits)
+    })
+  }
+
+  /** Halftone region segment (6.6/7.4.5, arithmetic): a grayscale image of
+    * grid values decoded as Gray-coded bitplanes (Annex C.5 — one shared
+    * generic context and MQ decoder across planes, MSB first, bit =
+    * plane XOR previous bit), then the referred pattern dictionary's
+    * patterns stamped at the rotated grid positions
+    * x = (HGX + mg·HRY + ng·HRX) >> 8, y = (HGY + mg·HRX − ng·HRY) >> 8
+    * (6.6.5.1 — one grid vector (HRX, HRY) and its perpendicular).
+    * MMR-coded grayscale and HENABLESKIP degrade (disclosed; the reference
+    * decodes neither — it has no halftone branch at all). HCOMBOP OR/XOR
+    * composite like the text lane; others skip. */
+  private[graft] def decodeHalftoneRegion(
+      data: Array[Byte], start: Int, end: Int,
+      patterns: Vector[Bitmap]): Option[(Int, Int, Int, Int, Array[Byte])] = {
+    if (start + 17 + 1 + 16 > end || patterns.isEmpty) return None
+    val rw = be32(data, start).toInt
+    val rh = be32(data, start + 4).toInt
+    val rx = be32(data, start + 8).toInt
+    val ry = be32(data, start + 12).toInt
+    var p = start + 17
+    val flags = data(p) & 0xff
+    p += 1
+    val mmr = (flags & 1) != 0
+    val template = (flags >> 1) & 3
+    val enableSkip = (flags & 8) != 0
+    val combOp = (flags >> 4) & 7
+    val defPixel = (flags >> 7) & 1
+    if (mmr || enableSkip) return None // disclosed degrade
+    if (combOp != 0 && combOp != 2) return None // OR / XOR only, like text
+    if (rw <= 0 || rh <= 0 || rw.toLong * rh > 64L * 1024 * 1024) return None
+    val hgw = be32(data, p).toInt
+    val hgh = be32(data, p + 4).toInt
+    val hgx = be32(data, p + 8).toInt
+    val hgy = be32(data, p + 12).toInt
+    val hrx = ((data(p + 16) & 0xff) << 8) | (data(p + 17) & 0xff)
+    val hry = ((data(p + 18) & 0xff) << 8) | (data(p + 19) & 0xff)
+    p += 20
+    if (hgw <= 0 || hgh <= 0 || hgw.toLong * hgh > 16L * 1024 * 1024) return None
+    // Gray-coded bitplanes, MSB first, one shared decoder/context (C.5)
+    val bits = ceilLog2(patterns.length)
+    val mq = new MqDecoder(data, p, end)
+    val cx = new Array[Int](1 << 16)
+    val at = Array((if (template <= 1) 3 else 2, -1), (-3, -1), (2, -2), (-2, -2))
+    val gray = new Array[Int](hgw * hgh)
+    val prevBit = new Array[Byte](hgw * hgh)
+    var j = bits - 1
+    while (j >= 0) {
+      val plane = decodeGenericInto(mq, cx, hgw, hgh, template,
+        at.take(atCount(template)), tpgdon = false)
+      var i = 0
+      while (i < plane.length) {
+        val b = plane(i) ^ prevBit(i)
+        gray(i) |= (b & 0xff) << j
+        prevBit(i) = b.toByte
+        i += 1
+      }
+      j -= 1
+    }
+    val region = new Array[Byte](rw * rh)
+    if (defPixel != 0) java.util.Arrays.fill(region, 1.toByte)
+    val xor = combOp == 2
+    var mg = 0
+    while (mg < hgh) {
+      var ng = 0
+      while (ng < hgw) {
+        val gi = gray(mg * hgw + ng)
+        if (gi >= patterns.length) return None
+        val pat = patterns(gi)
+        val x = (hgx + mg * hry + ng * hrx) >> 8
+        val y = (hgy + mg * hrx - ng * hry) >> 8
+        var yy = 0
+        while (yy < pat.h) {
+          val py = y + yy
+          if (py >= 0 && py < rh) {
+            var xx = 0
+            while (xx < pat.w) {
+              val px = x + xx
+              if (px >= 0 && px < rw && pat.bits(yy * pat.w + xx) != 0) {
+                val i = py * rw + px
+                region(i) = if (xor) (region(i) ^ 1).toByte else 1
+              }
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        ng += 1
+      }
+      mg += 1
+    }
+    Some((rw, rh, rx, ry, region))
+  }
+
   /** Huffman-coded text region (6.4 with SBHUFF=1): per-region symbol-ID
     * codes built from the 35-runcode scheme (6.4.5.1 — 4-bit runcode
     * lengths, runcodes 32/33/34 repeat/zero-fill, canonical assignment,
@@ -963,6 +1093,8 @@ object Jbig2 {
       val dicts = scala.collection.mutable.HashMap.empty[Long, Vector[Bitmap]]
       // segment number -> custom huffman table (type-53 table segments)
       val tables = scala.collection.mutable.HashMap.empty[Long, Jbig2Huffman.Table]
+      // segment number -> pattern dictionary (type-16 segments)
+      val patterns = scala.collection.mutable.HashMap.empty[Long, Vector[Bitmap]]
       // page information (7.4.8): default pixel + page combination operator,
       // with the override bit selecting the region's own external operator
       var pageDefPixel: Byte = 0
@@ -1043,6 +1175,16 @@ object Jbig2 {
               pageDefPixel = if ((pageFlags & 4) != 0) 1 else 0
               pageCombOp = (pageFlags >> 3) & 3
               pageOpOverride = (pageFlags & 0x40) != 0
+            } else if (segType == 16) {
+              // pattern dictionary for halftone regions
+              decodePatternDict(data, p, segEnd)
+                .foreach(ps => patterns(segNum) = ps)
+            } else if (segType == 20 || segType == 22 || segType == 23) {
+              val pats = referred.toVector.flatMap(n => patterns.getOrElse(n, Vector.empty))
+              val extOp = if (dataLen >= 17) data(p + 16) & 7 else 0
+              decodeHalftoneRegion(data, p, segEnd, pats).foreach {
+                case (rw, rh, rx, ry, bmp) => compose(rw, rh, rx, ry, bmp, extOp)
+              }
             } else if (segType == 53) {
               // custom huffman table segment (7.4.13) — referred to by
               // huffman symbol dictionaries / text regions

@@ -116,8 +116,8 @@ object Jbig2Synth {
     * shared generic context (the encode mirror of Jbig2.decodeGenericInto). */
   private def encodeGenericInto(enc: MqEncoder, cx: Array[Int],
       bitmap: Array[Byte], w: Int, h: Int, template: Int,
-      tpgdon: Boolean): Unit = {
-    val at = nominalAt(template)
+      tpgdon: Boolean, atOverride: Array[(Int, Int)] = null): Unit = {
+    val at = if (atOverride != null) atOverride else nominalAt(template)
     val tmpl = Jbig2.templatePoints(template, at)
     val ltpCx = Jbig2.ltpContext(template)
     var ltp = false
@@ -755,7 +755,7 @@ object Jbig2Synth {
     * the generic-region payload for the symbol-dictionary + text-region one. */
   def pdfWithJbig2(w: Int, h: Int, seed: Long, symbolCoded: Boolean = false,
       mmr: Boolean = false, globalsSplit: Boolean = false,
-      huffman: Boolean = false): Array[Byte] = {
+      huffman: Boolean = false, halftone: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val (stream, globals) =
       if (huffman) {
@@ -763,6 +763,18 @@ object Jbig2Synth {
         // bitmaps + custom FS/DS/DT table segments) — identical raster
         val (glyphs, instances) = textFixture
         (embeddedHuffTextStream(w, h, glyphs, instances, mmr = true), None)
+      }
+      else if (halftone) {
+        // pattern dictionary + halftone region over a 4-level gray ramp
+        val pats = Seq(
+          glyph(Seq("....", "....", "....", "....")),
+          glyph(Seq("....", ".##.", ".##.", "....")),
+          glyph(Seq(".##.", "####", "####", ".##.")),
+          glyph(Seq("####", "####", "####", "####")))
+        val hgw = w / 4
+        val hgh = h / 4
+        val gray = Array.tabulate(hgw * hgh)(i => (i * 5 + i / hgw) % 4)
+        (embeddedHalftoneStream(w, h, pats, gray, hgw, hgh), None)
       }
       else if (globalsSplit) { val (g, p) = textStreamWithGlobals(w, h); (p, Some(g)) }
       else if (symbolCoded) (textStream(w, h), None)
@@ -1036,6 +1048,93 @@ object Jbig2Synth {
       segment(3, 53, Nil, dtB) ++
       segment(4, 0, Nil, dict) ++
       segment(5, 6, Seq(4, 1, 2, 3), text)
+  }
+
+  // ── pattern dictionary + halftone region fixtures (T.88 6.6/6.7) ───────
+
+  /** Pattern dictionary payload (7.4.4): the patterns laid side by side as
+    * one collective generic region with AT1 = (−HDPW, 0). */
+  def encodePatternDictData(pats: Seq[Jbig2.Bitmap], template: Int = 0,
+      mmr: Boolean = false): Array[Byte] = {
+    require(pats.nonEmpty && pats.forall(p => p.w == pats.head.w && p.h == pats.head.h))
+    val hdpw = pats.head.w
+    val hdph = pats.head.h
+    val tw = pats.length * hdpw
+    val coll = new Array[Byte](tw * hdph)
+    pats.zipWithIndex.foreach { case (pat, k) =>
+      var y = 0
+      while (y < hdph) {
+        System.arraycopy(pat.bits, y * hdpw, coll, y * tw + k * hdpw, hdpw)
+        y += 1
+      }
+    }
+    val body: Array[Byte] =
+      if (mmr) encodeMmrG4(coll, tw, hdph)
+      else {
+        val enc = new MqEncoder
+        val at = Array((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+        encodeGenericInto(enc, new Array[Int](1 << 16), coll, tw, hdph,
+          template, tpgdon = false, at.take(Jbig2.atCount(template)))
+        enc.flush()
+      }
+    val out = java.nio.ByteBuffer.allocate(7 + body.length)
+    out.put(((if (mmr) 1 else 0) | (template << 1)).toByte)
+    out.put(hdpw.toByte).put(hdph.toByte)
+    out.putInt(pats.length - 1) // GRAYMAX
+    out.put(body)
+    out.array()
+  }
+
+  /** Halftone region payload (7.4.5, arithmetic): Gray-coded grid-value
+    * bitplanes (MSB first, shared context) + the rotated-grid parameters.
+    * `gray` is row-major hgw×hgh pattern indices. */
+  def encodeHalftoneRegionData(rw: Int, rh: Int, gray: Array[Int],
+      hgw: Int, hgh: Int, hgx: Int, hgy: Int, hrx: Int, hry: Int,
+      nPatterns: Int, template: Int = 0, combOp: Int = 0): Array[Byte] = {
+    require(gray.length == hgw * hgh && gray.forall(g => g >= 0 && g < nPatterns))
+    val bits = Jbig2.ceilLog2(nPatterns)
+    val enc = new MqEncoder
+    val cx = new Array[Int](1 << 16)
+    var j = bits - 1
+    while (j >= 0) {
+      val plane = new Array[Byte](hgw * hgh)
+      var i = 0
+      while (i < plane.length) {
+        val bj = (gray(i) >> j) & 1
+        val bj1 = if (j + 1 >= bits) 0 else (gray(i) >> (j + 1)) & 1
+        plane(i) = (bj ^ bj1).toByte // Gray code (C.5)
+        i += 1
+      }
+      encodeGenericInto(enc, cx, plane, hgw, hgh, template, tpgdon = false)
+      j -= 1
+    }
+    val body = enc.flush()
+    val out = java.nio.ByteBuffer.allocate(17 + 1 + 20 + body.length)
+    out.putInt(rw).putInt(rh).putInt(0).putInt(0)
+    out.put(0.toByte) // region combination operator: OR
+    out.put(((template << 1) | (combOp << 4)).toByte)
+    out.putInt(hgw).putInt(hgh).putInt(hgx).putInt(hgy)
+    out.putShort(hrx.toShort).putShort(hry.toShort)
+    out.put(body)
+    out.array()
+  }
+
+  /** PDF-embedded halftone stream: page info + pattern dictionary +
+    * immediate halftone region. */
+  def embeddedHalftoneStream(w: Int, h: Int, pats: Seq[Jbig2.Bitmap],
+      gray: Array[Int], hgw: Int, hgh: Int, hgx: Int = 0, hgy: Int = 0,
+      hrx: Int = 0, hry: Int = 0, template: Int = 0,
+      mmrPatterns: Boolean = false): Array[Byte] = {
+    val page = java.nio.ByteBuffer.allocate(19)
+      .putInt(w).putInt(h).putInt(0).putInt(0)
+      .put(0.toByte).putShort(0.toShort).array()
+    val rx = if (hrx != 0) hrx else pats.head.w << 8
+    val dict = encodePatternDictData(pats, template, mmrPatterns)
+    val ht = encodeHalftoneRegionData(w, h, gray, hgw, hgh, hgx, hgy, rx, hry,
+      pats.length, template)
+    segment(0, 48, Nil, page) ++
+      segment(1, 16, Nil, dict) ++
+      segment(2, 22, Seq(1), ht)
   }
 
   /** Deterministic test bitmap: diagonal bands + a filled box, seeded. */
