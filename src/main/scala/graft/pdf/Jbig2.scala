@@ -269,49 +269,87 @@ object Jbig2 {
     Array((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)),
     Array((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)))
 
-  /** Generic refinement region decoding (6.3.5.6, arithmetic, no TPGRON):
-    * each pixel's context concatenates neighbors in the bitmap being decoded
-    * with pixels of the reference bitmap displaced by (dx, dy) — T.88 sign
-    * convention: the reference pixel for (x, y) is (x − dx, y − dy). One 8K
-    * context set shared per segment ('GR'). */
+  /** SLTP context for refinement typical prediction (6.3.5.6): the template
+    * context with ONLY the reference center pixel (0,0) set — DERIVED from
+    * our own template point order rather than carried as a constant:
+    * template 0 puts ref entry (0,0) at bit 5 of the 13-bit context (0x20),
+    * template 1 at bit 3 of the 10-bit context (0x8). */
+  private[graft] def refSltpContext(rTemplate: Int): Int = {
+    val refT = RefinementReference(rTemplate)
+    // bits after the ref list: AT2 for template 0 (1 extra low bit)
+    val tailBits = if (rTemplate == 0) 1 else 0
+    val idx = refT.indexOf((0, 0))
+    1 << (refT.length - 1 - idx + tailBits)
+  }
+
+  /** Generic refinement region decoding (6.3.5.6, arithmetic, with TPGRON
+    * typical prediction): each pixel's context concatenates neighbors in
+    * the bitmap being decoded with pixels of the reference bitmap displaced
+    * by (dx, dy) — T.88 sign convention: the reference pixel for (x, y) is
+    * (x − dx, y − dy). With TPGRON, each row starts with an SLTP decision
+    * bit (context = refSltpContext); while LTP is on, pixels whose 3×3
+    * reference neighborhood is uniform take that value without decoding.
+    * One 8K context set shared per segment ('GR'). */
   private[graft] def decodeRefinementInto(
       mq: MqDecoder, cx: Array[Int],
       w: Int, h: Int, rTemplate: Int, ref: Bitmap,
-      dx: Int, dy: Int, at: Array[(Int, Int)]): Array[Byte] = {
+      dx: Int, dy: Int, at: Array[(Int, Int)],
+      tpgron: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024, s"refinement $w x $h")
     val coding =
       if (rTemplate == 0) RefinementCoding(0) :+ at(0) else RefinementCoding(1)
     val refT =
       if (rTemplate == 0) RefinementReference(0) :+ at(1) else RefinementReference(1)
+    val sltpCtx = refSltpContext(rTemplate)
+    def refAt(j0: Int, i0: Int): Int =
+      if (i0 < 0 || i0 >= ref.h || j0 < 0 || j0 >= ref.w) 0
+      else ref.bits(i0 * ref.w + j0)
     val bitmap = new Array[Byte](w * h)
+    var ltp = false
     var y = 0
     while (y < h) {
+      if (tpgron) ltp = ltp ^ (mq.decode(cx, sltpCtx) == 1)
       var x = 0
       while (x < w) {
-        var ctx = 0
-        var k = 0
-        while (k < coding.length) {
-          val (tx, ty) = coding(k)
-          val j0 = x + tx
-          val i0 = y + ty
-          // both bounds: a signalled AT pixel can point DOWN (positive dy)
-          val bit = if (i0 < 0 || i0 >= h || j0 < 0 || j0 >= w) 0
-            else bitmap(i0 * w + j0)
-          ctx = (ctx << 1) | bit
-          k += 1
+        var typical = false
+        var typVal = 0
+        if (ltp) {
+          // 3×3 reference neighborhood uniform ⇒ predicted (6.3.5.6)
+          val v0 = refAt(x - dx - 1, y - dy - 1)
+          typical = true
+          var dyy = -1
+          while (typical && dyy <= 1) {
+            var dxx = -1
+            while (typical && dxx <= 1) {
+              if (refAt(x - dx + dxx, y - dy + dyy) != v0) typical = false
+              dxx += 1
+            }
+            dyy += 1
+          }
+          typVal = v0
         }
-        k = 0
-        while (k < refT.length) {
-          val (tx, ty) = refT(k)
-          val j0 = x + tx - dx
-          val i0 = y + ty - dy
-          val bit =
-            if (i0 < 0 || i0 >= ref.h || j0 < 0 || j0 >= ref.w) 0
-            else ref.bits(i0 * ref.w + j0)
-          ctx = (ctx << 1) | bit
-          k += 1
+        if (typical) bitmap(y * w + x) = typVal.toByte
+        else {
+          var ctx = 0
+          var k = 0
+          while (k < coding.length) {
+            val (tx, ty) = coding(k)
+            val j0 = x + tx
+            val i0 = y + ty
+            // both bounds: a signalled AT pixel can point DOWN (positive dy)
+            val bit = if (i0 < 0 || i0 >= h || j0 < 0 || j0 >= w) 0
+              else bitmap(i0 * w + j0)
+            ctx = (ctx << 1) | bit
+            k += 1
+          }
+          k = 0
+          while (k < refT.length) {
+            val (tx, ty) = refT(k)
+            ctx = (ctx << 1) | refAt(x + tx - dx, y + ty - dy)
+            k += 1
+          }
+          bitmap(y * w + x) = mq.decode(cx, ctx).toByte
         }
-        bitmap(y * w + x) = mq.decode(cx, ctx).toByte
         x += 1
       }
       y += 1
@@ -1108,9 +1146,12 @@ object Jbig2 {
         }
         out
       }
-      def compose(rw: Int, rh: Int, rx: Int, ry: Int, bmp: Array[Byte], extOp: Int): Unit = {
+      def compose(rw: Int, rh: Int, rx: Int, ry: Int, bmp: Array[Byte], extOp: Int,
+          allowReplace: Boolean = false): Unit = {
         val op = if (pageOpOverride) extOp else pageCombOp
-        if (op != 0 && op != 2) return // OR / XOR; other operators: skip region
+        // OR / XOR, plus REPLACE (4 — valid only for refinement regions,
+        // 7.4.7.2); other operators: skip region
+        if (op != 0 && op != 2 && !(op == 4 && allowReplace)) return
         val buf = page()
         var yy = 0
         while (yy < rh) {
@@ -1123,6 +1164,7 @@ object Jbig2 {
                 val b = bmp(yy * rw + xx)
                 val i = py * width + px
                 if (op == 0) { if (b != 0) buf(i) = 1 }
+                else if (op == 4) buf(i) = b
                 else buf(i) = (buf(i) ^ b).toByte
               }
               xx += 1
@@ -1175,6 +1217,49 @@ object Jbig2 {
               pageDefPixel = if ((pageFlags & 4) != 0) 1 else 0
               pageCombOp = (pageFlags >> 3) & 3
               pageOpOverride = (pageFlags & 0x40) != 0
+            } else if ((segType == 40 || segType == 42 || segType == 43) && dataLen >= 18) {
+              // generic refinement region refining the PAGE under its bbox
+              // (6.3.2 — no intermediate region in this subset), with
+              // TPGRON typical prediction; the result composes back with
+              // the external operator (REPLACE allowed here, 7.4.7.2)
+              val rw = be32(data, p).toInt
+              val rh = be32(data, p + 4).toInt
+              val rx = be32(data, p + 8).toInt
+              val ry = be32(data, p + 12).toInt
+              val rFlags = data(p + 17) & 0xff
+              val rTemplate = rFlags & 1
+              val tpgron = (rFlags & 2) != 0
+              var q = p + 18
+              val rAt: Array[(Int, Int)] =
+                if (rTemplate == 0) {
+                  if (q + 4 > segEnd) return
+                  val a = Array((data(q).toInt, data(q + 1).toInt),
+                    (data(q + 2).toInt, data(q + 3).toInt))
+                  q += 4
+                  a
+                } else Array((0, 0), (0, 0))
+              if (rw > 0 && rh > 0 && rw.toLong * rh <= 64L * 1024 * 1024) {
+                // snapshot of the page region as the reference bitmap
+                val refBits = new Array[Byte](rw * rh)
+                val buf = page()
+                var yy = 0
+                while (yy < rh) {
+                  val py = ry + yy
+                  if (py >= 0 && py < height) {
+                    var xx = 0
+                    while (xx < rw) {
+                      val px = rx + xx
+                      if (px >= 0 && px < width) refBits(yy * rw + xx) = buf(py * width + px)
+                      xx += 1
+                    }
+                  }
+                  yy += 1
+                }
+                val mq = new MqDecoder(data, q, segEnd)
+                val bmp = decodeRefinementInto(mq, new Array[Int](1 << 13), rw, rh,
+                  rTemplate, Bitmap(rw, rh, refBits), 0, 0, rAt, tpgron)
+                compose(rw, rh, rx, ry, bmp, data(p + 16) & 7, allowReplace = true)
+              }
             } else if (segType == 16) {
               // pattern dictionary for halftone regions
               decodePatternDict(data, p, segEnd)

@@ -223,7 +223,8 @@ object Jbig2Synth {
     * context order and spec sign convention for the reference displacement). */
   private def encodeRefinementInto(enc: MqEncoder, cx: Array[Int],
       bitmap: Array[Byte], w: Int, h: Int, rTemplate: Int,
-      ref: Jbig2.Bitmap, dx: Int, dy: Int, rAt: Array[(Int, Int)]): Unit = {
+      ref: Jbig2.Bitmap, dx: Int, dy: Int, rAt: Array[(Int, Int)],
+      tpgron: Boolean = false): Unit = {
     // the template lists are the decoder's own (shared — a matched-pair edit
     // cannot silently diverge)
     val coding =
@@ -232,26 +233,55 @@ object Jbig2Synth {
     val refT =
       if (rTemplate == 0) Jbig2.RefinementReference(0) :+ rAt(1)
       else Jbig2.RefinementReference(1)
+    val sltpCtx = Jbig2.refSltpContext(rTemplate)
+    def refAt(j0: Int, i0: Int): Int =
+      if (i0 < 0 || i0 >= ref.h || j0 < 0 || j0 >= ref.w) 0
+      else if (ref.bits(i0 * ref.w + j0) != 0) 1 else 0
+    def uniform(x: Int, y: Int): Int = { // -1 = not uniform, else the value
+      val v0 = refAt(x - dx - 1, y - dy - 1)
+      var dyy = -1
+      while (dyy <= 1) {
+        var dxx = -1
+        while (dxx <= 1) {
+          if (refAt(x - dx + dxx, y - dy + dyy) != v0) return -1
+          dxx += 1
+        }
+        dyy += 1
+      }
+      v0
+    }
+    var ltp = false
     var y = 0
     while (y < h) {
+      if (tpgron) {
+        // take LTP for a row iff every uniform-neighborhood pixel matches
+        // its prediction (those pixels are then skipped by the decoder)
+        var typicalRow = true
+        var x = 0
+        while (typicalRow && x < w) {
+          val u = uniform(x, y)
+          if (u >= 0 && (if (bitmap(y * w + x) != 0) 1 else 0) != u) typicalRow = false
+          x += 1
+        }
+        enc.encode(cx, sltpCtx, if (typicalRow != ltp) 1 else 0)
+        ltp = typicalRow
+      }
       var x = 0
       while (x < w) {
-        var ctx = 0
-        coding.foreach { case (tx, ty) =>
-          val j0 = x + tx
-          val i0 = y + ty
-          val bit = if (i0 < 0 || i0 >= h || j0 < 0 || j0 >= w) 0
-            else if (bitmap(i0 * w + j0) != 0) 1 else 0
-          ctx = (ctx << 1) | bit
+        if (!(ltp && uniform(x, y) >= 0)) {
+          var ctx = 0
+          coding.foreach { case (tx, ty) =>
+            val j0 = x + tx
+            val i0 = y + ty
+            val bit = if (i0 < 0 || i0 >= h || j0 < 0 || j0 >= w) 0
+              else if (bitmap(i0 * w + j0) != 0) 1 else 0
+            ctx = (ctx << 1) | bit
+          }
+          refT.foreach { case (tx, ty) =>
+            ctx = (ctx << 1) | refAt(x + tx - dx, y + ty - dy)
+          }
+          enc.encode(cx, ctx, if (bitmap(y * w + x) != 0) 1 else 0)
         }
-        refT.foreach { case (tx, ty) =>
-          val j0 = x + tx - dx
-          val i0 = y + ty - dy
-          val bit = if (i0 < 0 || i0 >= ref.h || j0 < 0 || j0 >= ref.w) 0
-            else if (ref.bits(i0 * ref.w + j0) != 0) 1 else 0
-          ctx = (ctx << 1) | bit
-        }
-        enc.encode(cx, ctx, if (bitmap(y * w + x) != 0) 1 else 0)
         x += 1
       }
       y += 1
@@ -1048,6 +1078,46 @@ object Jbig2Synth {
       segment(3, 53, Nil, dtB) ++
       segment(4, 0, Nil, dict) ++
       segment(5, 6, Seq(4, 1, 2, 3), text)
+  }
+
+  /** PDF-embedded stream: a generic region draws `base`, then a standalone
+    * refinement region segment (type 42) refines the page under its bbox to
+    * `refined` (REPLACE composition), optionally with TPGRON rows. */
+  def embeddedRefineStream(base: Array[Byte], refined: Array[Byte],
+      w: Int, h: Int, rTemplate: Int = 0, tpgron: Boolean = false): Array[Byte] = {
+    val page = java.nio.ByteBuffer.allocate(19)
+      .putInt(w).putInt(h).putInt(0).putInt(0)
+      .put(0x40.toByte) // page flags: combination-operator override allowed
+      .putShort(0.toShort).array()
+    val gen = {
+      val mq = encodeGenericRegion(base, w, h)
+      val at = nominalAt(0)
+      val out = java.nio.ByteBuffer.allocate(17 + 1 + 2 * at.length + mq.length)
+      out.putInt(w).putInt(h).putInt(0).putInt(0)
+      out.put(0.toByte) // external op OR
+      out.put(0.toByte) // generic flags: arithmetic, template 0
+      at.foreach { case (x, y) => out.put(x.toByte).put(y.toByte) }
+      out.put(mq)
+      out.array()
+    }
+    val refSeg = {
+      val enc = new MqEncoder
+      encodeRefinementInto(enc, new Array[Int](1 << 13), refined, w, h,
+        rTemplate, Jbig2.Bitmap(w, h, base), 0, 0, NominalRefAt, tpgron)
+      val mq = enc.flush()
+      val atLen = if (rTemplate == 0) 4 else 0
+      val out = java.nio.ByteBuffer.allocate(17 + 1 + atLen + mq.length)
+      out.putInt(w).putInt(h).putInt(0).putInt(0)
+      out.put(4.toByte) // external op REPLACE (7.4.7.2)
+      out.put((rTemplate | (if (tpgron) 2 else 0)).toByte)
+      if (rTemplate == 0)
+        NominalRefAt.foreach { case (x, y) => out.put(x.toByte).put(y.toByte) }
+      out.put(mq)
+      out.array()
+    }
+    segment(0, 48, Nil, page) ++
+      segment(1, 38, Nil, gen) ++
+      segment(2, 42, Nil, refSeg)
   }
 
   // ── pattern dictionary + halftone region fixtures (T.88 6.6/6.7) ───────

@@ -209,4 +209,35 @@ class Jbig2RefineSpec extends AnyFunSuite {
       if (wide.bits(yy * wide.w + xx) != 0) expected((3 + yy) * w + (2 + xx)) = 1
     assert(out.get.toSeq == expected.toSeq)
   }
+
+  test("standalone refinement region segments refine the page (REPLACE), with TPGRON") {
+    // base page drawn by a generic region, then a type-42 refinement region
+    // flips a handful of pixels — incl. pixels that go black→WHITE, which
+    // only REPLACE composition can express. TPGRON rows: most of the
+    // refined bitmap equals the base (uniform reference neighborhoods →
+    // predicted, skipped by the decoder), so typical prediction is
+    // genuinely exercised; the SLTP context is DERIVED from the template
+    // point order (refSltpContext), not carried as a constant.
+    for ((w, h, seed) <- Seq((40, 28, 3L), (33, 21, 8L)); rT <- Seq(0, 1);
+         tpgron <- Seq(false, true)) {
+      val base = Jbig2Synth.testBitmap(w, h, seed)
+      val refined = base.clone()
+      // flip a scattered set both ways
+      var k = 0
+      while (k < 12) {
+        val i = (k * 97 + 13) % (w * h)
+        refined(i) = (1 - refined(i)).toByte
+        k += 1
+      }
+      val stream = Jbig2Synth.embeddedRefineStream(base, refined, w, h,
+        rTemplate = rT, tpgron = tpgron)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.isDefined, s"$w x $h rT=$rT tpgron=$tpgron")
+      assert(out.get.toSeq == refined.toSeq, s"$w x $h rT=$rT tpgron=$tpgron")
+    }
+    // sanity on the derived SLTP contexts: exactly one bit set, at the
+    // reference-center position of each template's context layout
+    assert(Jbig2.refSltpContext(0) == 0x20)
+    assert(Jbig2.refSltpContext(1) == 0x8)
+  }
 }
