@@ -340,6 +340,11 @@ object SparkEntry {
           graft.testgen.Jbig2Synth.pdfWithJbig2(40, 24, seed = 0, huffman = true)),
         ("synthetic/jbig2ht.pdf",
           graft.testgen.Jbig2Synth.pdfWithJbig2(48, 32, seed = 0, halftone = true)),
+        // generic region + type-42 refinement region (REPLACE composition,
+        // TPGRON typical prediction) — the refined raster clears a band the
+        // base draws, so the pinned mean (174 vs base 158) gates the refine
+        ("synthetic/jbig2refine.pdf",
+          graft.testgen.Jbig2Synth.pdfWithJbig2(40, 24, seed = 5, refine = true)),
         // JPX (round 5): raw codestream gray, RGB + reversible RCT, 9/7
         // lossy, and the JP2 box container — all via the from-spec T.800
         // decoder, cross-validated against the reference's vendored JPX
@@ -953,6 +958,7 @@ object SparkEntry {
         | ('jbig2mmr', 0, 'ImJ', 64, 48, 1, 'DeviceGray', 'JBIG2Decode', 64, 48, 3, 158),
         | ('jbig2huff', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 231),
         | ('jbig2ht', 0, 'ImJ', 48, 32, 1, 'DeviceGray', 'JBIG2Decode', 48, 32, 3, 128),
+        | ('jbig2refine', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 174),
         | ('jpx', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpxrgb', 0, 'ImX', 64, 48, 8, 'DeviceRGB', 'JPXDecode', 64, 48, 3, 108),
         | ('jpx97', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),

@@ -785,10 +785,28 @@ object Jbig2Synth {
     * the generic-region payload for the symbol-dictionary + text-region one. */
   def pdfWithJbig2(w: Int, h: Int, seed: Long, symbolCoded: Boolean = false,
       mmr: Boolean = false, globalsSplit: Boolean = false,
-      huffman: Boolean = false, halftone: Boolean = false): Array[Byte] = {
+      huffman: Boolean = false, halftone: Boolean = false,
+      refine: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val (stream, globals) =
-      if (huffman) {
+      if (refine) {
+        // generic region + type-42 refinement region (REPLACE, TPGRON):
+        // the refined raster clears the top 4 rows to white — a black→white
+        // edit only REPLACE composition can express, and one that moves the
+        // gray mean so the oracle literal discriminates base vs refined —
+        // plus a deterministic scatter of both-way flips
+        val base = testBitmap(w, h, seed)
+        val refined = base.clone()
+        java.util.Arrays.fill(refined, 0, 4 * w, 0.toByte)
+        var k = 0
+        while (k < 12) {
+          val i = 4 * w + (k * 97 + 13) % (w * (h - 4))
+          refined(i) = (1 - refined(i)).toByte
+          k += 1
+        }
+        (embeddedRefineStream(base, refined, w, h, tpgron = true), None)
+      }
+      else if (huffman) {
         // the same symbol-coded page, SDHUFF/SBHUFF-coded (MMR collective
         // bitmaps + custom FS/DS/DT table segments) — identical raster
         val (glyphs, instances) = textFixture
