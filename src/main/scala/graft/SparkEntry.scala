@@ -362,7 +362,13 @@ object SparkEntry {
         ("synthetic/jpx420.pdf",
           graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, sub420 = true)),
         ("synthetic/jpxprec.pdf",
-          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, precincts = true))))
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, precincts = true)),
+        // all six code-block style bits over two layers (selective bypass
+        // raw passes, context reset, per-pass termination, vertically
+        // causal contexts, predictable termination, segmentation symbols) —
+        // lossless, so the pinned mean must equal the unstyled gray rows'
+        ("synthetic/jpxstyles.pdf",
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, styles = true))))
       s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
         .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
         .select(col("path"), col("content"))
@@ -965,6 +971,7 @@ object SparkEntry {
         | ('jpxjp2', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpx420', 0, 'ImX', 64, 48, 8, 'DeviceRGB', 'JPXDecode', 64, 48, 3, 108),
         | ('jpxprec', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
+        | ('jpxstyles', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('test24', 0, 'Im1', 353, 274, 8, 'DeviceRGB', 'DCTDecode', 353, 274, 3, 204),
         | ('test24', 4, 'Im2', 497, 345, 8, 'DeviceRGB', 'DCTDecode', 497, 345, 3, 242),
         | ('test24', 4, 'Im3', 496, 291, 8, 'DeviceRGB', 'DCTDecode', 496, 291, 3, 238),

@@ -21,6 +21,15 @@ package graft.pdf
   *     over sign-magnitude bitplanes with the standard ZC/SC/MR/RL/UNIFORM
   *     context model, driven by the same MQ decoder the JBIG2 lane built
   *     from T.88 Annex E (T.800 Annex C is the identical coder);
+  *   - all six code-block styles (A.6.1 Table A.19, round 6): selective
+  *     arithmetic bypass (raw SPP/MRP passes from pass 10, D.7 bit-stuffed
+  *     reader, codeword-segment terminations around each raw run), context
+  *     reset on every pass boundary, termination on each pass (one codeword
+  *     segment per pass, each with its own packet-header length per
+  *     B.10.7.2), vertically causal contexts (the row below the stripe
+  *     reads insignificant), predictable termination (accepted — an
+  *     encoder-side error-resilience property; segment structure is
+  *     unchanged), and segmentation symbols;
   *   - reversible 5/3 and irreversible 9/7 inverse wavelets (Annex F
   *     lifting with symmetric extension), scalar dequantization (E.1),
   *     reversible (RCT) and irreversible (ICT) inverse component transforms,
@@ -35,11 +44,10 @@ package graft.pdf
   * streams additionally need tile sizes divisible by XRsiz·2^levels so
   * every component-grid resolution origin stays even.
   *
-  * Scope (disclosed): subsampling factors above 8, the code-block style
-  * flags the reference ALSO errors on (selective bypass, context reset,
-  * pass termination, vertical stripe, predictable termination) and ROI
-  * (RGN) return None — the caller keeps the metadata-only row; segmentation
-  * symbols (style 0x20) and custom precincts are SUPPORTED. The reference wires its own vendored decoder
+  * Scope (disclosed): subsampling factors above 8 and ROI (RGN) return
+  * None — the caller keeps the metadata-only row; all six code-block style
+  * bits (which the reference errors on) and custom precincts are
+  * SUPPORTED. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
   * cross-validated against that decoder on encoder-generated fixtures.
@@ -210,41 +218,108 @@ object Jpx {
     var lblock: Int = 3
     var included: Boolean = false
     var totalPasses: Int = 0
-    // concatenated codeword segments across layers
-    val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (start, end) into codestream
+    // codeword-segment pieces across layers: (start, end, segment index)
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+  }
+
+  /** Codeword-segment index of coding pass `pass` under the code-block style
+    * (D.4.2): terminate-all → one segment per pass; selective bypass →
+    * passes 0-9 (the all-MQ prefix) form segment 0, then each raw SPP+MRP
+    * pair and each interleaved MQ cleanup pass terminates its own segment;
+    * neither → a single segment. */
+  private[graft] def segmentOf(pass: Int, bypass: Boolean, termAll: Boolean): Int =
+    if (termAll) pass
+    else if (!bypass || pass < 10) 0
+    else { val m = pass - 10; 1 + (m / 3) * 2 + (if (m % 3 == 2) 1 else 0) }
+
+  /** Passes that can still join the codeword segment containing `pass`
+    * (itself included) — the packet header signals one length per segment
+    * piece, so contributions split on these boundaries (B.10.7.2). */
+  private[graft] def passesLeftInSegment(pass: Int, bypass: Boolean,
+      termAll: Boolean): Int =
+    if (termAll) 1
+    else if (!bypass) Int.MaxValue
+    else if (pass < 10) 10 - pass
+    else { val m = (pass - 10) % 3; if (m == 2) 1 else 2 - m }
+
+  /** Is coding pass `pass` raw-coded (D.7)? Only SPP/MRP passes from pass
+    * 10 on, and only under selective bypass; cleanup stays MQ. */
+  private[graft] def isRawPass(pass: Int, bypass: Boolean): Boolean =
+    bypass && pass >= 10 && ((pass - 10) % 3) != 2
+
+  /** Raw (arithmetic-bypass) bit reader (D.7): MSB-first with bit-stuffing —
+    * a byte following 0xFF carries only 7 bits (its MSB is skipped). Reads
+    * 0 past the end of the segment. */
+  private[graft] final class RawBitReader(data: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var buf = 0
+    private var cnt = 0
+    private var prevFF = false
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (pos >= end) return 0
+        val b = data(pos) & 0xff
+        pos += 1
+        cnt = if (prevFF) 7 else 8
+        prevFF = b == 0xff
+        buf = b
+      }
+      cnt -= 1
+      (buf >>> cnt) & 1
+    }
   }
 
   /** Tier-1 EBCOT decode (Annex D) of one code-block into sign-magnitude
     * coefficients. `mb` = total magnitude bitplanes; decoding starts at
-    * bitplane mb-1-zeroBitPlanes and runs `passes` coding passes. Returns
+    * bitplane mb-1-zeroBitPlanes and runs `passes` coding passes. `chunks`
+    * are codeword-segment pieces (start, end, segIdx) in packet order; with
+    * no bypass/termination style there is a single segment 0. Returns
     * row-major Int array: sign-magnitude (bit 31 = sign). */
-  private[graft] def decodeBlock(data: Array[Byte], chunks: Seq[(Int, Int)],
+  private[graft] def decodeBlock(data: Array[Byte], chunks: Seq[(Int, Int, Int)],
       w: Int, h: Int, band: Int, mb: Int, zeroBitPlanes: Int,
-      passes: Int, segSymbols: Boolean = false): Array[Int] = {
+      passes: Int, cbStyle: Int = 0): Array[Int] = {
     val n = w * h
+    val segSymbols = (cbStyle & 0x20) != 0
+    val bypass = (cbStyle & 0x01) != 0
+    val resetCtx = (cbStyle & 0x02) != 0
+    val termAll = (cbStyle & 0x04) != 0
+    val vcausal = (cbStyle & 0x08) != 0
     val mag = new Array[Int](n)
     val sgn = new Array[Byte](n)
     val sig = new Array[Byte](n) // 1 = significant
     val vis = new Array[Byte](n) // coded in current bitplane
     val ref = new Array[Byte](n) // has been refined once already
-    // one MQ stream over the concatenated segments (no per-pass termination)
-    val joined =
-      if (chunks.length == 1) data
+    // assemble each codeword segment's bytes (pieces concatenate in packet
+    // order); the common single-piece single-segment case stays zero-copy
+    val maxSeg = chunks.foldLeft(0)((m, c) => math.max(m, c._3))
+    val segRanges = Array.fill(maxSeg + 1)(
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int)])
+    chunks.foreach { case (s, e, g) => if (g >= 0) segRanges(g) += ((s, e)) }
+    def segmentBytes(g: Int): (Array[Byte], Int, Int) = {
+      val rs = if (g <= maxSeg) segRanges(g) else null
+      if (rs == null || rs.isEmpty) (Array.emptyByteArray, 0, 0)
+      else if (rs.length == 1) (data, rs.head._1, rs.head._2)
       else {
         val out = new java.io.ByteArrayOutputStream()
-        chunks.foreach { case (s, e) => out.write(data, s, e - s) }
-        out.toByteArray
+        rs.foreach { case (s, e) => out.write(data, s, e - s) }
+        val a = out.toByteArray
+        (a, 0, a.length)
       }
-    val (jStart, jEnd) =
-      if (chunks.length == 1) (chunks.head._1, chunks.head._2)
-      else (0, joined.length)
-    val mq = new Jbig2.MqDecoder(joined, jStart, jEnd)
-    val cx = freshContexts()
+    }
+    var curSeg = -1
+    var mq: Jbig2.MqDecoder = null
+    var raw: RawBitReader = null
+    var cx = freshContexts()
+    // one stripe's context window under vertical causality: neighbors at
+    // y >= stripeEnd read as insignificant
+    var stripeEnd = Int.MaxValue
 
     def sigAt(x: Int, y: Int): Int =
-      if (x < 0 || x >= w || y < 0 || y >= h) 0 else sig(y * w + x)
+      if (x < 0 || x >= w || y < 0 || y >= h || y >= stripeEnd) 0
+      else sig(y * w + x)
     def signContrib(x: Int, y: Int): Int =
-      if (x < 0 || x >= w || y < 0 || y >= h || sig(y * w + x) == 0) 0
+      if (x < 0 || x >= w || y < 0 || y >= h || y >= stripeEnd ||
+        sig(y * w + x) == 0) 0
       else if (sgn(y * w + x) != 0) -1 else 1
 
     def neighborCounts(x: Int, y: Int): (Int, Int, Int) = {
@@ -271,10 +346,20 @@ object Jpx {
     var passKind = 2
     while (pass < passes && plane >= 0) {
       val bitVal = 1 << plane
+      val seg = segmentOf(pass, bypass, termAll)
+      if (seg != curSeg) {
+        curSeg = seg
+        val (sd, ss, se) = segmentBytes(seg)
+        if (isRawPass(pass, bypass)) { raw = new RawBitReader(sd, ss, se); mq = null }
+        else { mq = new Jbig2.MqDecoder(sd, ss, se); raw = null }
+      }
+      if (resetCtx && pass > 0) cx = freshContexts()
+      val rawMode = raw != null
       passKind match {
         case 0 => // significance propagation
           var y0s = 0
           while (y0s < h) {
+            stripeEnd = if (vcausal) y0s + 4 else Int.MaxValue
             var x = 0
             while (x < w) {
               var dy = 0
@@ -284,11 +369,21 @@ object Jpx {
                 if (sig(i) == 0) {
                   val (hN, vN, dN) = neighborCounts(x, y)
                   if (hN + vN + dN > 0) {
-                    val c = zcContext(band, hN, vN, dN)
-                    if (mq.decode(cx, c) == 1) {
-                      sig(i) = 1
-                      mag(i) = bitVal
-                      decodeSign(x, y)
+                    if (rawMode) {
+                      // raw SPP (D.7): significance bit, then the sign bit
+                      // directly (no context, no prediction)
+                      if (raw.bit() == 1) {
+                        sig(i) = 1
+                        mag(i) = bitVal
+                        sgn(i) = raw.bit().toByte
+                      }
+                    } else {
+                      val c = zcContext(band, hN, vN, dN)
+                      if (mq.decode(cx, c) == 1) {
+                        sig(i) = 1
+                        mag(i) = bitVal
+                        decodeSign(x, y)
+                      }
                     }
                     vis(i) = 1
                   }
@@ -302,6 +397,7 @@ object Jpx {
         case 1 => // magnitude refinement
           var y0s = 0
           while (y0s < h) {
+            stripeEnd = if (vcausal) y0s + 4 else Int.MaxValue
             var x = 0
             while (x < w) {
               var dy = 0
@@ -309,13 +405,18 @@ object Jpx {
                 val y = y0s + dy
                 val i = y * w + x
                 if (sig(i) == 1 && vis(i) == 0) {
-                  val c =
-                    if (ref(i) != 0) 16
-                    else {
-                      val (hN, vN, dN) = neighborCounts(x, y)
-                      if (hN + vN + dN > 0) 15 else 14
-                    }
-                  if (mq.decode(cx, c) == 1) mag(i) |= bitVal
+                  if (rawMode) {
+                    // raw MRP (D.7): the refinement bit itself
+                    if (raw.bit() == 1) mag(i) |= bitVal
+                  } else {
+                    val c =
+                      if (ref(i) != 0) 16
+                      else {
+                        val (hN, vN, dN) = neighborCounts(x, y)
+                        if (hN + vN + dN > 0) 15 else 14
+                      }
+                    if (mq.decode(cx, c) == 1) mag(i) |= bitVal
+                  }
                   ref(i) = 1
                 }
                 dy += 1
@@ -327,6 +428,7 @@ object Jpx {
         case _ => // cleanup
           var y0s = 0
           while (y0s < h) {
+            stripeEnd = if (vcausal) y0s + 4 else Int.MaxValue
             var x = 0
             while (x < w) {
               // run-length mode: full 4-high column, nothing visited or
@@ -525,6 +627,18 @@ object Jpx {
     /** Segmentation symbols (style bit 0x20): a 4-bit error-detection
       * symbol after each cleanup pass — supported, like the reference. */
     def segSymbols: Boolean = (cbStyle & 0x20) != 0
+    /** Selective arithmetic bypass (0x1): SPP/MRP passes from pass 10 on
+      * are raw-coded (D.7), with codeword-segment terminations around each
+      * raw run and each interleaved cleanup pass (D.4.2). */
+    def bypass: Boolean = (cbStyle & 0x01) != 0
+    /** Reset context probabilities on every coding-pass boundary (0x2). */
+    def resetCtx: Boolean = (cbStyle & 0x02) != 0
+    /** Termination on each coding pass (0x4): every pass is its own
+      * codeword segment, each with its own length in the packet header. */
+    def termAll: Boolean = (cbStyle & 0x04) != 0
+    /** Vertically causal context (0x8): context formation treats the row
+      * below the current 4-row stripe as insignificant (D.4.2). */
+    def vcausal: Boolean = (cbStyle & 0x08) != 0
     def ppx(r: Int): Int =
       if (precSizes == null) 15 else precSizes(math.min(r, precSizes.length - 1)) & 0xf
     def ppy(r: Int): Int =
@@ -733,10 +847,13 @@ object Jpx {
                   ps
                 }
               // 1 << shift wraps at 32 on the JVM: cap the subset at 30.
-              // Style bits other than segmentation symbols (0x20) — bypass,
-              // context reset, pass termination, vertical stripe — are out
-              // of subset (the reference errors on all of them too)
-              if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x20) != 0) return None
+              // All six defined code-block style bits (A.6.1 Table A.19) are
+              // supported: bypass 0x1, context reset 0x2, terminate-all 0x4,
+              // vertically causal 0x8, predictable termination 0x10 (an
+              // encoder-side error-resilience property — segment structure
+              // is unchanged, so decoding needs no special handling), and
+              // segmentation symbols 0x20
+              if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x3f) != 0) return None
               if (layers < 1 || prog > 4) return None
               cod = Cod(prog, layers, mct, levels, xcb, ycb, cbStyle,
                 wavelet == 1, (scod & 2) != 0, (scod & 4) != 0, precSizes)
@@ -751,7 +868,7 @@ object Jpx {
               val ycb = (data(off + 3) & 0x0f) + 2
               val cbStyle = data(off + 4) & 0xff
               val wavelet = data(off + 5) & 0xff
-              if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x20) != 0) return None
+              if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x3f) != 0) return None
               val precSizesC: Array[Int] =
                 if ((scoc & 1) == 0) null
                 else {
@@ -1044,7 +1161,7 @@ object Jpx {
             val bhB = blk.y1 - blk.y0
             val vals = decodeBlock(stream, blk.chunks.toSeq, bwB, bhB,
               bandKindCtx(band.kind), mb, blk.zeroBitPlanes, blk.totalPasses,
-              cod.segSymbols)
+              cod.cbStyle)
             var i = 0
             while (i < vals.length) {
               val sm = vals(i)
@@ -1206,7 +1323,8 @@ object Jpx {
       br.pos += 6
     }
     val hdr = new PacketBitReader(data, br.pos, end)
-    val contributions = scala.collection.mutable.ArrayBuffer.empty[(CodeBlock, Int, Int)]
+    // (block, passes, byte length, codeword-segment index) per piece
+    val contributions = scala.collection.mutable.ArrayBuffer.empty[(CodeBlock, Int, Int, Int)]
     if (hdr.bit() == 0) {
       // empty packet
       hdr.align()
@@ -1251,11 +1369,23 @@ object Jpx {
                     else 37 + hdr.bits(7)
                   }
                 }
-              // Lblock adaptation + length
+              // Lblock adaptation (once per contribution), then one length
+              // per codeword-segment piece (B.10.7.2): bypass/terminate-all
+              // styles split the contribution on segment boundaries, each
+              // piece's length read with lblock + floorLog2(piece passes)
               while (hdr.bit() == 1) blk.lblock += 1
-              val lenBits = blk.lblock + floorLog2(newPasses)
-              val segLen = hdr.bits(lenBits)
-              contributions += ((blk, newPasses, segLen))
+              var passBase = blk.totalPasses // one contribution per packet
+              var remaining = newPasses
+              while (remaining > 0) {
+                val segIdx = segmentOf(passBase, cod.bypass, cod.termAll)
+                val room = passesLeftInSegment(passBase, cod.bypass, cod.termAll)
+                val take = math.min(remaining, room)
+                val lenBits = blk.lblock + floorLog2(take)
+                val segLen = hdr.bits(lenBits)
+                contributions += ((blk, take, segLen, segIdx))
+                passBase += take
+                remaining -= take
+              }
             }
           }
           idx += 1
@@ -1270,9 +1400,9 @@ object Jpx {
       (data(pos) & 0xff) == 0xff && (data(pos + 1) & 0xff) == 0x92) pos += 2
     var ci = 0
     while (ci < contributions.length) {
-      val (blk, passes, segLen) = contributions(ci)
+      val (blk, passes, segLen, segIdx) = contributions(ci)
       if (pos + segLen > end) return false
-      blk.chunks += ((pos, pos + segLen))
+      blk.chunks += ((pos, pos + segLen, segIdx))
       blk.totalPasses += passes
       pos += segLen
       ci += 1

@@ -100,9 +100,42 @@ object JpxSynth {
   // Jpx.decodeBlock (Annex D scan order, ZC/SC/MR/RL/UNIFORM contexts) ─────
   /** Encode sign-magnitude coefficients of one code-block. Returns the MQ
     * codeword segment and the number of coding passes. */
+  /** Raw-segment bit writer (T.800 D.7 — mirror of Jpx.RawBitReader): MSB
+    * first; a byte following 0xFF carries only 7 bits (its MSB stays 0). */
+  private[graft] final class RawBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var buf = 0
+    private var cnt = 0
+    private var prevFF = false
+    def bit(b: Int): Unit = {
+      buf = (buf << 1) | (b & 1)
+      cnt += 1
+      if (cnt == (if (prevFF) 7 else 8)) {
+        out.write(buf)
+        prevFF = buf == 0xff
+        buf = 0
+        cnt = 0
+      }
+    }
+    /** Pad to a byte boundary with 0s; a raw segment shall not end 0xFF. */
+    def terminate(): Array[Byte] = {
+      while (cnt != 0) bit(0)
+      val a = out.toByteArray
+      if (a.nonEmpty && (a(a.length - 1) & 0xff) == 0xff) a :+ 0x00.toByte else a
+    }
+  }
+
+  /** Tier-1 encode of one code-block. Returns the codeword segments (one
+    * unless the style sets bypass/terminate-all — D.4.2 boundaries shared
+    * with the decoder via Jpx.segmentOf) and the total pass count. */
   private[graft] def encodeBlock(vals: Array[Int], w: Int, h: Int, band: Int,
-      mb: Int, zeroBitPlanes: Int, segSymbols: Boolean = false): (Array[Byte], Int) = {
+      mb: Int, zeroBitPlanes: Int, cbStyle: Int = 0): (Array[Array[Byte]], Int) = {
     val n = w * h
+    val segSymbols = (cbStyle & 0x20) != 0
+    val bypass = (cbStyle & 0x01) != 0
+    val resetCtx = (cbStyle & 0x02) != 0
+    val termAll = (cbStyle & 0x04) != 0
+    val vcausal = (cbStyle & 0x08) != 0
     val mag = new Array[Int](n)
     val neg = new Array[Byte](n)
     var i = 0
@@ -117,13 +150,22 @@ object JpxSynth {
     val sig = new Array[Byte](n)
     val vis = new Array[Byte](n)
     val ref = new Array[Byte](n)
-    val enc = new Jbig2Synth.MqEncoder
-    val cx = Jpx.freshContexts()
+    var enc = new Jbig2Synth.MqEncoder
+    var rawW: RawBitWriter = null
+    var cx = Jpx.freshContexts()
+    val segsOut = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var curSeg = 0
+    def closeWriter(): Unit =
+      if (rawW != null) { segsOut += rawW.terminate(); rawW = null }
+      else { segsOut += enc.flush(); enc = null }
+    var stripeEnd = Int.MaxValue
 
     def sigAt(x: Int, y: Int): Int =
-      if (x < 0 || x >= w || y < 0 || y >= h) 0 else sig(y * w + x)
+      if (x < 0 || x >= w || y < 0 || y >= h || y >= stripeEnd) 0
+      else sig(y * w + x)
     def signContrib(x: Int, y: Int): Int =
-      if (x < 0 || x >= w || y < 0 || y >= h || sig(y * w + x) == 0) 0
+      if (x < 0 || x >= w || y < 0 || y >= h || y >= stripeEnd ||
+        sig(y * w + x) == 0) 0
       else if (neg(y * w + x) != 0) -1 else 1
     def neighborCounts(x: Int, y: Int): (Int, Int, Int) = {
       val hN = sigAt(x - 1, y) + sigAt(x + 1, y)
@@ -144,10 +186,20 @@ object JpxSynth {
     var passKind = 2
     while (pass < passes && plane >= 0) {
       val bitVal = 1 << plane
+      val seg = Jpx.segmentOf(pass, bypass, termAll)
+      if (seg != curSeg) {
+        closeWriter()
+        curSeg = seg
+        if (Jpx.isRawPass(pass, bypass)) rawW = new RawBitWriter
+        else enc = new Jbig2Synth.MqEncoder
+      }
+      if (resetCtx && pass > 0) cx = Jpx.freshContexts()
+      val rawMode = rawW != null
       passKind match {
         case 0 => // significance propagation
           var y0s = 0
           while (y0s < h) {
+            stripeEnd = if (vcausal) y0s + 4 else Int.MaxValue
             var x = 0
             while (x < w) {
               var dy = 0
@@ -157,10 +209,15 @@ object JpxSynth {
                 if (sig(i2) == 0) {
                   val (hN, vN, dN) = neighborCounts(x, y)
                   if (hN + vN + dN > 0) {
-                    val c = Jpx.zcContext(band, hN, vN, dN)
                     val bit = (mag(i2) & bitVal) >>> plane
-                    enc.encode(cx, c, bit)
-                    if (bit == 1) { sig(i2) = 1; encodeSign(x, y) }
+                    if (rawMode) {
+                      rawW.bit(bit)
+                      if (bit == 1) { sig(i2) = 1; rawW.bit(neg(i2)) }
+                    } else {
+                      val c = Jpx.zcContext(band, hN, vN, dN)
+                      enc.encode(cx, c, bit)
+                      if (bit == 1) { sig(i2) = 1; encodeSign(x, y) }
+                    }
                     vis(i2) = 1
                   }
                 }
@@ -173,6 +230,7 @@ object JpxSynth {
         case 1 => // magnitude refinement
           var y0s = 0
           while (y0s < h) {
+            stripeEnd = if (vcausal) y0s + 4 else Int.MaxValue
             var x = 0
             while (x < w) {
               var dy = 0
@@ -180,13 +238,16 @@ object JpxSynth {
                 val y = y0s + dy
                 val i2 = y * w + x
                 if (sig(i2) == 1 && vis(i2) == 0) {
-                  val c =
-                    if (ref(i2) != 0) 16
-                    else {
-                      val (hN, vN, dN) = neighborCounts(x, y)
-                      if (hN + vN + dN > 0) 15 else 14
-                    }
-                  enc.encode(cx, c, (mag(i2) & bitVal) >>> plane)
+                  if (rawMode) rawW.bit((mag(i2) & bitVal) >>> plane)
+                  else {
+                    val c =
+                      if (ref(i2) != 0) 16
+                      else {
+                        val (hN, vN, dN) = neighborCounts(x, y)
+                        if (hN + vN + dN > 0) 15 else 14
+                      }
+                    enc.encode(cx, c, (mag(i2) & bitVal) >>> plane)
+                  }
                   ref(i2) = 1
                 }
                 dy += 1
@@ -198,6 +259,7 @@ object JpxSynth {
         case _ => // cleanup
           var y0s = 0
           while (y0s < h) {
+            stripeEnd = if (vcausal) y0s + 4 else Int.MaxValue
             var x = 0
             while (x < w) {
               var rlEligible = y0s + 3 < h
@@ -262,7 +324,8 @@ object JpxSynth {
       if (passKind == 2) { plane -= 1; passKind = 0 } else passKind += 1
       pass += 1
     }
-    (enc.flush(), passes)
+    closeWriter()
+    (segsOut.toArray, passes)
   }
 
   // ── tag tree encoder (B.10.2, mirror of Jpx.TagTree.decode) ──────────────
@@ -427,9 +490,9 @@ object JpxSynth {
   def encode(planesIn: Array[Array[Int]], w: Int, h: Int, depth: Int,
       levels: Int, reversible: Boolean = true, mct: Int = 0,
       cbExp: Int = 6, tileW: Int = 0, tileH: Int = 0,
-      layers: Int = 1, segSymbols: Boolean = false,
+      layers: Int = 1, cbStyle: Int = 0,
       sop: Boolean = false, eph: Boolean = false,
-      cocSegSymbols: Map[Int, Boolean] = Map.empty,
+      cocStyles: Map[Int, Int] = Map.empty,
       xrs: Seq[Int] = Nil, yrs: Seq[Int] = Nil,
       prog: Int = 0,
       /** Custom precinct size bytes (PPx | PPy<<4), one per resolution
@@ -507,15 +570,15 @@ object JpxSynth {
     w8((if (precSizes.nonEmpty) 1 else 0) | (if (sop) 2 else 0) | (if (eph) 4 else 0))
     w8(prog); w16(layers); w8(mct)
     w8(levels); w8(cbExp - 2); w8(cbExp - 2)
-    w8(if (segSymbols) 0x20 else 0); w8(if (reversible) 1 else 0)
+    w8(cbStyle); w8(if (reversible) 1 else 0)
     precSizes.foreach(w8)
     // COC per-component overrides: same levels/cb/wavelet as the COD, but a
-    // code-block style whose segmentation-symbol bit may differ (A.6.2)
-    cocSegSymbols.toSeq.sortBy(_._1).foreach { case (ci, seg) =>
+    // code-block style that may differ (A.6.2)
+    cocStyles.toSeq.sortBy(_._1).foreach { case (ci, style) =>
       require(ci >= 0 && ci < comps)
       w16(0xff53); w16(9); w8(ci); w8(0 /*Scoc*/)
       w8(levels); w8(cbExp - 2); w8(cbExp - 2)
-      w8(if (seg) 0x20 else 0); w8(if (reversible) 1 else 0)
+      w8(style); w8(if (reversible) 1 else 0)
     }
 
     // decompose every tile of every component first so QCD exponents can be
@@ -588,7 +651,7 @@ object JpxSynth {
         val th = Jpx.ceilDiv(tty1, yr(c)) - Jpx.ceilDiv(tty0, yr(c))
         Array.tabulate(levels + 1) { r =>
           planResolution(tilePlans(ti)(c)(r), r, cbExp, expByIdx, sbIndex,
-            layers, cocSegSymbols.getOrElse(c, segSymbols),
+            layers, cocStyles.getOrElse(c, cbStyle),
             resW = Jpx.ceilDiv(tw, 1 << (levels - r)),
             resH = Jpx.ceilDiv(th, 1 << (levels - r)),
             ppx = ppxOf(r), ppy = ppyOf(r))
@@ -641,12 +704,23 @@ object JpxSynth {
   }
 
   /** Per-code-block Tier-2 state persisting across layers. */
-  private final class BlkState(val data: Array[Byte], val passes: Int,
-      val zbp: Int, val nonzero: Boolean) {
+  private final class BlkState(val segs: Array[Array[Byte]], val passes: Int,
+      val zbp: Int, val nonzero: Boolean,
+      val bypass: Boolean = false, val termAll: Boolean = false) {
     var lblock = 3
     var included = false
     var passOff = 0
-    var byteOff = 0
+    val segByteOff: Array[Int] = new Array[Int](segs.length)
+    /** Passes belonging to codeword segment s (shared boundary math). */
+    def segPasses(s: Int): Int = {
+      var cnt = 0
+      var p = 0
+      while (p < passes) {
+        if (Jpx.segmentOf(p, bypass, termAll) == s) cnt += 1
+        p += 1
+      }
+      cnt
+    }
   }
 
   /** One band-side precinct's tag-tree encoders over its code-block window
@@ -665,7 +739,7 @@ object JpxSynth {
 
   private def planResolution(bands: Array[SubbandPlan], r: Int, cbExp: Int,
       expByIdx: Array[Int], sbIndex: (Int, Int) => Int, layers: Int,
-      segSymbols: Boolean, resW: Int, resH: Int,
+      cbStyle: Int, resW: Int, resH: Int,
       ppx: Int = 15, ppy: Int = 15): ResPlan = {
     // precinct grid of the resolution (origin 0 — single-tile fixtures)
     val npw = if (resW > 0) Jpx.ceilDiv(resW, 1 << ppx) else 0
@@ -714,9 +788,10 @@ object JpxSynth {
           if (maxMag == 0) new BlkState(Array.empty, 0, 0, nonzero = false)
           else {
             val zbp = mb - bits(maxMag)
-            val (data, passes) = encodeBlock(vals, bw2, bh2,
-              Jpx.bandKindCtx(sb.kind), mb, zbp, segSymbols)
-            new BlkState(data, passes, zbp, nonzero = true)
+            val (segs, passes) = encodeBlock(vals, bw2, bh2,
+              Jpx.bandKindCtx(sb.kind), mb, zbp, cbStyle)
+            new BlkState(segs, passes, zbp, nonzero = true,
+              bypass = (cbStyle & 0x01) != 0, termAll = (cbStyle & 0x04) != 0)
           }
         }
         (blocks, nx, ny)
@@ -765,22 +840,12 @@ object JpxSynth {
     * across layers. */
   private def emitPacket(plan: ResPlan, layer: Int, layers: Int,
       eph: Boolean = false, prec: Int = 0): Array[Byte] = {
-    // a block's layer share: passes split evenly by cumulative targets,
-    // bytes proportional to passes (exact on the final contribution)
-    def layerShare(b: BlkState): (Int, Int) = {
-      if (!b.nonzero || b.passes == 0) return (0, 0)
+    // a block's layer share: passes split evenly by cumulative targets;
+    // bytes are computed per codeword-segment piece at emission
+    def layerShare(b: BlkState): Int = {
+      if (!b.nonzero || b.passes == 0) return 0
       val targetPasses = (b.passes.toLong * (layer + 1) / layers).toInt
-      val lp = targetPasses - b.passOff
-      if (lp <= 0) (0, 0)
-      else {
-        val lb =
-          if (targetPasses == b.passes) b.data.length - b.byteOff
-          else {
-            val t = (b.data.length.toLong * targetPasses / b.passes).toInt
-            math.max(0, t - b.byteOff)
-          }
-        (lp, lb)
-      }
+      math.max(0, targetPasses - b.passOff)
     }
     val bw = new BitWriter
     val segments = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int, Int)]
@@ -811,7 +876,7 @@ object JpxSynth {
           val b = blocks(idx)
           val i = idx % nx - pe.iMin
           val j = idx / nx - pe.jMin
-          val (lp, lb) = layerShare(b)
+          val lp = layerShare(b)
           if (!b.included) {
             pe.incl.encode(bw, i, j, layer + 1) // tag-tree first inclusion
           } else {
@@ -829,14 +894,47 @@ object JpxSynth {
             else if (p <= 5) { bw.bits(3, 2); bw.bits(p - 3, 2) }
             else if (p <= 36) { bw.bits(0xf, 4); bw.bits(p - 6, 5) }
             else { bw.bits(0x1ff, 9); bw.bits(p - 37, 7) }
-            // Lblock adaptation (persists across layers) + segment length
-            val needed = math.max(1, bits(lb))
-            while (b.lblock + Jpx.floorLog2(lp) < needed) { bw.bit(1); b.lblock += 1 }
+            // split the contribution on codeword-segment boundaries
+            // (B.10.7.2 — the decoder splits with the same shared math):
+            // one length per piece; bytes within a segment spread across
+            // layers proportionally to passes, remainder on the piece that
+            // finishes the segment
+            val pieces = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+            var passBase = b.passOff
+            var remaining = lp
+            while (remaining > 0) {
+              val segIdx = Jpx.segmentOf(passBase, b.bypass, b.termAll)
+              val room = Jpx.passesLeftInSegment(passBase, b.bypass, b.termAll)
+              val take = math.min(remaining, room)
+              val segTotal = b.segPasses(segIdx)
+              val segBytes = if (segIdx < b.segs.length) b.segs(segIdx).length else 0
+              var inSeg = 0
+              var p = 0
+              while (p < passBase) {
+                if (Jpx.segmentOf(p, b.bypass, b.termAll) == segIdx) inSeg += 1
+                p += 1
+              }
+              val endBytes =
+                if (inSeg + take >= segTotal) segBytes
+                else (segBytes.toLong * (inSeg + take) / segTotal).toInt
+              val len = math.max(0, endBytes - b.segByteOff(segIdx))
+              pieces += ((take, len, segIdx))
+              passBase += take
+              remaining -= take
+            }
+            // Lblock adaptation (persists across layers), then the lengths
+            var need = b.lblock
+            pieces.foreach { case (take, len, _) =>
+              need = math.max(need, math.max(1, bits(len)) - Jpx.floorLog2(take))
+            }
+            while (b.lblock < need) { bw.bit(1); b.lblock += 1 }
             bw.bit(0)
-            bw.bits(lb, b.lblock + Jpx.floorLog2(lp))
-            segments += ((b.data, b.byteOff, lb))
+            pieces.foreach { case (take, len, segIdx) =>
+              bw.bits(len, b.lblock + Jpx.floorLog2(take))
+              if (len > 0) segments += ((b.segs(segIdx), b.segByteOff(segIdx), len))
+              b.segByteOff(segIdx) += len
+            }
             b.passOff += lp
-            b.byteOff += lb
           }
           }
           idx += 1
@@ -920,7 +1018,11 @@ object JpxSynth {
   def pdfWithJpx(w: Int, h: Int, seed: Long, rgb: Boolean = false,
       lossy: Boolean = false, jp2: Boolean = false,
       levels: Int = 2, sub420: Boolean = false,
-      precincts: Boolean = false): Array[Byte] = {
+      precincts: Boolean = false,
+      /** All six code-block style bits at once (bypass + context reset +
+        * terminate-all + vertically causal + predictable termination +
+        * segmentation symbols) over two layers — multi-segment packets. */
+      styles: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val planes =
       if (sub420) {
@@ -936,7 +1038,8 @@ object JpxSynth {
       if (sub420) encode(planes, w, h, 8, levels, reversible = !lossy,
         mct = 0, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2), precSizes = ps)
       else encode(planes, w, h, 8, levels, reversible = !lossy,
-        mct = if (rgb) 1 else 0, cbExp = if (precincts) 4 else 6, precSizes = ps)
+        mct = if (rgb) 1 else 0, cbExp = if (precincts) 4 else 6, precSizes = ps,
+        cbStyle = if (styles) 0x3f else 0, layers = if (styles) 2 else 1)
     val stream = if (jp2) wrapJp2(cs0, w, h, planes.length, 8) else cs0
     val csName = if (rgb || sub420) "/DeviceRGB" else "/DeviceGray"
     val content = s"q $w 0 0 $h 100 600 cm /ImX Do Q"

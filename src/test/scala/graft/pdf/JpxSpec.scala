@@ -130,10 +130,11 @@ class JpxSpec extends AnyFunSuite {
       val needed = 32 - Integer.numberOfLeadingZeros(math.max(1, actualMax))
       val mb = needed + 1 + rnd.nextInt(2)
       val zbp = mb - math.max(1, needed)
-      val (data, passes) = JpxSynth.encodeBlock(vals, w, h, band, mb, zbp)
-      if (actualMax == 0) assert(passes == 0 || data.isEmpty)
+      val (segs, passes) = JpxSynth.encodeBlock(vals, w, h, band, mb, zbp)
+      if (actualMax == 0) assert(passes == 0 || segs.isEmpty)
       else {
-        val got = Jpx.decodeBlock(data, Seq((0, data.length)), w, h, band,
+        val data = segs.head
+        val got = Jpx.decodeBlock(data, Seq((0, data.length, 0)), w, h, band,
           mb, zbp, passes)
         assert(got.toSeq == vals.toSeq, s"trial $trial ${w}x$h band=$band mb=$mb zbp=$zbp")
       }
@@ -269,18 +270,80 @@ class JpxSpec extends AnyFunSuite {
       assert(d.get.planes(c).toSeq == sub(c).toSeq, s"sub comp $c")
   }
 
-  test("segmentation symbols (style 0x20) round-trip and reject other styles") {
-    // the reference SUPPORTS segmentation symbols (checkSegmentationSymbol)
-    // while erroring on every other style bit — mirrored here
+  test("segmentation symbols (style 0x20) round-trip") {
     val (w, h) = (48, 40)
     val px = JpxSynth.testGray(w, h, 7)
-    val cs = JpxSynth.encode(Array(px), w, h, 8, 2, segSymbols = true)
+    val cs = JpxSynth.encode(Array(px), w, h, 8, 2, cbStyle = 0x20)
     val out = Jpx.decode(cs)
     assert(out.isDefined)
     assert(out.get.planes(0).toSeq == px.toSeq)
     // with layers too (symbols end every cleanup pass, across chunks)
-    val csL = JpxSynth.encode(Array(px), w, h, 8, 2, segSymbols = true, layers = 3)
+    val csL = JpxSynth.encode(Array(px), w, h, 8, 2, cbStyle = 0x20, layers = 3)
     assert(Jpx.decode(csL).get.planes(0).toSeq == px.toSeq)
+  }
+
+  test("code-block styles round-trip at the Tier-1 block level") {
+    // bypass (0x1): raw SPP/MRP from pass 10 with D.7 bit-stuffing and
+    // segment terminations; reset (0x2); terminate-all (0x4); vertically
+    // causal (0x8); plus all six together. Values span >= 5 bitplanes so
+    // bypass genuinely activates (needs pass index >= 10).
+    val rnd = new scala.util.Random(11)
+    for (style <- Seq(0x01, 0x02, 0x04, 0x08, 0x05, 0x3f); trial <- 0 until 6) {
+      val w = 5 + rnd.nextInt(28)
+      val h = 5 + rnd.nextInt(28)
+      val band = trial % 3
+      val vals = Array.fill(w * h) {
+        if (rnd.nextInt(3) == 0) {
+          val m = rnd.nextInt(1 << 7)
+          if (rnd.nextBoolean() && m != 0) m | Int.MinValue else m
+        } else 0
+      }
+      val actualMax = vals.map(_ & Int.MaxValue).max
+      if (actualMax > 15) { // >= 5 planes -> >= 13 passes
+        val needed = 32 - Integer.numberOfLeadingZeros(actualMax)
+        val mb = needed + 1
+        val zbp = mb - needed
+        val (segs, passes) = JpxSynth.encodeBlock(vals, w, h, band, mb, zbp, style)
+        if (((style & 1) != 0 && passes > 10) || (style & 4) != 0)
+          assert(segs.length > 1, s"style=$style passes=$passes should terminate")
+        var off = 0
+        val chunks = segs.toSeq.zipWithIndex.map { case (s, i) =>
+          val c = (off, off + s.length, i)
+          off += s.length
+          c
+        }
+        val flat = segs.toSeq.flatten.toArray
+        val got = Jpx.decodeBlock(flat, chunks, w, h, band, mb, zbp, passes, style)
+        assert(got.toSeq == vals.toSeq, s"style=$style trial=$trial ${w}x$h")
+      }
+    }
+  }
+
+  test("code-block styles round-trip through full codestreams and layers") {
+    // Tier-2 must signal one length per codeword-segment piece (B.10.7.2);
+    // multi-layer splits land inside segments (proportional bytes) and on
+    // their boundaries — both shapes decode bit-exactly
+    val (w, h) = (48, 40)
+    val px = JpxSynth.testGray(w, h, 7)
+    for (style <- Seq(0x01, 0x04, 0x08, 0x10, 0x3f); layers <- Seq(1, 3)) {
+      val cs = JpxSynth.encode(Array(px), w, h, 8, 2, cbStyle = style,
+        layers = layers)
+      val out = Jpx.decode(cs)
+      assert(out.isDefined, s"style=$style layers=$layers")
+      assert(out.get.planes(0).toSeq == px.toSeq, s"style=$style layers=$layers")
+    }
+    // RGB + RCT with all styles, and the PDF raster lane end-to-end
+    val planes = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 4),
+      JpxSynth.testGray(w, h, 9))
+    val csRgb = JpxSynth.encode(planes, w, h, 8, 2, mct = 1, cbStyle = 0x3f,
+      layers = 2)
+    val outRgb = Jpx.decode(csRgb)
+    assert(outRgb.isDefined)
+    for (c <- 0 until 3)
+      assert(outRgb.get.planes(c).toSeq == planes(c).toSeq, s"rgb comp $c")
+    val pdf = JpxSynth.pdfWithJpx(64, 48, seed = 2, styles = true)
+    val imgs = graft.pdf.PdfImages.list(graft.pdf.PdfDocument.open(pdf))
+    assert(imgs.length == 1 && imgs.head.decodedW == 64 && imgs.head.decodedH == 48)
   }
 
   test("SOP and EPH marker segments are consumed (single- and multi-layer)") {
@@ -330,14 +393,14 @@ class JpxSpec extends AnyFunSuite {
       JpxSynth.testGray(w, h, 9))
     // COD: no seg symbols; COC on comp 1: seg symbols ON
     val csOn = JpxSynth.encode(planes, w, h, 8, levels = 2, cbExp = 4,
-      cocSegSymbols = Map(1 -> true))
+      cocStyles = Map(1 -> 0x20))
     val outOn = Jpx.decode(csOn)
     assert(outOn.isDefined)
     for (c <- 0 until 3)
       assert(outOn.get.planes(c).toSeq == planes(c).toSeq, s"on: comp $c")
     // COD: seg symbols; COC on comp 2: seg symbols OFF
     val csOff = JpxSynth.encode(planes, w, h, 8, levels = 2, cbExp = 4,
-      segSymbols = true, cocSegSymbols = Map(2 -> false))
+      cbStyle = 0x20, cocStyles = Map(2 -> 0))
     val outOff = Jpx.decode(csOff)
     assert(outOff.isDefined)
     for (c <- 0 until 3)
@@ -514,8 +577,12 @@ class JpxSpec extends AnyFunSuite {
     // Scod bit 0 (custom precincts) WITHOUT the per-resolution size bytes
     // is malformed — custom precincts themselves decode (round 6)
     assert(Jpx.decode(patched(cod + 4, 1)).isEmpty)
-    // code-block style flags (selective bypass)
-    assert(Jpx.decode(patched(cod + 4 + 8, 1)).isEmpty)
+    // reserved code-block style bits (0x40/0x80) stay out of subset; the
+    // six defined style bits decode since round 6 (a style byte FORGED onto
+    // a stream encoded without it is header corruption — covered by the
+    // mutation test's empty-or-dims-ok contract, not this reject set)
+    assert(Jpx.decode(patched(cod + 4 + 8, 0x40)).isEmpty)
+    assert(Jpx.decode(patched(cod + 4 + 8, 0x80)).isEmpty)
     // 31+ decomposition levels
     assert(Jpx.decode(patched(cod + 4 + 5, 31)).isEmpty)
     // ROI (RGN marker spliced after COD)
