@@ -368,7 +368,14 @@ object SparkEntry {
         // causal contexts, predictable termination, segmentation symbols) —
         // lossless, so the pinned mean must equal the unstyled gray rows'
         ("synthetic/jpxstyles.pdf",
-          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, styles = true))))
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, styles = true)),
+        // maxshift ROI (RGN marker, round 6): the central rectangle's
+        // coefficients ride 2^SPrgn above every background magnitude and
+        // are threshold-downshifted back — lossless, so the pinned mean
+        // must equal the unstyled gray rows' (the reference's vendored
+        // decoder throws on RGN; this is a beyond-parity lane)
+        ("synthetic/jpxroi.pdf",
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, roi = true))))
       s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
         .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
         .select(col("path"), col("content"))
@@ -972,6 +979,7 @@ object SparkEntry {
         | ('jpx420', 0, 'ImX', 64, 48, 8, 'DeviceRGB', 'JPXDecode', 64, 48, 3, 108),
         | ('jpxprec', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpxstyles', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
+        | ('jpxroi', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('test24', 0, 'Im1', 353, 274, 8, 'DeviceRGB', 'DCTDecode', 353, 274, 3, 204),
         | ('test24', 4, 'Im2', 497, 345, 8, 'DeviceRGB', 'DCTDecode', 497, 345, 3, 242),
         | ('test24', 4, 'Im3', 496, 291, 8, 'DeviceRGB', 'DCTDecode', 496, 291, 3, 238),

@@ -44,9 +44,18 @@ package graft.pdf
   * streams additionally need tile sizes divisible by XRsiz·2^levels so
   * every component-grid resolution origin stays even.
   *
-  * Scope (disclosed): subsampling factors above 8 and ROI (RGN) return
-  * None — the caller keeps the metadata-only row; all six code-block style
-  * bits (which the reference errors on) and custom precincts are
+  * ROI (RGN marker, round 6) decodes by the maxshift method — the only
+  * style T.800 defines (Srgn 0, Annex H): per-component SPrgn from the
+  * main header; Tier-1 magnitudes at/above 2^SPrgn are ROI coefficients
+  * scaled up by the encoder and are shifted back down before
+  * dequantization, everything below is background (H.2 — the decoder
+  * never needs the encoder's ROI mask, the magnitude threshold separates
+  * the two populations by construction).
+  *
+  * Scope (disclosed): subsampling factors above 8, RGN styles other than
+  * maxshift (none are defined) and SPrgn above 31 return None — the
+  * caller keeps the metadata-only row; all six code-block style bits
+  * (which the reference errors on), custom precincts and maxshift ROI are
   * SUPPORTED. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
@@ -746,6 +755,8 @@ object Jpx {
     val codPerComp = scala.collection.mutable.HashMap.empty[Int, Cod]
     var qcd: Qcd = null
     val qcdPerComp = scala.collection.mutable.HashMap.empty[Int, Qcd]
+    // RGN (ROI, maxshift): per-component implicit shift SPrgn (H.2)
+    val roiPerComp = scala.collection.mutable.HashMap.empty[Int, Int]
     // tile-part data segments in codestream order: (tileIdx, start, end)
     val tileParts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
 
@@ -889,7 +900,17 @@ object Jpx {
                 if (siz.comps < 257) (data(p + 2) & 0xff, p + 3)
                 else (u16(data, p + 2), p + 4)
               qcdPerComp(ci) = parseQ(data, off, segEnd)
-            case 0xff5e => return None // RGN (ROI): out of subset
+            case 0xff5e => // RGN (ROI): maxshift method (A.6.3 / Annex H)
+              if (siz == null) return None
+              val (ci, off) =
+                if (siz.comps < 257) (data(p + 2) & 0xff, p + 3)
+                else (u16(data, p + 2), p + 4)
+              val srgn = data(off) & 0xff
+              val sprgn = data(off + 1) & 0xff
+              // Srgn 0 is the only style T.800 defines; shifts above 31
+              // would overflow the int magnitude lane — metadata-only then
+              if (srgn != 0 || sprgn > 31) return None
+              roiPerComp(ci) = sprgn
             case 0xff90 => // SOT
               val tileIdx = u16(data, p + 2)
               val psot0 = u32(data, p + 4).toInt
@@ -959,7 +980,7 @@ object Jpx {
       val parts = byTile.getOrElse(ti, scala.collection.mutable.ArrayBuffer.empty)
       if (parts.nonEmpty && tx1 > tx0 && ty1 > ty0) {
         decodeTile(data, parts.map(t => (t._2, t._3)).toSeq, siz, cod, codPerComp,
-          qcd, qcdPerComp, tx0, ty0, tx1, ty1) match {
+          qcd, qcdPerComp, roiPerComp, tx0, ty0, tx1, ty1) match {
           case Some(tilePlanes) =>
             var c = 0
             while (c < siz.comps) {
@@ -992,6 +1013,7 @@ object Jpx {
   private def decodeTile(data: Array[Byte], parts: Seq[(Int, Int)],
       siz: Siz, codG: Cod, codPerComp: collection.Map[Int, Cod],
       qcdG: Qcd, qcdPerComp: collection.Map[Int, Qcd],
+      roiPerComp: collection.Map[Int, Int],
       tx0: Int, ty0: Int, tx1: Int, ty1: Int): Option[Array[Array[Int]]] = {
 
     // per-component resolution/band/code-block geometry
@@ -1116,6 +1138,7 @@ object Jpx {
       val cod = compCod(c)
       val qcd = compQcd(c)
       val guard = qcd.guard
+      val roiShift = roiPerComp.getOrElse(c, 0)
       // subband index in QCD order: LL, then per res: HL, LH, HH
       def sbIndex(r: Int, kind: Int): Int = if (r == 0) 0 else 3 * (r - 1) + kind
       def exponent(r: Int, kind: Int): Int = qcd.style match {
@@ -1165,7 +1188,11 @@ object Jpx {
             var i = 0
             while (i < vals.length) {
               val sm = vals(i)
-              val mag = sm & Int.MaxValue
+              var mag = sm & Int.MaxValue
+              // H.2 maxshift: magnitudes at/above 2^SPrgn are ROI
+              // coefficients the encoder scaled up — undo the shift;
+              // everything below is background, untouched
+              if (roiShift > 0 && mag >= (1 << roiShift)) mag >>>= roiShift
               if (mag != 0) {
                 val x = blk.x0 - band.x0 + i % bwB
                 val y = blk.y0 - band.y0 + i / bwB

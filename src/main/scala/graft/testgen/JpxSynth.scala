@@ -499,7 +499,21 @@ object JpxSynth {
         * 0..levels — Scod bit 0. Single-tile only (the encoder's band
         * coordinates are tile-relative; a non-origin tile would need
         * precinct-aligned tile sizes to stay absolute-anchored). */
-      precSizes: Seq[Int] = Nil): Array[Byte] = {
+      precSizes: Seq[Int] = Nil,
+      /** Image-grid ROI rectangle (x0, y0, x1, y1) per component, encoded
+        * with the maxshift method (T.800 Annex H): the rectangle is
+        * back-projected into every subband with a conservative
+        * filter-support dilation, SPrgn is chosen so 2^SPrgn clears every
+        * background magnitude, the masked coefficients are scaled up by
+        * 2^SPrgn, and an RGN marker (A.6.3) signals the shift. Reversible
+        * streams only: the no-quantization exponents are computed from the
+        * (already shifted) magnitudes so Mb covers the scaled range for
+        * free, whereas this encoder's delta=1 irreversible scheme pins
+        * εb = Rb + gain and cannot absorb the shift without per-component
+        * QCC machinery. The decoder is agnostic — its threshold downshift
+        * happens on the integer magnitude lane both wavelets share. */
+      roi: Map[Int, (Int, Int, Int, Int)] = Map.empty): Array[Byte] = {
+    require(roi.isEmpty || reversible, "maxshift ROI: reversible streams only")
     require(prog >= 0 && prog <= 4)
     if (precSizes.nonEmpty) {
       require(precSizes.length == levels + 1, "one precinct byte per resolution")
@@ -607,6 +621,58 @@ object JpxSynth {
         decompose(sub, tw, th, levels, reversible)
       }
     }
+    // ROI (maxshift, Annex H): scale the masked coefficients up by SPrgn so
+    // every nonzero ROI magnitude clears every background magnitude; the
+    // decoder recovers them purely by the 2^SPrgn threshold, so an
+    // over-approximated mask is legal — it never reaches the decoder.
+    val roiShifts = new Array[Int](comps)
+    roi.keys.foreach(c => require(c >= 0 && c < comps))
+    roi.toSeq.sortBy(_._1).foreach { case (c, (rx0, ry0, rx1, ry1)) =>
+      require(rx0 >= 0 && rx0 < rx1 && rx1 <= w && ry0 >= 0 && ry0 < ry1 && ry1 <= h)
+      // rectangle on the component's own sample grid
+      val rcx0 = rx0 / xr(c); val rcx1 = Jpx.ceilDiv(rx1, xr(c))
+      val rcy0 = ry0 / yr(c); val rcy1 = Jpx.ceilDiv(ry1, yr(c))
+      // band-domain mask: coefficient (u,v) at decomposition level nb covers
+      // component samples [u<<nb, (u+1)<<nb) widened by the 5/3 support
+      def mask(ti: Int, r: Int, sb: SubbandPlan): Array[Boolean] = {
+        val cx0 = Jpx.ceilDiv(ti % numXT * xt, xr(c))
+        val cy0 = Jpx.ceilDiv(ti / numXT * yt, yr(c))
+        val nb = if (r == 0) levels else levels - r + 1
+        val pad = 2 << nb
+        val bw = sb.x1 - sb.x0
+        Array.tabulate(sb.coeffs.length) { i =>
+          val u = i % bw; val v = i / bw
+          val gx0 = cx0 + (u << nb) - pad; val gx1 = cx0 + ((u + 1) << nb) + pad
+          val gy0 = cy0 + (v << nb) - pad; val gy1 = cy0 + ((v + 1) << nb) + pad
+          gx0 < rcx1 && gx1 > rcx0 && gy0 < rcy1 && gy1 > rcy0
+        }
+      }
+      var maxBg = 0
+      var maxRoi = 0
+      for (ti <- tilePlans.indices; r <- 0 to levels; sb <- tilePlans(ti)(c)(r)) {
+        val m = mask(ti, r, sb)
+        var i = 0
+        while (i < sb.coeffs.length) {
+          val a = math.abs(sb.coeffs(i))
+          if (m(i)) { if (a > maxRoi) maxRoi = a } else if (a > maxBg) maxBg = a
+          i += 1
+        }
+      }
+      val sprgn = math.max(1, bits(maxBg))
+      require(bits(maxRoi) + sprgn <= 30, "ROI shift would overflow the int lane")
+      roiShifts(c) = sprgn
+      for (ti <- tilePlans.indices; r <- 0 to levels; sb <- tilePlans(ti)(c)(r)) {
+        val m = mask(ti, r, sb)
+        var i = 0
+        while (i < sb.coeffs.length) {
+          if (m(i) && sb.coeffs(i) != 0) {
+            val v = sb.coeffs(i)
+            sb.coeffs(i) = if (v < 0) -((-v) << sprgn) else v << sprgn
+          }
+          i += 1
+        }
+      }
+    }
     // per-subband-position exponents: maxima over tiles and components
     val nSb = 3 * levels + 1
     val expByIdx = new Array[Int](nSb)
@@ -636,6 +702,10 @@ object JpxSynth {
     } else {
       w16(0xff5c); w16(3 + 2 * nSb); w8((Guard << 5) | 2)
       expByIdx.foreach(e => w16(e << 11)) // μ = 0
+    }
+    // RGN per ROI component (A.6.3): Srgn 0 = maxshift
+    for (c <- 0 until comps if roiShifts(c) > 0) {
+      w16(0xff5e); w16(5); w8(c); w8(0); w8(roiShifts(c))
     }
 
     // tiles
@@ -1022,7 +1092,9 @@ object JpxSynth {
       /** All six code-block style bits at once (bypass + context reset +
         * terminate-all + vertically causal + predictable termination +
         * segmentation symbols) over two layers — multi-segment packets. */
-      styles: Boolean = false): Array[Byte] = {
+      styles: Boolean = false,
+      /** Maxshift ROI (RGN marker) over the image's central rectangle. */
+      roi: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val planes =
       if (sub420) {
@@ -1034,12 +1106,18 @@ object JpxSynth {
         testGray(w, h, seed + 7))
       else Array(testGray(w, h, seed))
     val ps = if (precincts) (0 to levels).map(r => if (r == 0) 0x44 else 0x44 + (if (r == levels) 0x11 else 0)) else Nil
+    val roiRects: Map[Int, (Int, Int, Int, Int)] =
+      if (roi) (0 until planes.length).map(c =>
+        c -> ((w / 4, h / 4, 3 * w / 4, 3 * h / 4))).toMap
+      else Map.empty
     val cs0 =
       if (sub420) encode(planes, w, h, 8, levels, reversible = !lossy,
-        mct = 0, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2), precSizes = ps)
+        mct = 0, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2), precSizes = ps,
+        roi = roiRects)
       else encode(planes, w, h, 8, levels, reversible = !lossy,
         mct = if (rgb) 1 else 0, cbExp = if (precincts) 4 else 6, precSizes = ps,
-        cbStyle = if (styles) 0x3f else 0, layers = if (styles) 2 else 1)
+        cbStyle = if (styles) 0x3f else 0, layers = if (styles) 2 else 1,
+        roi = roiRects)
     val stream = if (jp2) wrapJp2(cs0, w, h, planes.length, 8) else cs0
     val csName = if (rgb || sub420) "/DeviceRGB" else "/DeviceGray"
     val content = s"q $w 0 0 $h 100 600 cm /ImX Do Q"

@@ -52,7 +52,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * a 3-layer RPCL gray 9/7, and a 2-layer CPRL stream with SOP+EPH — all
   * 0 mismatched samples, pinning the B.12 packet-interleave orders (under
   * the default single whole-subband precinct the five progressions reduce
-  * to the loop nestings l(r(c)), r(l(c)), r(c(l)), c(r(l)), c(r(l))). */
+  * to the loop nestings l(r(c)), r(l(c)), r(c(l)), c(r(l)), c(r(l))).
+  *
+  * Maxshift ROI (RGN) CANNOT be cross-validated there — the vendored
+  * decoder throws 'Unknown codestream code' on 0xFF5E
+  * (pdf.combined.js:11054-11056), so the ROI lane is beyond-parity; its
+  * gates are the reversible round-trips below (exact by construction:
+  * the decoder's threshold downshift must recover precisely the
+  * magnitudes the encoder scaled up) plus the strip-the-RGN tamper test
+  * proving the shift is load-bearing. */
 class JpxSpec extends AnyFunSuite {
 
   private def u16(d: Array[Byte], p: Int) = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
@@ -585,10 +593,13 @@ class JpxSpec extends AnyFunSuite {
     assert(Jpx.decode(patched(cod + 4 + 8, 0x80)).isEmpty)
     // 31+ decomposition levels
     assert(Jpx.decode(patched(cod + 4 + 5, 31)).isEmpty)
-    // ROI (RGN marker spliced after COD)
+    // maxshift ROI decodes since round 6; only undefined RGN styles and
+    // int-lane-overflowing shifts stay out of subset (RGN spliced after COD)
     val codEnd = cod + 2 + u16(cs, cod + 2)
-    val rgn = Array[Byte](0xff.toByte, 0x5e, 0, 5, 0 /*comp*/, 0 /*Srgn*/, 4 /*shift*/)
-    assert(Jpx.decode(cs.take(codEnd) ++ rgn ++ cs.drop(codEnd)).isEmpty)
+    def rgn(srgn: Int, shift: Int) = Array[Byte](0xff.toByte, 0x5e, 0, 5,
+      0 /*comp*/, srgn.toByte, shift.toByte)
+    assert(Jpx.decode(cs.take(codEnd) ++ rgn(1, 4) ++ cs.drop(codEnd)).isEmpty)
+    assert(Jpx.decode(cs.take(codEnd) ++ rgn(0, 32) ++ cs.drop(codEnd)).isEmpty)
   }
 
   test("corrupt / truncated / foreign payloads never throw") {
@@ -607,5 +618,88 @@ class JpxSpec extends AnyFunSuite {
     }
     assert(Jpx.decode(Array.tabulate[Byte](100)(i => (i * 41).toByte)).isEmpty)
     assert(Jpx.decode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("maxshift ROI (RGN) round-trips bit-exactly and the shift is load-bearing") {
+    for ((w, h, levels, seed) <- Seq((64, 48, 2, 1L), (57, 43, 3, 2L),
+      (40, 40, 1, 7L))) {
+      val px = JpxSynth.testGray(w, h, seed)
+      val cs = JpxSynth.encode(Array(px), w, h, 8, levels,
+        roi = Map(0 -> ((w / 4, h / 4, 3 * w / 4, 3 * h / 4))))
+      val at = findMarker(cs, 0xff5e)
+      assert(at > 0, "RGN marker present")
+      assert((cs(at + 4), cs(at + 5)) == ((0.toByte, 0.toByte)), "Crgn=0 Srgn=0")
+      val sprgn = cs(at + 6) & 0xff
+      assert(sprgn > 0, "non-trivial shift")
+      val out = Jpx.decode(cs)
+      assert(out.isDefined, s"$w x $h levels=$levels")
+      assert(out.get.planes(0).toSeq == px.toSeq, s"$w x $h levels=$levels")
+      // strip the 7-byte RGN segment: the stream still decodes (headers are
+      // self-consistent) but the un-undone upshift must corrupt the pixels
+      // — proof the threshold downshift actually ran above
+      val stripped = cs.take(at) ++ cs.drop(at + 7)
+      val raw = Jpx.decode(stripped)
+      assert(raw.isDefined)
+      assert(raw.get.planes(0).toSeq != px.toSeq, "shift must be load-bearing")
+    }
+  }
+
+  test("maxshift ROI round-trips with RCT, subsampling and multi-tile grids") {
+    val (w, h) = (64, 48)
+    val rect = (16, 12, 48, 36)
+    // RGB + reversible RCT, ROI on all three components
+    val rgb = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 4),
+      JpxSynth.testGray(w, h, 9))
+    val csRct = JpxSynth.encode(rgb, w, h, 8, 2, mct = 1,
+      roi = Map(0 -> rect, 1 -> rect, 2 -> rect))
+    val dRct = Jpx.decode(csRct)
+    assert(dRct.isDefined)
+    for (c <- 0 until 3)
+      assert(dRct.get.planes(c).toSeq == rgb(c).toSeq, s"rct component $c")
+    // ROI on a single component only — the others stay unshifted
+    val csOne = JpxSynth.encode(rgb, w, h, 8, 2, mct = 1, roi = Map(1 -> rect))
+    assert(Jpx.decode(csOne).isDefined)
+    for (c <- 0 until 3)
+      assert(Jpx.decode(csOne).get.planes(c).toSeq == rgb(c).toSeq, s"one-comp $c")
+    // 4:2:0 subsampled, ROI everywhere (rect lands on each component grid)
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val sub = Array(JpxSynth.testGray(w, h, 2), JpxSynth.testGray(cw, ch, 5),
+      JpxSynth.testGray(cw, ch, 8))
+    val csSub = JpxSynth.encode(sub, w, h, 8, 2, xrs = Seq(1, 2, 2),
+      yrs = Seq(1, 2, 2), roi = Map(0 -> rect, 1 -> rect, 2 -> rect))
+    val dSub = Jpx.decodeComponents(csSub)
+    assert(dSub.isDefined)
+    for (c <- 0 until 3)
+      assert(dSub.get.planes(c).toSeq == sub(c).toSeq, s"sub component $c")
+    // multi-tile: the image-grid rectangle spans a tile boundary
+    val (mw, mh) = (100, 70)
+    val mpx = JpxSynth.testGray(mw, mh, 8)
+    val csMt = JpxSynth.encode(Array(mpx), mw, mh, 8, 2, cbExp = 4,
+      tileW = 64, tileH = 64, roi = Map(0 -> ((30, 20, 90, 60))))
+    val dMt = Jpx.decode(csMt)
+    assert(dMt.isDefined)
+    assert(dMt.get.planes(0).toSeq == mpx.toSeq)
+  }
+
+  test("RGN styles T.800 does not define degrade to metadata-only") {
+    val (w, h) = (32, 24)
+    val cs = JpxSynth.encode(Array(JpxSynth.testGray(w, h, 3)), w, h, 8, 2,
+      roi = Map(0 -> ((8, 6, 24, 18))))
+    val at = findMarker(cs, 0xff5e)
+    assert(at > 0)
+    val badStyle = cs.clone(); badStyle(at + 5) = 1 // Srgn 1: undefined
+    assert(Jpx.decode(badStyle).isEmpty)
+    val badShift = cs.clone(); badShift(at + 6) = 40 // SPrgn > 31: int lane
+    assert(Jpx.decode(badShift).isEmpty)
+  }
+
+  test("ROI PDF decodes through the full raster lane") {
+    val pdf = JpxSynth.pdfWithJpx(64, 48, seed = 2, roi = true)
+    val imgs = PdfImages.list(PdfDocument.open(pdf))
+    assert(imgs.length == 1)
+    val i = imgs.head
+    assert((i.filter, i.colorSpace) == (("JPXDecode", "DeviceGray")))
+    assert((i.decodedW, i.decodedH, i.decodedBands) == ((64, 48, 3)))
+    assert(i.grayMean > 0)
   }
 }
