@@ -53,10 +53,10 @@ package graft.pdf
   * the two populations by construction).
   *
   * Scope (disclosed): subsampling factors above 8, RGN styles other than
-  * maxshift (none are defined) and SPrgn above 31 return None — the
-  * caller keeps the metadata-only row; all six code-block style bits
-  * (which the reference errors on), custom precincts and maxshift ROI are
-  * SUPPORTED. The reference wires its own vendored decoder
+  * maxshift (none are defined), SPrgn above 31, POC (packet reorder) and
+  * PPM (relocated packet headers) return None — the caller keeps the
+  * metadata-only row; all six code-block style bits (which the reference
+  * errors on), custom precincts and maxshift ROI are SUPPORTED. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
   * cross-validated against that decoder on encoder-generated fixtures.
@@ -924,7 +924,14 @@ object Jpx {
               // subset: none)
               if (u16(data, segEnd) != 0xff93) return None
               tileParts += ((tileIdx, segEnd + 2, tpEnd))
-            case _ => () // COM, TLM, PLM, ... skipped
+            // POC reorders packets and PPM moves the packet headers out of
+            // the tile bodies — skipping either would decode packets in the
+            // wrong order / misparse the bodies (silently wrong pixels), so
+            // both reject per the module contract. (PPT/PLT live in
+            // tile-part headers, which the SOT→SOD subset check already
+            // bounds; TLM/PLM/COM/CRG are pure metadata — safe to skip.)
+            case 0xff5f | 0xff60 => return None // POC / PPM: out of subset
+            case _ => () // COM, TLM, PLM, CRG ... skipped
           }
           p = marker match {
             case 0xff90 =>

@@ -600,6 +600,12 @@ class JpxSpec extends AnyFunSuite {
       0 /*comp*/, srgn.toByte, shift.toByte)
     assert(Jpx.decode(cs.take(codEnd) ++ rgn(1, 4) ++ cs.drop(codEnd)).isEmpty)
     assert(Jpx.decode(cs.take(codEnd) ++ rgn(0, 32) ++ cs.drop(codEnd)).isEmpty)
+    // POC reorders packets and PPM relocates packet headers — silently
+    // skipping either would yield wrong pixels, so both must reject
+    val poc = Array[Byte](0xff.toByte, 0x5f, 0, 9, 0, 0, 0, 1, 2, 1, 0)
+    assert(Jpx.decode(cs.take(codEnd) ++ poc ++ cs.drop(codEnd)).isEmpty)
+    val ppm = Array[Byte](0xff.toByte, 0x60, 0, 7, 0, 0, 0, 0, 0)
+    assert(Jpx.decode(cs.take(codEnd) ++ ppm ++ cs.drop(codEnd)).isEmpty)
   }
 
   test("corrupt / truncated / foreign payloads never throw") {
