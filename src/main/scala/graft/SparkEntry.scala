@@ -283,6 +283,41 @@ object SparkEntry {
         .select(col("paper"), col("page"), col("n_items"), col("n_styles"),
           md5(col("names")).as("names_md5"), md5(col("canon")).as("styles_md5"))
     }),
+    "q64_page_labels" -> ((s, dir) => {
+      // catalog /PageLabels number tree → per-page display labels (SURVEY.md
+      // §2.8 C4, round 6; reference Catalog.pageLabels): corpus papers —
+      // test24 and 2839 carry REAL decimal label trees, the other three have
+      // none — plus synthetic trees covering roman/decimal/letter styles,
+      // prefixes, /Kids-split leaves and the all-or-nothing malformed
+      // discipline. A document without a (valid) /PageLabels surface emits a
+      // single (page=-1, label='') row — the reference's null, relational.
+      import s.implicits._
+      val _ = dir
+      val synthetic = s.createDataset(Seq(
+        ("synthetic/labels_mixed.pdf", graft.testgen.Synth.pdfWithPageLabels(7,
+          "<< /Nums [0 << /S /r >> 2 << /S /D >> 5 << /S /D /P (A-) >>] >>")),
+        ("synthetic/labels_letters.pdf", graft.testgen.Synth.pdfWithPageLabels(3,
+          "<< /Nums [0 << /S /A /St 26 >>] >>")),
+        ("synthetic/labels_kids.pdf", graft.testgen.Synth.pdfWithPageLabels(4,
+          "<< /Kids [7 0 R 8 0 R] >>", Seq(
+            "<< /Limits [0 1] /Nums [0 << /S /r >>] >>",
+            "<< /Limits [2 3] /Nums [2 << /S /D >>] >>"))),
+        ("synthetic/labels_malformed.pdf", graft.testgen.Synth.pdfWithPageLabels(2,
+          "<< /Nums [0 << /S /Q >>] >>"))))
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .union(synthetic)
+        .flatMap { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          graft.pdf.PdfDocument.open(bytes).pageLabels match {
+            case Some(ls) => ls.zipWithIndex.map { case (l, i) => (paper, i, l) }
+            case None => Seq((paper, -1, ""))
+          }
+        }
+        .toDF("paper", "page", "label")
+    }),
     "q62_pdf_text_items" -> ((s, dir) => {
       // reference-parity TEXT-CONTENT ITEMS (the getTextContent surface,
       // rounds 5-6): per corpus PDF and EVERY page, item count + md5 of the
@@ -930,6 +965,27 @@ object SparkEntry {
         | ('test25', 6, 390, '8d0dfa27eb8fb69a1153e4c803daa071'),
         | ('test25', 7, 151, 'a115c53d002206042a3d5e6f39f500da')
         |) AS t(paper, page, n_items, items_md5)""".stripMargin,
+    "q64_page_labels" ->
+      """SELECT * FROM (VALUES
+        | ('1301.4293', -1, ''),
+        | ('C04-1204', -1, ''),
+        | ('test25', -1, ''),
+        | ('test24', 0, '1'), ('test24', 1, '2'), ('test24', 2, '3'),
+        | ('test24', 3, '4'), ('test24', 4, '5'), ('test24', 5, '6'),
+        | ('test24', 6, '7'), ('test24', 7, '8'), ('test24', 8, '9'),
+        | ('test24', 9, '10'), ('test24', 10, '11'), ('test24', 11, '12'),
+        | ('2839', 0, '1'), ('2839', 1, '2'), ('2839', 2, '3'),
+        | ('2839', 3, '4'), ('2839', 4, '5'), ('2839', 5, '6'),
+        | ('labels_mixed', 0, 'i'), ('labels_mixed', 1, 'ii'),
+        | ('labels_mixed', 2, '1'), ('labels_mixed', 3, '2'),
+        | ('labels_mixed', 4, '3'), ('labels_mixed', 5, 'A-1'),
+        | ('labels_mixed', 6, 'A-2'),
+        | ('labels_letters', 0, 'Z'), ('labels_letters', 1, 'AA'),
+        | ('labels_letters', 2, 'BB'),
+        | ('labels_kids', 0, 'i'), ('labels_kids', 1, 'ii'),
+        | ('labels_kids', 2, '1'), ('labels_kids', 3, '2'),
+        | ('labels_malformed', -1, '')
+        |) AS t(paper, page, label)""".stripMargin,
     "q63_pdf_text_styles" ->
       """SELECT * FROM (VALUES
         | ('1301.4293', 1, 118, 2, '5befe135e7e30addbd6204eafc58e9c5', '171a1b32ff883c4e9f41f57c369d9940'),

@@ -475,6 +475,132 @@ final class PdfDocument private (val file: PdfFile) {
         if file.dictGet(s.dict, "Subtype").contains(PName("XML"))
       } yield new String(file.decodeStream(s), java.nio.charset.StandardCharsets.UTF_8)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-page display labels from the catalog /PageLabels number tree
+    * (reference Catalog.pageLabels, pdf.combined.js:42749-42828; number
+    * tree getAll 43709-43744; toRoman 3042-3077): each range dictionary
+    * restarts the numbering (/St, default 1 — a zero /St also falls back
+    * to 1, the reference's `|| 1`), sets the prefix (/P) and the style
+    * (/S — D decimal, R/r roman, A/a letters with AA/BB doubling past Z);
+    * pages before the first range get empty labels. None when the file has
+    * no /PageLabels or ANY entry is malformed — the reference abandons the
+    * whole surface on its first assert (warn → null), never a partial
+    * array. */
+  lazy val pageLabels: Option[Vector[String]] = try readPageLabels()
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def readPageLabels(): Option[Vector[String]] = {
+    val treeRoot = (for {
+      root <- file.dictGet(file.trailer, "Root").collect { case d: PDict => d }
+      pl <- root.get("PageLabels") // raw — the tree walk resolves
+    } yield pl).getOrElse(return None)
+
+    // NameOrNumberTree.getAll: BFS with a duplicate-kid guard (a repeated
+    // ref is the reference's cycle assert → null), non-dict nodes skipped,
+    // /Kids nodes never read /Nums, leaf /Nums read pairwise
+    val nums = mutable.Map.empty[Int, PObj]
+    val processed = mutable.Set[PObj](treeRoot)
+    val queue = mutable.Queue(treeRoot)
+    while (queue.nonEmpty) {
+      file.resolve(queue.dequeue()) match {
+        case d: PDict =>
+          if (d.has("Kids")) {
+            file.resolve(d.get("Kids").getOrElse(PNull)) match {
+              case PArr(kids) =>
+                var k = 0
+                while (k < kids.length) {
+                  val kid = kids(k)
+                  if (processed.contains(kid)) return None
+                  processed += kid
+                  queue += kid
+                  k += 1
+                }
+              case _ => () // non-array Kids: node contributes nothing
+            }
+          } else file.dictGet(d, "Nums") match {
+            case Some(PArr(entries)) =>
+              var i = 0
+              while (i + 1 < entries.length) {
+                file.resolve(entries(i)) match {
+                  case PNum(k) if k.isWhole => nums(k.toInt) = file.resolve(entries(i + 1))
+                  case _ => () // non-integer key: unreachable by page index
+                }
+                i += 2
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+
+    def toRoman(n: Int, lower: Boolean): String = {
+      // Util.toRoman asserts n > 0 — a non-positive index under R/r styles
+      // abandons the surface like every other malformed entry
+      if (n <= 0) return null
+      val map = Array(
+        "", "C", "CC", "CCC", "CD", "D", "DC", "DCC", "DCCC", "CM",
+        "", "X", "XX", "XXX", "XL", "L", "LX", "LXX", "LXXX", "XC",
+        "", "I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX")
+      var x = n
+      val sb = new StringBuilder
+      while (x >= 1000) { x -= 1000; sb += 'M' }
+      sb ++= map(x / 100); x %= 100
+      sb ++= map(10 + x / 10); x %= 10
+      sb ++= map(20 + x)
+      val s = sb.result()
+      if (lower) s.toLowerCase else s
+    }
+
+    val out = new Array[String](pages.length)
+    var style: String = null
+    var prefix = ""
+    var currentIndex = 1
+    var i = 0
+    while (i < pages.length) {
+      nums.get(i) match {
+        case None => ()
+        case Some(v) =>
+          val labelDict = v match { case d: PDict => d; case _ => return None }
+          file.dictGet(labelDict, "Type") match {
+            case None | Some(PName("PageLabel")) => ()
+            case _ => return None
+          }
+          style = file.dictGet(labelDict, "S") match {
+            case None => null
+            case Some(PName(nm)) => nm
+            case _ => return None
+          }
+          prefix = file.dictGet(labelDict, "P") match {
+            case None => ""
+            case Some(s: PStr) => s.latin1
+            case _ => return None
+          }
+          currentIndex = file.dictGet(labelDict, "St") match {
+            case None => 1
+            case Some(PNum(d)) if d.isWhole => if (d.toInt == 0) 1 else d.toInt
+            case _ => return None
+          }
+      }
+      val current = style match {
+        case null => ""
+        case "D" => currentIndex.toString
+        case "R" | "r" =>
+          val s = toRoman(currentIndex, style == "r")
+          if (s == null) return None
+          s
+        case "A" | "a" =>
+          val base = if (style == "a") 'a' else 'A'
+          val li = currentIndex - 1
+          if (li < 0) return None // fromCharCode below 'A' — malformed
+          (base + li % 26).toChar.toString * (li / 26 + 1)
+        case _ => return None // unknown style name: the reference's assert
+      }
+      out(i) = prefix + current
+      currentIndex += 1
+      i += 1
+    }
+    Some(out.toVector)
+  }
 }
 
 object PdfDocument {

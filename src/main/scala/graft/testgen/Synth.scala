@@ -167,6 +167,31 @@ object Synth {
     def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
   }
 
+  /** Minimal n-page PDF whose catalog carries the given /PageLabels value
+    * verbatim (a number-tree dict body, e.g. `<< /Nums [0 << /S /r >>] >>`,
+    * or extra objects appended via `extraObjs` for /Kids-split trees).
+    * Pages are empty — the fixture exists for the label surface alone. */
+  def pdfWithPageLabels(nPages: Int, pageLabels: String,
+      extraObjs: Seq[String] = Nil): Array[Byte] = {
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      sb.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w(s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R /PageLabels $pageLabels >>\nendobj\n")
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n")
+    (0 until nPages).foreach { i =>
+      w(s"${3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>\nendobj\n")
+    }
+    // extra objects (number-tree kid nodes etc.) start at 3 + nPages
+    extraObjs.zipWithIndex.foreach { case (body, k) =>
+      w(s"${3 + nPages + k} 0 obj\n$body\nendobj\n")
+    }
+    w(s"trailer\n<< /Size ${3 + nPages + extraObjs.length} /Root 1 0 R >>\n")
+    w("startxref\n0\n%%EOF\n")
+    sb.toByteArray
+  }
+
   final case class SynthTurn(conv_id: String, turn_idx: Int, role: String,
       text: String, tool: String, tsMillis: Long, expected: String)
 
