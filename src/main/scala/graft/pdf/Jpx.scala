@@ -52,11 +52,24 @@ package graft.pdf
   * never needs the encoder's ROI mask, the magnitude threshold separates
   * the two populations by construction).
   *
-  * Scope (disclosed): subsampling factors above 8, RGN styles other than
+  * Reference-grid offsets (XOsiz/YOsiz/XTOsiz/YTOsiz, round 6) decode when
+  * each is a multiple of XRsiz·2^levels per component — the class where
+  * every resolution origin stays even, matching the fixed-parity wavelet
+  * interleave (the same rule multi-tile sizes follow). The geometry is
+  * anchored ABSOLUTELY throughout per the spec: code-block grids at
+  * multiples of the block size (B.7), precinct partitions at multiples of
+  * 2^PPx on each resolution (B.6) — where the vendored reference anchors
+  * the codeblock→precinct mapping at the band origin instead
+  * (pdf.combined.js:11209-11212), desyncing on offset streams whose band
+  * origins land mid-precinct.
+  *
+  * Scope (disclosed): subsampling factors above 8, offsets off the
+  * XRsiz·2^levels grid (odd-parity origins), RGN styles other than
   * maxshift (none are defined), SPrgn above 31, POC (packet reorder) and
   * PPM (relocated packet headers) return None — the caller keeps the
   * metadata-only row; all six code-block style bits (which the reference
-  * errors on), custom precincts and maxshift ROI are SUPPORTED. The reference wires its own vendored decoder
+  * errors on), custom precincts, maxshift ROI and even-parity grid
+  * offsets are SUPPORTED. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
   * cross-validated against that decoder on encoder-generated fixtures.
@@ -942,11 +955,28 @@ object Jpx {
       }
     }
     if (siz == null || cod == null || qcd == null || tileParts.isEmpty) return None
-    // subset: zero grid offsets; multi-tile only when tile sizes stay a
-    // multiple of XRsiz·2^levels per component, which keeps every
-    // component-grid tile origin — hence every resolution origin — EVEN
-    // (the fixed interleave parity inverse2D assumes)
-    if (siz.x0 != 0 || siz.y0 != 0 || siz.xto != 0 || siz.yto != 0) return None
+    // Grid offsets (round 6): XOsiz/YOsiz/XTOsiz/YTOsiz are accepted when
+    // they are multiples of XRsiz·2^levels per component — with the same
+    // rule on tile sizes below, every component-grid tile origin (hence
+    // every resolution origin) stays EVEN, the fixed interleave parity
+    // inverse2D assumes. General odd origins remain out of subset — the
+    // reference's vendored transform mis-decodes them too (its interleave
+    // is parity-blind outside the width-1 halving special case,
+    // pdf.combined.js:12665-12684), so even-preserving offsets are exactly
+    // the cross-validatable class.
+    if (siz.x0 < 0 || siz.y0 < 0 || siz.xto < 0 || siz.yto < 0 ||
+      siz.xto > siz.x0 || siz.yto > siz.y0) return None // A.5.1 ordering
+    if (siz.x0 != 0 || siz.y0 != 0 || siz.xto != 0 || siz.yto != 0) {
+      var c = 0
+      while (c < siz.comps) {
+        val lv = codPerComp.getOrElse(c, cod).levels
+        val mx = siz.xr(c) << lv
+        val my = siz.yr(c) << lv
+        if (siz.x0 % mx != 0 || siz.xto % mx != 0 ||
+          siz.y0 % my != 0 || siz.yto % my != 0) return None
+        c += 1
+      }
+    }
     // MCT mixes components sample-for-sample: the spec only permits it when
     // components 0-2 share a sampling grid
     if (cod.mct == 1 && siz.comps >= 3 &&
@@ -968,9 +998,12 @@ object Jpx {
 
     val imgW = siz.w - siz.x0
     val imgH = siz.h - siz.y0
-    // per-component sample grids (B.2): plane c is compW(c)×compH(c)
-    val compW = Array.tabulate(siz.comps)(c => ceilDiv(siz.w, siz.xr(c)))
-    val compH = Array.tabulate(siz.comps)(c => ceilDiv(siz.h, siz.yr(c)))
+    // per-component sample grids (B.2): plane c covers
+    // [ceil(XOsiz/XRsiz), ceil(Xsiz/XRsiz)) × the same vertically
+    val compX0 = Array.tabulate(siz.comps)(c => ceilDiv(siz.x0, siz.xr(c)))
+    val compY0 = Array.tabulate(siz.comps)(c => ceilDiv(siz.y0, siz.yr(c)))
+    val compW = Array.tabulate(siz.comps)(c => ceilDiv(siz.w, siz.xr(c)) - compX0(c))
+    val compH = Array.tabulate(siz.comps)(c => ceilDiv(siz.h, siz.yr(c)) - compY0(c))
     val planes = Array.tabulate(siz.comps)(c => new Array[Int](compW(c) * compH(c)))
 
     // group tile-part segments by tile (in order)
@@ -1000,7 +1033,7 @@ object Jpx {
               var y = cy0
               while (y < cy1) {
                 System.arraycopy(tilePlanes(c), (y - cy0) * ctw, planes(c),
-                  y * compW(c) + cx0, ctw)
+                  (y - compY0(c)) * compW(c) + (cx0 - compX0(c)), ctw)
                 y += 1
               }
               c += 1

@@ -445,36 +445,42 @@ object JpxSynth {
 
   /** Encode one component's tile to per-resolution subband plans. `plane` is
     * the DC-shifted (signed) sample grid. */
+  /** Decompose one tile-component. `ax0`/`ay0` anchor the plane on the
+    * component grid ABSOLUTELY (B.5 band coordinates flow into every
+    * SubbandPlan), so code-block/precinct partitions downstream anchor at
+    * the true multiples the decoder uses. Origins must stay even through
+    * every level — the fixed-parity forward2D's subset. */
   private def decompose(plane: Array[Int], w: Int, h: Int, levels: Int,
-      reversible: Boolean): Array[Array[SubbandPlan]] = {
+      reversible: Boolean, ax0: Int = 0, ay0: Int = 0): Array[Array[SubbandPlan]] = {
     var cur = plane.map(_.toDouble)
-    var cw = w
-    var ch = h
+    var cx0 = ax0; var cy0 = ay0
+    var cx1 = ax0 + w; var cy1 = ay0 + h
     // resolutions(r) for r=levels..1 hold HL/LH/HH of that composition step;
     // resolutions(0) the final LL
     val out = new Array[Array[SubbandPlan]](levels + 1)
+    def q(a: Array[Double]): Array[Int] = a.map { v =>
+      // reversible: integral already; irreversible: delta = 1 (εb = Rb)
+      if (reversible) math.rint(v).toInt else v.toInt // toward zero
+    }
     var lev = levels
     while (lev >= 1) {
-      val (ll, hl, lh, hh) = forward2D(reversible, cur, cw, ch)
-      val w0 = (cw + 1) / 2
-      val h0 = (ch + 1) / 2
-      def q(a: Array[Double], gain: Int): Array[Int] = a.map { v =>
-        // reversible: integral already; irreversible: delta = 1 (εb = Rb)
-        val qv = if (reversible) math.rint(v).toInt else v.toInt // toward zero
-        qv
-      }
+      require((cx0 & 1) == 0 && (cy0 & 1) == 0, "odd origin outside subset")
+      val (ll, hl, lh, hh) = forward2D(reversible, cur, cx1 - cx0, cy1 - cy0)
+      // low half covers [ceil(x0/2), ceil(x1/2)); high [floor(x0/2), floor(x1/2))
+      val lx0 = (cx0 + 1) >> 1; val lx1 = (cx1 + 1) >> 1
+      val ly0 = (cy0 + 1) >> 1; val ly1 = (cy1 + 1) >> 1
+      val hx0 = cx0 >> 1; val hx1 = cx1 >> 1
+      val hy0 = cy0 >> 1; val hy1 = cy1 >> 1
       val r = lev // resolution index of these detail bands
       out(r) = Array(
-        new SubbandPlan(1, 1, 0, 0, cw - w0, h0, q(hl, 1)),
-        new SubbandPlan(2, 1, 0, 0, w0, ch - h0, q(lh, 1)),
-        new SubbandPlan(3, 2, 0, 0, cw - w0, ch - h0, q(hh, 2)))
+        new SubbandPlan(1, 1, hx0, ly0, hx1, ly1, q(hl)),
+        new SubbandPlan(2, 1, lx0, hy0, lx1, hy1, q(lh)),
+        new SubbandPlan(3, 2, hx0, hy0, hx1, hy1, q(hh)))
       cur = ll
-      cw = w0
-      ch = h0
+      cx0 = lx0; cy0 = ly0; cx1 = lx1; cy1 = ly1
       lev -= 1
     }
-    out(0) = Array(new SubbandPlan(0, 0, 0, 0, cw, ch, cur.map(v =>
-      if (reversible) math.rint(v).toInt else v.toInt)))
+    out(0) = Array(new SubbandPlan(0, 0, cx0, cy0, cx1, cy1, q(cur)))
     out
   }
 
@@ -512,9 +518,19 @@ object JpxSynth {
         * εb = Rb + gain and cannot absorb the shift without per-component
         * QCC machinery. The decoder is agnostic — its threshold downshift
         * happens on the integer magnitude lane both wavelets share. */
-      roi: Map[Int, (Int, Int, Int, Int)] = Map.empty): Array[Byte] = {
+      roi: Map[Int, (Int, Int, Int, Int)] = Map.empty,
+      /** Reference-grid offsets (round 6): XOsiz/YOsiz image origin and
+        * XTOsiz/YTOsiz tile-partition origin. `w`/`h` stay the ABSOLUTE
+        * right/bottom extents (Xsiz/Ysiz); the image covers [xOff, w) ×
+        * [yOff, h) and plane c spans the offset component grid
+        * [ceil(xOff/XRsiz), ceil(w/XRsiz)). Offsets must be multiples of
+        * XRsiz·2^levels per component so every resolution origin stays
+        * even (the same rule the decoder enforces). */
+      xOff: Int = 0, yOff: Int = 0, xtOff: Int = 0, ytOff: Int = 0): Array[Byte] = {
     require(roi.isEmpty || reversible, "maxshift ROI: reversible streams only")
     require(prog >= 0 && prog <= 4)
+    require(xOff >= 0 && yOff >= 0 && xtOff >= 0 && ytOff >= 0 &&
+      xtOff <= xOff && ytOff <= yOff && xOff < w && yOff < h, "A.5.1 offsets")
     if (precSizes.nonEmpty) {
       require(precSizes.length == levels + 1, "one precinct byte per resolution")
       require((tileW == 0 || tileW >= w) && (tileH == 0 || tileH >= h),
@@ -532,13 +548,22 @@ object JpxSynth {
     val yr = if (yrs.nonEmpty) yrs.toArray else Array.fill(comps)(1)
     require(xr.length == comps && yr.length == comps)
     require(xr.forall(v => v >= 1 && v <= 8) && yr.forall(v => v >= 1 && v <= 8))
-    val cwFull = Array.tabulate(comps)(c => Jpx.ceilDiv(w, xr(c)))
-    val chFull = Array.tabulate(comps)(c => Jpx.ceilDiv(h, yr(c)))
+    // offsets must keep every resolution origin even (per-component rule)
+    (0 until comps).foreach { c =>
+      val mx = xr(c) << levels
+      val my = yr(c) << levels
+      require(xOff % mx == 0 && xtOff % mx == 0 && yOff % my == 0 && ytOff % my == 0,
+        s"offsets must be multiples of XRsiz*2^levels (component $c)")
+    }
+    val compX0 = Array.tabulate(comps)(c => Jpx.ceilDiv(xOff, xr(c)))
+    val compY0 = Array.tabulate(comps)(c => Jpx.ceilDiv(yOff, yr(c)))
+    val cwFull = Array.tabulate(comps)(c => Jpx.ceilDiv(w, xr(c)) - compX0(c))
+    val chFull = Array.tabulate(comps)(c => Jpx.ceilDiv(h, yr(c)) - compY0(c))
     (0 until comps).foreach(c =>
       require(planesIn(c).length == cwFull(c) * chFull(c),
         s"plane $c must be on its component grid"))
-    val xt = if (tileW > 0) tileW else w
-    val yt = if (tileH > 0) tileH else h
+    val xt = if (tileW > 0) tileW else w - xtOff
+    val yt = if (tileH > 0) tileH else h - ytOff
     // DC shift + optional MCT, on component-grid planes
     val shifted = planesIn.map(_.map(_ - (1 << (depth - 1))))
     if (mct == 1) {
@@ -565,8 +590,8 @@ object JpxSynth {
       }
     }
 
-    val numXT = Jpx.ceilDiv(w, xt)
-    val numYT = Jpx.ceilDiv(h, yt)
+    val numXT = Jpx.ceilDiv(w - xtOff, xt)
+    val numYT = Jpx.ceilDiv(h - ytOff, yt)
     val bos = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = bos.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v >>> 8); w8(v) }
@@ -575,7 +600,7 @@ object JpxSynth {
     w16(0xff4f)
     // SIZ
     w16(0xff51); w16(38 + 3 * comps); w16(0)
-    w32(w); w32(h); w32(0); w32(0); w32(xt); w32(yt); w32(0); w32(0)
+    w32(w); w32(h); w32(xOff); w32(yOff); w32(xt); w32(yt); w32(xtOff); w32(ytOff)
     w16(comps)
     for (c <- 0 until comps) { w8(depth - 1); w8(xr(c)); w8(yr(c)) }
     // COD: progression order; Scod bit 0 = custom precincts, bits 1/2
@@ -600,10 +625,10 @@ object JpxSynth {
     val tilePlans = Array.tabulate(numYT * numXT) { ti =>
       val px = ti % numXT
       val py = ti / numXT
-      val tx0 = px * xt
-      val ty0 = py * yt
-      val tx1 = math.min(tx0 + xt, w)
-      val ty1 = math.min(ty0 + yt, h)
+      val tx0 = math.max(xtOff + px * xt, xOff)
+      val ty0 = math.max(ytOff + py * yt, yOff)
+      val tx1 = math.min(xtOff + (px + 1) * xt, w)
+      val ty1 = math.min(ytOff + (py + 1) * yt, h)
       Array.tabulate(comps) { c =>
         // tile-component rect on the component grid (B.3 ceil division)
         val cx0 = Jpx.ceilDiv(tx0, xr(c))
@@ -615,10 +640,11 @@ object JpxSynth {
         val sub = new Array[Int](tw * th)
         var y = 0
         while (y < th) {
-          System.arraycopy(shifted(c), (cy0 + y) * cwFull(c) + cx0, sub, y * tw, tw)
+          System.arraycopy(shifted(c),
+            (cy0 - compY0(c) + y) * cwFull(c) + (cx0 - compX0(c)), sub, y * tw, tw)
           y += 1
         }
-        decompose(sub, tw, th, levels, reversible)
+        decompose(sub, tw, th, levels, reversible, cx0, cy0)
       }
     }
     // ROI (maxshift, Annex H): scale the masked coefficients up by SPrgn so
@@ -632,25 +658,24 @@ object JpxSynth {
       // rectangle on the component's own sample grid
       val rcx0 = rx0 / xr(c); val rcx1 = Jpx.ceilDiv(rx1, xr(c))
       val rcy0 = ry0 / yr(c); val rcy1 = Jpx.ceilDiv(ry1, yr(c))
-      // band-domain mask: coefficient (u,v) at decomposition level nb covers
+      // band-domain mask: coefficient (u,v) — ABSOLUTE band coordinates
+      // since round 6's offset support — at decomposition level nb covers
       // component samples [u<<nb, (u+1)<<nb) widened by the 5/3 support
-      def mask(ti: Int, r: Int, sb: SubbandPlan): Array[Boolean] = {
-        val cx0 = Jpx.ceilDiv(ti % numXT * xt, xr(c))
-        val cy0 = Jpx.ceilDiv(ti / numXT * yt, yr(c))
+      def mask(r: Int, sb: SubbandPlan): Array[Boolean] = {
         val nb = if (r == 0) levels else levels - r + 1
         val pad = 2 << nb
         val bw = sb.x1 - sb.x0
         Array.tabulate(sb.coeffs.length) { i =>
-          val u = i % bw; val v = i / bw
-          val gx0 = cx0 + (u << nb) - pad; val gx1 = cx0 + ((u + 1) << nb) + pad
-          val gy0 = cy0 + (v << nb) - pad; val gy1 = cy0 + ((v + 1) << nb) + pad
+          val u = sb.x0 + i % bw; val v = sb.y0 + i / bw
+          val gx0 = (u << nb) - pad; val gx1 = ((u + 1) << nb) + pad
+          val gy0 = (v << nb) - pad; val gy1 = ((v + 1) << nb) + pad
           gx0 < rcx1 && gx1 > rcx0 && gy0 < rcy1 && gy1 > rcy0
         }
       }
       var maxBg = 0
       var maxRoi = 0
       for (ti <- tilePlans.indices; r <- 0 to levels; sb <- tilePlans(ti)(c)(r)) {
-        val m = mask(ti, r, sb)
+        val m = mask(r, sb)
         var i = 0
         while (i < sb.coeffs.length) {
           val a = math.abs(sb.coeffs(i))
@@ -662,7 +687,7 @@ object JpxSynth {
       require(bits(maxRoi) + sprgn <= 30, "ROI shift would overflow the int lane")
       roiShifts(c) = sprgn
       for (ti <- tilePlans.indices; r <- 0 to levels; sb <- tilePlans(ti)(c)(r)) {
-        val m = mask(ti, r, sb)
+        val m = mask(r, sb)
         var i = 0
         while (i < sb.coeffs.length) {
           if (m(i) && sb.coeffs(i) != 0) {
@@ -714,16 +739,19 @@ object JpxSynth {
       val body = new java.io.ByteArrayOutputStream()
       val tpx = ti % numXT
       val tpy = ti / numXT
-      val ttx0 = tpx * xt; val ttx1 = math.min(ttx0 + xt, w)
-      val tty0 = tpy * yt; val tty1 = math.min(tty0 + yt, h)
+      val ttx0 = math.max(xtOff + tpx * xt, xOff)
+      val tty0 = math.max(ytOff + tpy * yt, yOff)
+      val ttx1 = math.min(xtOff + (tpx + 1) * xt, w)
+      val tty1 = math.min(ytOff + (tpy + 1) * yt, h)
       val plans = Array.tabulate(comps) { c =>
-        val tw = Jpx.ceilDiv(ttx1, xr(c)) - Jpx.ceilDiv(ttx0, xr(c))
-        val th = Jpx.ceilDiv(tty1, yr(c)) - Jpx.ceilDiv(tty0, yr(c))
+        val tcx0 = Jpx.ceilDiv(ttx0, xr(c)); val tcx1 = Jpx.ceilDiv(ttx1, xr(c))
+        val tcy0 = Jpx.ceilDiv(tty0, yr(c)); val tcy1 = Jpx.ceilDiv(tty1, yr(c))
         Array.tabulate(levels + 1) { r =>
+          val sh = levels - r
           planResolution(tilePlans(ti)(c)(r), r, cbExp, expByIdx, sbIndex,
             layers, cocStyles.getOrElse(c, cbStyle),
-            resW = Jpx.ceilDiv(tw, 1 << (levels - r)),
-            resH = Jpx.ceilDiv(th, 1 << (levels - r)),
+            rx0 = Jpx.ceilDiv(tcx0, 1 << sh), ry0 = Jpx.ceilDiv(tcy0, 1 << sh),
+            rx1 = Jpx.ceilDiv(tcx1, 1 << sh), ry1 = Jpx.ceilDiv(tcy1, 1 << sh),
             ppx = ppxOf(r), ppy = ppyOf(r))
         }
       }
@@ -737,9 +765,12 @@ object JpxSynth {
         val plan = plans(c)(r)
         val pi = p % plan.npw
         val pj = p / plan.npw
+        // absolute precinct position clamped to the resolution origin — the
+        // decoder's key verbatim, so both sides sort packets identically
+        val px = math.max(plan.rx0.toLong, ((plan.rx0 >> plan.ppx) + pi).toLong << plan.ppx)
+        val py = math.max(plan.ry0.toLong, ((plan.ry0 >> plan.ppy) + pj).toLong << plan.ppy)
         val shift = levels - r
-        (((pj.toLong << plan.ppy) * yr(c)) << shift,
-          ((pi.toLong << plan.ppx) * xr(c)) << shift)
+        ((py * yr(c)) << shift, (px * xr(c)) << shift)
       }
       val order = prog match {
         case 0 => basePk.sortBy { case (c, r, p, l) => (l, r, c, p) } // LRCP
@@ -805,15 +836,16 @@ object JpxSynth {
       val precs: Array[Array[PrecinctEnc]], // per band, per precinct index
       val blkPrec: Array[Array[Int]], // per band, per block: precinct index
       val numPrec: Int, val npw: Int, val ppx: Int, val ppy: Int,
-      val resW: Int, val resH: Int)
+      val rx0: Int, val ry0: Int) // resolution-grid origin (absolute)
 
   private def planResolution(bands: Array[SubbandPlan], r: Int, cbExp: Int,
       expByIdx: Array[Int], sbIndex: (Int, Int) => Int, layers: Int,
-      cbStyle: Int, resW: Int, resH: Int,
+      cbStyle: Int, rx0: Int, ry0: Int, rx1: Int, ry1: Int,
       ppx: Int = 15, ppy: Int = 15): ResPlan = {
-    // precinct grid of the resolution (origin 0 — single-tile fixtures)
-    val npw = if (resW > 0) Jpx.ceilDiv(resW, 1 << ppx) else 0
-    val nph = if (resH > 0) Jpx.ceilDiv(resH, 1 << ppy) else 0
+    // precinct grid of the resolution (B.6 — anchored at ABSOLUTE 0, so an
+    // offset/multi-tile resolution rect lands mid-grid like the decoder's)
+    val npw = if (rx1 > rx0) Jpx.ceilDiv(rx1, 1 << ppx) - (rx0 >> ppx) else 0
+    val nph = if (ry1 > ry0) Jpx.ceilDiv(ry1, 1 << ppy) - (ry0 >> ppy) else 0
     val numPrec = npw * nph
     val sub = if (r == 0) 0 else 1
     val cbW = 1 << math.min(cbExp, ppx - sub)
@@ -826,21 +858,29 @@ object JpxSynth {
       val bhd = sb.y1 - sb.y0
       if (bwd <= 0 || bhd <= 0) { blkPrec(bi) = Array.empty; (Array.empty[BlkState], 0, 0) }
       else {
-        val nx = Jpx.ceilDiv(bwd, cbW)
-        val ny = Jpx.ceilDiv(bhd, cbH)
+        // code-block grid aligned to absolute multiples of the block size
+        // (B.7) — the decoder's mkBand math verbatim
+        val gx0 = (sb.x0 / cbW) * cbW
+        val gy0 = (sb.y0 / cbH) * cbH
+        val nx = Jpx.ceilDiv(sb.x1 - gx0, cbW)
+        val ny = Jpx.ceilDiv(sb.y1 - gy0, cbH)
+        val pi0 = sb.x0 >> ppxSub
+        val pj0 = sb.y0 >> ppySub
         val mb = Guard + expByIdx(sbIndex(r, sb.kind)) - 1
         blkPrec(bi) = new Array[Int](ny * nx)
         val blocks = Array.tabulate(ny * nx) { idx =>
           val i = idx % nx
           val j = idx / nx
-          val x0 = i * cbW
-          val y0 = j * cbH
-          blkPrec(bi)(idx) =
-            math.max(0, math.min(numPrec - 1, (y0 >> ppySub) * npw + (x0 >> ppxSub)))
-          val x1 = math.min(x0 + cbW, bwd)
-          val y1 = math.min(y0 + cbH, bhd)
-          val bw2 = x1 - x0
-          val bh2 = y1 - y0
+          val bx0 = math.max(sb.x0, gx0 + i * cbW)
+          val by0 = math.max(sb.y0, gy0 + j * cbH)
+          val bx1 = math.min(sb.x1, gx0 + (i + 1) * cbW)
+          val by1 = math.min(sb.y1, gy0 + (j + 1) * cbH)
+          blkPrec(bi)(idx) = math.max(0, math.min(numPrec - 1,
+            ((by0 >> ppySub) - pj0) * npw + ((bx0 >> ppxSub) - pi0)))
+          val x0 = bx0 - sb.x0
+          val y0 = by0 - sb.y0
+          val bw2 = bx1 - bx0
+          val bh2 = by1 - by0
           val vals = new Array[Int](bw2 * bh2)
           var maxMag = 0
           var yy = 0
@@ -902,7 +942,7 @@ object JpxSynth {
       out
     }
     new ResPlan(perBand, precs, blkPrec, numPrec, math.max(1, npw),
-      ppx, ppy, resW, resH)
+      ppx, ppy, rx0, ry0)
   }
 
   /** One packet for (resolution plan, precinct, layer): first-inclusion via

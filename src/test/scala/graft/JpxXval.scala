@@ -30,7 +30,24 @@ object JpxXval {
       ("prec_pcrl", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, cbExp = 4, precSizes = Seq(0x44, 0x44, 0x55), prog = 3), 3),
       ("prec_cprl_l2", JpxSynth.encode(planes, w, h, 8, 2, mct = 1, cbExp = 4, precSizes = Seq(0x44, 0x44, 0x55), prog = 4, layers = 2), 3),
       ("prec_97_rpcl", JpxSynth.encode(gray, w, h, 8, 2, reversible = false, cbExp = 4, precSizes = Seq(0x44, 0x44, 0x55), prog = 2), 1),
-      ("prec_tiny_lrcp", JpxSynth.encode(gray, w, h, 8, 2, cbExp = 5, precSizes = Seq(0x33, 0x33, 0x44), layers = 2), 1))
+      ("prec_tiny_lrcp", JpxSynth.encode(gray, w, h, 8, 2, cbExp = 5, precSizes = Seq(0x33, 0x33, 0x44), layers = 2), 1),
+      // reference-grid offsets (round 6): image [16,64)×[8,48) on a 64×48
+      // extent — visible 48×40; offsets are multiples of 2^levels so the
+      // vendored transform's fixed-parity interleave stays correct and the
+      // comparison is meaningful (it mis-decodes odd origins)
+      ("off_gray", JpxSynth.encode(gray, w + 16, h + 8, 8, 2, xOff = 16, yOff = 8), 1),
+      ("off_rgb_rct", JpxSynth.encode(planes, w + 16, h + 8, 8, 2, mct = 1, xOff = 16, yOff = 8), 3),
+      ("off_97", JpxSynth.encode(gray, w + 16, h + 8, 8, 2, reversible = false, xOff = 16, yOff = 8), 1),
+      ("off_tileorigin", JpxSynth.encode(gray, w + 16, h + 8, 8, 2, xOff = 16, yOff = 8, xtOff = 8, ytOff = 4), 1),
+      // offsets + custom precincts, band origins PRECINCT-ALIGNED at every
+      // level (xOff 64 → band origins 16/32 vs subband precinct sizes
+      // 16/8/16): the only offsets+precincts class the vendored decoder can
+      // arbitrate — its codeblock→precinct mapping anchors at the BAND
+      // origin (pdf.combined.js:11209-11212) where T.800 B.6's partition is
+      // absolute, so unaligned band origins desync it (1873/1920 samples
+      // when tried); the unaligned class is pinned by JpxSpec round-trips
+      ("off_prec", JpxSynth.encode(gray, w + 64, h + 64, 8, 2, cbExp = 4,
+        precSizes = Seq(0x44, 0x44, 0x55), xOff = 64, yOff = 64), 1))
     for ((name, cs, comps) <- cases) {
       java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/xval_$name.j2k"), cs)
       val d = Jpx.decode(cs).getOrElse(sys.error(s"our decoder rejected $name"))

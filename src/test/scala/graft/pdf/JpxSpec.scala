@@ -54,6 +54,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * the default single whole-subband precinct the five progressions reduce
   * to the loop nestings l(r(c)), r(l(c)), r(c(l)), c(r(l)), c(r(l))).
   *
+  * Round 6 also adds FIVE REFERENCE-GRID-OFFSET classes (XOsiz/YOsiz and
+  * XTOsiz/YTOsiz nonzero, all multiples of 2^levels): gray, RGB+RCT, 9/7,
+  * a clipped tile-partition origin below the image origin, and
+  * offsets+custom-precincts with band origins precinct-ALIGNED — all at
+  * 0 mismatched samples. The UNALIGNED offsets+precincts class cannot be
+  * arbitrated there: the vendored codeblock→precinct mapping anchors at
+  * the band origin (pdf.combined.js:11209-11212) where T.800 B.6's
+  * partition is absolute (and its cbyMin update writes cbxMin, 11229), so
+  * it desyncs (1873/1920 samples when tried); that class is gated by the
+  * bit-exact round-trips below.
+  *
   * Maxshift ROI (RGN) CANNOT be cross-validated there — the vendored
   * decoder throws 'Unknown codestream code' on 0xFF5E
   * (pdf.combined.js:11054-11056), so the ROI lane is beyond-parity; its
@@ -481,9 +492,13 @@ class JpxSpec extends AnyFunSuite {
     assert(dMt.isDefined)
     for (c <- 0 until 3)
       assert(dMt.get.planes(c).toSeq == planes2(c).toSeq, s"mt comp $c")
-    // misaligned tile size (36 % (2<<2) != 0 for the chroma comps): reject
-    val csBad = JpxSynth.encode(planes2, w2, h2, 8, 2, cbExp = 3,
-      tileW = 36, tileH = 64, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2))
+    // misaligned tile size (36 % (2<<2) != 0 for the chroma comps): reject.
+    // The encoder refuses to author odd-parity tiles since round 6's
+    // absolute anchoring, so forge the SIZ XTsiz field on the good stream
+    val csBad = csMt.clone()
+    val sizAt = findMarker(csBad, 0xff51)
+    csBad(sizAt + 22) = 0; csBad(sizAt + 23) = 0
+    csBad(sizAt + 24) = 0; csBad(sizAt + 25) = 36
     assert(Jpx.decode(csBad).isEmpty, "misaligned multi-tile must reject")
   }
 
@@ -697,6 +712,70 @@ class JpxSpec extends AnyFunSuite {
     assert(Jpx.decode(badStyle).isEmpty)
     val badShift = cs.clone(); badShift(at + 6) = 40 // SPrgn > 31: int lane
     assert(Jpx.decode(badShift).isEmpty)
+  }
+
+  test("reference-grid offsets round-trip (XOsiz/YOsiz/XTOsiz/YTOsiz)") {
+    // image [16,80)×[8,56) on the reference grid — 64×48 visible; offsets
+    // are multiples of 2^levels so every resolution origin stays even
+    val (x1, y1, xo, yo) = (80, 56, 16, 8)
+    val px = JpxSynth.testGray(x1 - xo, y1 - yo, 3)
+    val cs = JpxSynth.encode(Array(px), x1, y1, 8, 2, xOff = xo, yOff = yo)
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    assert((out.get.w, out.get.h) == ((64, 48)))
+    assert(out.get.planes(0).toSeq == px.toSeq)
+    // tile-partition origin below the image origin: first tile clipped
+    val csT = JpxSynth.encode(Array(px), x1, y1, 8, 2, cbExp = 4,
+      tileW = 64, tileH = 64, xOff = xo, yOff = yo, xtOff = 8, ytOff = 8)
+    val outT = Jpx.decode(csT)
+    assert(outT.isDefined, "tile offsets")
+    assert(outT.get.planes(0).toSeq == px.toSeq, "tile offsets")
+    // subsampled chroma on the offset grid (XRsiz·2^levels = 8 divides 16/8)
+    val cw = (x1 - xo) / 2; val ch = (y1 - yo) / 2
+    val sub = Array(px, JpxSynth.testGray(cw, ch, 5), JpxSynth.testGray(cw, ch, 9))
+    val csS = JpxSynth.encode(sub, x1, y1, 8, 2, xrs = Seq(1, 2, 2),
+      yrs = Seq(1, 2, 2), xOff = xo, yOff = 8)
+    val dS = Jpx.decodeComponents(csS)
+    assert(dS.isDefined, "subsampled offsets")
+    for (c <- 0 until 3)
+      assert(dS.get.planes(c).toSeq == sub(c).toSeq, s"subsampled offsets c$c")
+    // RGB + RCT + maxshift ROI, all on the offset grid
+    val rgb = Array(px, JpxSynth.testGray(64, 48, 4), JpxSynth.testGray(64, 48, 7))
+    val csR = JpxSynth.encode(rgb, x1, y1, 8, 2, mct = 1, xOff = xo, yOff = yo,
+      roi = Map(0 -> ((32, 20, 64, 44))))
+    val dR = Jpx.decode(csR)
+    assert(dR.isDefined, "rct+roi offsets")
+    for (c <- 0 until 3)
+      assert(dR.get.planes(c).toSeq == rgb(c).toSeq, s"rct+roi offsets c$c")
+    // offsets + custom precincts with band origins MID-precinct: T.800 B.6
+    // anchors the partition absolutely (a resolution precinct maps into a
+    // band by exact halving), which our encoder and decoder share; the
+    // vendored decoder instead anchors at the band origin
+    // (pdf.combined.js:11209-11212 subtracts subband.tbx0 — plus the
+    // cbyMin branch typo at 11229 that writes cbxMin) and desyncs on this
+    // class (1873/1920 samples), so the gate here is the bit-exact
+    // round-trip, with the ALIGNED class cross-validated in JpxXval
+    for (prog <- Seq(0, 2)) {
+      val csP = JpxSynth.encode(Array(px), x1, y1, 8, 2, cbExp = 4,
+        precSizes = Seq(0x44, 0x44, 0x55), xOff = xo, yOff = yo, prog = prog)
+      val dP = Jpx.decode(csP)
+      assert(dP.isDefined, s"prec offsets prog=$prog")
+      assert(dP.get.planes(0).toSeq == px.toSeq, s"prec offsets prog=$prog")
+    }
+  }
+
+  test("offsets that break resolution-origin parity reject (and A.5.1 order)") {
+    val (w, h) = (38, 30)
+    val cs = JpxSynth.encode(Array(JpxSynth.testGray(w - 6, h - 6, 3)),
+      w, h, 8, 1, xOff = 6, yOff = 6) // multiple of 2^1, legal at levels=1
+    assert(Jpx.decode(cs).isDefined)
+    val siz = findMarker(cs, 0xff51)
+    // levels=1 needs multiples of 2: XOsiz 7 breaks parity → None
+    val bad = cs.clone(); bad(siz + 2 + 13) = 7
+    assert(Jpx.decode(bad).isEmpty)
+    // XTOsiz > XOsiz violates A.5.1 → None
+    val bad2 = cs.clone(); bad2(siz + 2 + 29) = 8
+    assert(Jpx.decode(bad2).isEmpty)
   }
 
   test("ROI PDF decodes through the full raster lane") {
