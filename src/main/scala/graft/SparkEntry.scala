@@ -410,7 +410,13 @@ object SparkEntry {
         // must equal the unstyled gray rows' (the reference's vendored
         // decoder throws on RGN; this is a beyond-parity lane)
         ("synthetic/jpxroi.pdf",
-          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, roi = true))))
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, roi = true)),
+        // odd reference-grid offsets (XOsiz 5 / YOsiz 3): the parity-general
+        // wavelet (round 6) — lossless, so the pinned mean again equals the
+        // unstyled gray rows' (the vendored decoder's transform is
+        // parity-blind and would mis-decode this stream)
+        ("synthetic/jpxoff.pdf",
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, offsets = true))))
       s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
         .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
         .select(col("path"), col("content"))
@@ -1036,6 +1042,7 @@ object SparkEntry {
         | ('jpxprec', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpxstyles', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpxroi', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
+        | ('jpxoff', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('test24', 0, 'Im1', 353, 274, 8, 'DeviceRGB', 'DCTDecode', 353, 274, 3, 204),
         | ('test24', 4, 'Im2', 497, 345, 8, 'DeviceRGB', 'DCTDecode', 497, 345, 3, 242),
         | ('test24', 4, 'Im3', 496, 291, 8, 'DeviceRGB', 'DCTDecode', 496, 291, 3, 238),

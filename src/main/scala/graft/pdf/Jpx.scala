@@ -40,9 +40,10 @@ package graft.pdf
   * (T.800 B.2/B.3 ceil-divided coordinates, through resolutions, code-block
   * grids and the wavelet) and the decoded planes are replicated up to the
   * reference grid for the caller. MCT requires identical subsampling on
-  * components 0-2 (the spec's own constraint); multi-tile subsampled
-  * streams additionally need tile sizes divisible by XRsiz·2^levels so
-  * every component-grid resolution origin stays even.
+  * components 0-2 (the spec's own constraint). Tile grids need no
+  * alignment: the wavelet is parity-general (round 6), so odd resolution
+  * origins — from any tile size, offset or subsampling combination —
+  * synthesize correctly.
   *
   * ROI (RGN marker, round 6) decodes by the maxshift method — the only
   * style T.800 defines (Srgn 0, Annex H): per-component SPrgn from the
@@ -52,24 +53,26 @@ package graft.pdf
   * never needs the encoder's ROI mask, the magnitude threshold separates
   * the two populations by construction).
   *
-  * Reference-grid offsets (XOsiz/YOsiz/XTOsiz/YTOsiz, round 6) decode when
-  * each is a multiple of XRsiz·2^levels per component — the class where
-  * every resolution origin stays even, matching the fixed-parity wavelet
-  * interleave (the same rule multi-tile sizes follow). The geometry is
-  * anchored ABSOLUTELY throughout per the spec: code-block grids at
-  * multiples of the block size (B.7), precinct partitions at multiples of
-  * 2^PPx on each resolution (B.6) — where the vendored reference anchors
-  * the codeblock→precinct mapping at the band origin instead
+  * Reference-grid offsets (XOsiz/YOsiz/XTOsiz/YTOsiz, round 6) decode at
+  * ANY value meeting A.5.1's ordering: the F.3.3 interleave places
+  * low-pass samples at absolute even indices and each lifting line carries
+  * its origin parity (with the degenerate single-sample halving rule), so
+  * odd resolution origins are first-class. The geometry is anchored
+  * ABSOLUTELY throughout per the spec: code-block grids at multiples of
+  * the block size (B.7), precinct partitions at multiples of 2^PPx on each
+  * resolution (B.6) — where the vendored reference anchors the
+  * codeblock→precinct mapping at the band origin instead
   * (pdf.combined.js:11209-11212), desyncing on offset streams whose band
-  * origins land mid-precinct.
+  * origins land mid-precinct (and its transform is parity-blind,
+  * 12665-12684, so odd-origin classes are gated by hand-computed spec
+  * fixtures and bit-exact round-trips rather than cross-validation).
   *
-  * Scope (disclosed): subsampling factors above 8, offsets off the
-  * XRsiz·2^levels grid (odd-parity origins), RGN styles other than
+  * Scope (disclosed): subsampling factors above 8, RGN styles other than
   * maxshift (none are defined), SPrgn above 31, POC (packet reorder) and
   * PPM (relocated packet headers) return None — the caller keeps the
   * metadata-only row; all six code-block style bits (which the reference
-  * errors on), custom precincts, maxshift ROI and even-parity grid
-  * offsets are SUPPORTED. The reference wires its own vendored decoder
+  * errors on), custom precincts, maxshift ROI and arbitrary grid
+  * offsets/tile grids are SUPPORTED. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
   * cross-validated against that decoder on encoder-generated fixtures.
@@ -89,7 +92,9 @@ object Jpx {
     * per-component tiles; `decode` replicates them to the reference grid. */
   private[graft] final case class CompDecoded(w: Int, h: Int, comps: Int,
       bitDepth: Int, xr: Array[Int], yr: Array[Int],
-      cw: Array[Int], ch: Array[Int], planes: Array[Array[Int]])
+      cw: Array[Int], ch: Array[Int], planes: Array[Array[Int]],
+      /** reference-grid image origin (XOsiz/YOsiz) — 0,0 for most streams */
+      x0: Int = 0, y0: Int = 0)
 
   // ── MQ contexts (T.800 C.2.3 / Table C-3 initial index assignments):
   // 19 contexts — ZC 0-8, SC 9-13, MR 14-16, RL 17, UNIFORM 18 ─────────────
@@ -528,20 +533,29 @@ object Jpx {
 
   /** In-place inverse 5/3 lifting over one line of interleaved coefficients
     * (even = low-pass, odd = high-pass), symmetric extension. */
-  private def inv53Line(x: Array[Double], n: Int): Unit = {
-    if (n == 1) return
+  /** In-place inverse 5/3 lifting (F.3.8.2.1) over a line whose ABSOLUTE
+    * origin has parity `p` (0 = starts on a low-pass sample, 1 = high-pass
+    * first — round 6's odd-origin support). The F.3.7 whole-sample
+    * symmetric extension reflects about the interval endpoints regardless
+    * of parity; a single sample at an odd index halves (the degenerate
+    * rule every conformant decoder shares). */
+  private def inv53Line(x: Array[Double], n: Int, p: Int = 0): Unit = {
+    if (n == 1) {
+      if (p == 1) x(0) = x(0) / 2
+      return
+    }
     def at(i: Int): Double = {
       // whole-sample symmetric extension
       val j = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
       x(j)
     }
-    // x[2n] -= floor((x[2n-1] + x[2n+1] + 2) / 4)
-    var i = 0
+    // x[2n] -= floor((x[2n-1] + x[2n+1] + 2) / 4) — 2n ABSOLUTE even
+    var i = p
     while (i < n) {
       x(i) = x(i) - math.floor((at(i - 1) + at(i + 1) + 2) / 4)
       i += 2
     }
-    i = 1
+    i = 1 - p
     while (i < n) {
       x(i) = x(i) + math.floor((at(i - 1) + at(i + 1)) / 2)
       i += 2
@@ -556,55 +570,67 @@ object Jpx {
   private[graft] final val D97 = 0.443506852043971
   private[graft] final val K97 = 1.230174104914001
 
-  /** In-place inverse 9/7 lifting (F.4.8.2), symmetric extension. */
-  private def inv97Line(x: Array[Double], n: Int): Unit = {
-    if (n == 1) return
+  /** In-place inverse 9/7 lifting (F.4.8.2), symmetric extension; `p` is
+    * the line's absolute origin parity, as in inv53Line. */
+  private def inv97Line(x: Array[Double], n: Int, p: Int = 0): Unit = {
+    if (n == 1) {
+      if (p == 1) x(0) *= 0.5
+      return
+    }
     def at(i: Int): Double = {
       val j = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
       x(j)
     }
-    var i = 0
+    var i = p
     while (i < n) { x(i) *= K97; i += 2 }
-    i = 1
+    i = 1 - p
     while (i < n) { x(i) /= K97; i += 2 }
-    i = 0
+    i = p
     while (i < n) { x(i) -= D97 * (at(i - 1) + at(i + 1)); i += 2 }
-    i = 1
+    i = 1 - p
     while (i < n) { x(i) -= G97 * (at(i - 1) + at(i + 1)); i += 2 }
-    i = 0
+    i = p
     while (i < n) { x(i) -= B97 * (at(i - 1) + at(i + 1)); i += 2 }
-    i = 1
+    i = 1 - p
     while (i < n) { x(i) -= A97 * (at(i - 1) + at(i + 1)); i += 2 }
   }
 
   /** One inverse 2D composition step (F.3.2 2D_SR): `ll` is the lower
     * resolution (w0×h0); hl/lh/hh the detail subbands. u0/v0/u1/v1 are the
-    * composed-grid coordinates at this level. The subset enforces EVEN
-    * origins upstream (tile origin 0 and tile sizes a multiple of 2^levels),
-    * so the even/odd interleave roles are fixed: even = low-pass. */
+    * composed-grid coordinates at this level — ARBITRARY parity since
+    * round 6: the F.3.3 interleave places low-pass samples at absolute
+    * even indices (a column is low-pass iff u0+x is even), and the lifting
+    * lines carry their origin parity. */
   private[graft] def inverse2D(reversible: Boolean,
       ll: Array[Double], hl: Array[Double], lh: Array[Double], hh: Array[Double],
       u0: Int, u1: Int, v0: Int, v1: Int): Array[Double] = {
-    require((u0 & 1) == 0 && (v0 & 1) == 0, "odd origin outside subset")
     val w = u1 - u0
     val h = v1 - v0
     val w0 = ceilDiv2(u1) - ceilDiv2(u0) // low-pass columns
     val h0 = ceilDiv2(v1) - ceilDiv2(v0)
     val wH = w - w0
     val hH = h - h0
+    val px = u0 & 1
+    val py = v0 & 1
     val a = new Array[Double](w * h)
-    // 2D interleave (F.3.3): even indices take low-pass samples
+    // 2D interleave (F.3.3): ABSOLUTE even indices take low-pass samples;
+    // low column for even au is au/2 − ceil(u0/2), high column for odd au
+    // is (au−1)/2 − floor(u0/2) (B.5's band coordinates)
     var y = 0
     while (y < h) {
+      val av = v0 + y
+      val rL = (av >> 1) - ((v0 + 1) >> 1)
+      val rH = ((av - 1) >> 1) - (v0 >> 1)
       var x = 0
       while (x < w) {
-        val cL = x >> 1
-        val rL = y >> 1
+        val au = u0 + x
+        val cL = (au >> 1) - ((u0 + 1) >> 1)
+        val cH = ((au - 1) >> 1) - (u0 >> 1)
         val v =
-          if ((y & 1) == 0 && (x & 1) == 0) ll(rL * w0 + cL)
-          else if ((y & 1) == 0) { if (wH > 0) hl(rL * wH + cL) else 0.0 }
-          else if ((x & 1) == 0) { if (hH > 0) lh(rL * w0 + cL) else 0.0 }
-          else { if (wH > 0 && hH > 0) hh(rL * wH + cL) else 0.0 }
+          if ((av & 1) == 0 && (au & 1) == 0) ll(rL * w0 + cL)
+          else if ((av & 1) == 0) { if (wH > 0) hl(rL * wH + cH) else 0.0 }
+          else if ((au & 1) == 0) { if (hH > 0) lh(rH * w0 + cL) else 0.0 }
+          else { if (wH > 0 && hH > 0) hh(rH * wH + cH) else 0.0 }
         a(y * w + x) = v
         x += 1
       }
@@ -615,7 +641,7 @@ object Jpx {
     y = 0
     while (y < h) {
       System.arraycopy(a, y * w, line, 0, w)
-      if (reversible) inv53Line(line, w) else inv97Line(line, w)
+      if (reversible) inv53Line(line, w, px) else inv97Line(line, w, px)
       System.arraycopy(line, 0, a, y * w, w)
       y += 1
     }
@@ -623,7 +649,7 @@ object Jpx {
     while (x < w) {
       var yy = 0
       while (yy < h) { line(yy) = a(yy * w + x); yy += 1 }
-      if (reversible) inv53Line(line, h) else inv97Line(line, h)
+      if (reversible) inv53Line(line, h, py) else inv97Line(line, h, py)
       yy = 0
       while (yy < h) { a(yy * w + x) = line(yy); yy += 1 }
       x += 1
@@ -708,8 +734,11 @@ object Jpx {
     catch { case scala.util.control.NonFatal(_) => None }
 
   /** Replicate component-grid planes up to the reference grid: image pixel
-    * (x, y) takes component sample (x / XRsiz, y / YRsiz) — the standard
-    * nearest-sample expansion for subsampled chroma. */
+    * (x, y) at absolute reference position (x0+x, y0+y) takes component
+    * sample floor((x0+x)/XRsiz) — the standard nearest-sample expansion —
+    * clamped to the component grid (whose origin ceil(x0/XRsiz) can sit one
+    * sample past the floor-mapped position when x0 is off the sampling
+    * grid). */
   private def upsample(cd: CompDecoded): Decoded = {
     val planes = Array.tabulate(cd.comps) { c =>
       if (cd.xr(c) == 1 && cd.yr(c) == 1) cd.planes(c)
@@ -717,12 +746,20 @@ object Jpx {
         val out = new Array[Int](cd.w * cd.h)
         val src = cd.planes(c)
         val cw = cd.cw(c)
+        val ch = cd.ch(c)
+        val cx0 = ceilDiv(cd.x0, cd.xr(c))
+        val cy0 = ceilDiv(cd.y0, cd.yr(c))
         var y = 0
         while (y < cd.h) {
-          val srow = (y / cd.yr(c)) * cw
+          val sy = math.min(ch - 1, math.max(0, (cd.y0 + y) / cd.yr(c) - cy0))
+          val srow = sy * cw
           val drow = y * cd.w
           var x = 0
-          while (x < cd.w) { out(drow + x) = src(srow + x / cd.xr(c)); x += 1 }
+          while (x < cd.w) {
+            val sx = math.min(cw - 1, math.max(0, (cd.x0 + x) / cd.xr(c) - cx0))
+            out(drow + x) = src(srow + sx)
+            x += 1
+          }
           y += 1
         }
         out
@@ -955,46 +992,28 @@ object Jpx {
       }
     }
     if (siz == null || cod == null || qcd == null || tileParts.isEmpty) return None
-    // Grid offsets (round 6): XOsiz/YOsiz/XTOsiz/YTOsiz are accepted when
-    // they are multiples of XRsiz·2^levels per component — with the same
-    // rule on tile sizes below, every component-grid tile origin (hence
-    // every resolution origin) stays EVEN, the fixed interleave parity
-    // inverse2D assumes. General odd origins remain out of subset — the
-    // reference's vendored transform mis-decodes them too (its interleave
-    // is parity-blind outside the width-1 halving special case,
-    // pdf.combined.js:12665-12684), so even-preserving offsets are exactly
-    // the cross-validatable class.
+    // Grid offsets (round 6): XOsiz/YOsiz/XTOsiz/YTOsiz decode at ANY value
+    // meeting A.5.1's ordering — the wavelet carries each line's absolute
+    // origin parity (F.3.3 interleave + F.3.8 lifting phase), so odd
+    // resolution origins are first-class. Note the reference's vendored
+    // transform mis-decodes odd origins (its interleave is parity-blind
+    // outside the width-1 halving special case, pdf.combined.js:12665-12684);
+    // even-preserving offsets are cross-validated against it, odd-parity
+    // classes against hand-computed spec fixtures + round-trips.
     if (siz.x0 < 0 || siz.y0 < 0 || siz.xto < 0 || siz.yto < 0 ||
       siz.xto > siz.x0 || siz.yto > siz.y0) return None // A.5.1 ordering
-    if (siz.x0 != 0 || siz.y0 != 0 || siz.xto != 0 || siz.yto != 0) {
-      var c = 0
-      while (c < siz.comps) {
-        val lv = codPerComp.getOrElse(c, cod).levels
-        val mx = siz.xr(c) << lv
-        val my = siz.yr(c) << lv
-        if (siz.x0 % mx != 0 || siz.xto % mx != 0 ||
-          siz.y0 % my != 0 || siz.yto % my != 0) return None
-        c += 1
-      }
-    }
     // MCT mixes components sample-for-sample: the spec only permits it when
     // components 0-2 share a sampling grid
     if (cod.mct == 1 && siz.comps >= 3 &&
       (1 until 3).exists(c => siz.xr(c) != siz.xr(0) || siz.yr(c) != siz.yr(0)))
       return None
 
+    // multi-tile grids need no alignment since round 6's parity-general
+    // wavelet: each tile-component's resolution origins carry their own
+    // parity through the synthesis
     val numXTiles = ceilDiv(siz.w - siz.xto, siz.xt)
     val numYTiles = ceilDiv(siz.h - siz.yto, siz.yt)
     if (numXTiles < 1 || numYTiles < 1 || numXTiles.toLong * numYTiles > 65535) return None
-    if (numXTiles > 1 || numYTiles > 1) {
-      var c = 0
-      while (c < siz.comps) {
-        val lv = codPerComp.getOrElse(c, cod).levels
-        if (siz.xt % (siz.xr(c) << lv) != 0 || siz.yt % (siz.yr(c) << lv) != 0)
-          return None
-        c += 1
-      }
-    }
 
     val imgW = siz.w - siz.x0
     val imgH = siz.h - siz.y0
@@ -1044,7 +1063,7 @@ object Jpx {
       ti += 1
     }
     Some(CompDecoded(imgW, imgH, siz.comps, siz.depth(0), siz.xr, siz.yr,
-      compW, compH, planes))
+      compW, compH, planes, siz.x0, siz.y0))
   }
 
   /** Decode one tile from its concatenated tile-part data. Returns per-

@@ -15,52 +15,65 @@ object JpxSynth {
 
   // ── forward wavelets (the exact inverses of Jpx's synthesis lifting) ─────
 
-  private def fwd53Line(x: Array[Double], n: Int): Unit = {
-    if (n == 1) return
+  /** Forward 5/3 lifting (F.4.8.2.1) over a line whose ABSOLUTE origin has
+    * parity `p` — the mirror of Jpx.inv53Line; a single sample at an odd
+    * index doubles (so the decoder's halving rule round-trips exactly). */
+  private def fwd53Line(x: Array[Double], n: Int, p: Int = 0): Unit = {
+    if (n == 1) {
+      if (p == 1) x(0) = x(0) * 2
+      return
+    }
     def at(i: Int): Double = {
       val j = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
       x(j)
     }
-    var i = 1
+    var i = 1 - p
     while (i < n) { x(i) = x(i) - math.floor((at(i - 1) + at(i + 1)) / 2); i += 2 }
-    i = 0
+    i = p
     while (i < n) { x(i) = x(i) + math.floor((at(i - 1) + at(i + 1) + 2) / 4); i += 2 }
   }
 
   import Jpx.{A97, B97, G97, D97, K97}
 
-  private def fwd97Line(x: Array[Double], n: Int): Unit = {
-    if (n == 1) return
+  private def fwd97Line(x: Array[Double], n: Int, p: Int = 0): Unit = {
+    if (n == 1) {
+      if (p == 1) x(0) = x(0) * 2
+      return
+    }
     def at(i: Int): Double = {
       val j = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
       x(j)
     }
-    var i = 1
+    var i = 1 - p
     while (i < n) { x(i) += A97 * (at(i - 1) + at(i + 1)); i += 2 }
-    i = 0
+    i = p
     while (i < n) { x(i) += B97 * (at(i - 1) + at(i + 1)); i += 2 }
-    i = 1
+    i = 1 - p
     while (i < n) { x(i) += G97 * (at(i - 1) + at(i + 1)); i += 2 }
-    i = 0
+    i = p
     while (i < n) { x(i) += D97 * (at(i - 1) + at(i + 1)); i += 2 }
-    i = 0
+    i = p
     while (i < n) { x(i) /= K97; i += 2 }
-    i = 1
+    i = 1 - p
     while (i < n) { x(i) *= K97; i += 2 }
   }
 
-  /** One forward 2D decomposition of a w×h grid (even origin): returns
-    * (ll, hl, lh, hh) with the B.5 subband dimensions. Columns are analyzed
-    * first, then rows — the mirror of Jpx.inverse2D's row-then-column
-    * synthesis. */
+  /** One forward 2D decomposition of a w×h grid whose ABSOLUTE origin is
+    * (u0, v0) — any parity since round 6: returns (ll, hl, lh, hh) with the
+    * B.5 subband dimensions (low-pass samples sit at absolute even
+    * indices). Columns are analyzed first, then rows — the mirror of
+    * Jpx.inverse2D's row-then-column synthesis. */
   private[graft] def forward2D(reversible: Boolean, a: Array[Double],
-      w: Int, h: Int): (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+      w: Int, h: Int, u0: Int = 0, v0: Int = 0):
+      (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val px = u0 & 1
+    val py = v0 & 1
     val line = new Array[Double](math.max(w, h))
     var x = 0
     while (x < w) {
       var y = 0
       while (y < h) { line(y) = a(y * w + x); y += 1 }
-      if (reversible) fwd53Line(line, h) else fwd97Line(line, h)
+      if (reversible) fwd53Line(line, h, py) else fwd97Line(line, h, py)
       y = 0
       while (y < h) { a(y * w + x) = line(y); y += 1 }
       x += 1
@@ -68,12 +81,12 @@ object JpxSynth {
     var y = 0
     while (y < h) {
       System.arraycopy(a, y * w, line, 0, w)
-      if (reversible) fwd53Line(line, w) else fwd97Line(line, w)
+      if (reversible) fwd53Line(line, w, px) else fwd97Line(line, w, px)
       System.arraycopy(line, 0, a, y * w, w)
       y += 1
     }
-    val w0 = (w + 1) / 2
-    val h0 = (h + 1) / 2
+    val w0 = (w + 1 - px) / 2 // low-pass columns: absolute-even positions
+    val h0 = (h + 1 - py) / 2
     val wH = w - w0
     val hH = h - h0
     val ll = new Array[Double](w0 * h0)
@@ -82,13 +95,19 @@ object JpxSynth {
     val hh = new Array[Double](wH * hH)
     y = 0
     while (y < h) {
+      val av = v0 + y
+      val rL = (av >> 1) - ((v0 + 1) >> 1)
+      val rH = ((av - 1) >> 1) - (v0 >> 1)
       var xx = 0
       while (xx < w) {
+        val au = u0 + xx
+        val cL = (au >> 1) - ((u0 + 1) >> 1)
+        val cH = ((au - 1) >> 1) - (u0 >> 1)
         val v = a(y * w + xx)
-        if ((y & 1) == 0 && (xx & 1) == 0) ll((y >> 1) * w0 + (xx >> 1)) = v
-        else if ((y & 1) == 0) hl((y >> 1) * wH + (xx >> 1)) = v
-        else if ((xx & 1) == 0) lh((y >> 1) * w0 + (xx >> 1)) = v
-        else hh((y >> 1) * wH + (xx >> 1)) = v
+        if ((av & 1) == 0 && (au & 1) == 0) ll(rL * w0 + cL) = v
+        else if ((av & 1) == 0) hl(rL * wH + cH) = v
+        else if ((au & 1) == 0) lh(rH * w0 + cL) = v
+        else hh(rH * wH + cH) = v
         xx += 1
       }
       y += 1
@@ -448,8 +467,8 @@ object JpxSynth {
   /** Decompose one tile-component. `ax0`/`ay0` anchor the plane on the
     * component grid ABSOLUTELY (B.5 band coordinates flow into every
     * SubbandPlan), so code-block/precinct partitions downstream anchor at
-    * the true multiples the decoder uses. Origins must stay even through
-    * every level — the fixed-parity forward2D's subset. */
+    * the true multiples the decoder uses; origins of any parity since the
+    * wavelet carries the F.3.3 interleave phase. */
   private def decompose(plane: Array[Int], w: Int, h: Int, levels: Int,
       reversible: Boolean, ax0: Int = 0, ay0: Int = 0): Array[Array[SubbandPlan]] = {
     var cur = plane.map(_.toDouble)
@@ -464,8 +483,7 @@ object JpxSynth {
     }
     var lev = levels
     while (lev >= 1) {
-      require((cx0 & 1) == 0 && (cy0 & 1) == 0, "odd origin outside subset")
-      val (ll, hl, lh, hh) = forward2D(reversible, cur, cx1 - cx0, cy1 - cy0)
+      val (ll, hl, lh, hh) = forward2D(reversible, cur, cx1 - cx0, cy1 - cy0, cx0, cy0)
       // low half covers [ceil(x0/2), ceil(x1/2)); high [floor(x0/2), floor(x1/2))
       val lx0 = (cx0 + 1) >> 1; val lx1 = (cx1 + 1) >> 1
       val ly0 = (cy0 + 1) >> 1; val ly1 = (cy1 + 1) >> 1
@@ -520,12 +538,11 @@ object JpxSynth {
         * happens on the integer magnitude lane both wavelets share. */
       roi: Map[Int, (Int, Int, Int, Int)] = Map.empty,
       /** Reference-grid offsets (round 6): XOsiz/YOsiz image origin and
-        * XTOsiz/YTOsiz tile-partition origin. `w`/`h` stay the ABSOLUTE
-        * right/bottom extents (Xsiz/Ysiz); the image covers [xOff, w) ×
-        * [yOff, h) and plane c spans the offset component grid
-        * [ceil(xOff/XRsiz), ceil(w/XRsiz)). Offsets must be multiples of
-        * XRsiz·2^levels per component so every resolution origin stays
-        * even (the same rule the decoder enforces). */
+        * XTOsiz/YTOsiz tile-partition origin — ANY value meeting A.5.1's
+        * ordering (the wavelet carries each line's absolute origin parity).
+        * `w`/`h` stay the ABSOLUTE right/bottom extents (Xsiz/Ysiz); the
+        * image covers [xOff, w) × [yOff, h) and plane c spans the offset
+        * component grid [ceil(xOff/XRsiz), ceil(w/XRsiz)). */
       xOff: Int = 0, yOff: Int = 0, xtOff: Int = 0, ytOff: Int = 0): Array[Byte] = {
     require(roi.isEmpty || reversible, "maxshift ROI: reversible streams only")
     require(prog >= 0 && prog <= 4)
@@ -548,13 +565,6 @@ object JpxSynth {
     val yr = if (yrs.nonEmpty) yrs.toArray else Array.fill(comps)(1)
     require(xr.length == comps && yr.length == comps)
     require(xr.forall(v => v >= 1 && v <= 8) && yr.forall(v => v >= 1 && v <= 8))
-    // offsets must keep every resolution origin even (per-component rule)
-    (0 until comps).foreach { c =>
-      val mx = xr(c) << levels
-      val my = yr(c) << levels
-      require(xOff % mx == 0 && xtOff % mx == 0 && yOff % my == 0 && ytOff % my == 0,
-        s"offsets must be multiples of XRsiz*2^levels (component $c)")
-    }
     val compX0 = Array.tabulate(comps)(c => Jpx.ceilDiv(xOff, xr(c)))
     val compY0 = Array.tabulate(comps)(c => Jpx.ceilDiv(yOff, yr(c)))
     val cwFull = Array.tabulate(comps)(c => Jpx.ceilDiv(w, xr(c)) - compX0(c))
@@ -1134,7 +1144,10 @@ object JpxSynth {
         * segmentation symbols) over two layers — multi-segment packets. */
       styles: Boolean = false,
       /** Maxshift ROI (RGN marker) over the image's central rectangle. */
-      roi: Boolean = false): Array[Byte] = {
+      roi: Boolean = false,
+      /** Odd reference-grid offsets (XOsiz 5, YOsiz 3): the w×h visible
+        * image sits at an odd origin, driving the parity-general wavelet. */
+      offsets: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val planes =
       if (sub420) {
@@ -1150,14 +1163,15 @@ object JpxSynth {
       if (roi) (0 until planes.length).map(c =>
         c -> ((w / 4, h / 4, 3 * w / 4, 3 * h / 4))).toMap
       else Map.empty
+    val (xo, yo) = if (offsets) (5, 3) else (0, 0)
     val cs0 =
       if (sub420) encode(planes, w, h, 8, levels, reversible = !lossy,
         mct = 0, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2), precSizes = ps,
         roi = roiRects)
-      else encode(planes, w, h, 8, levels, reversible = !lossy,
+      else encode(planes, w + xo, h + yo, 8, levels, reversible = !lossy,
         mct = if (rgb) 1 else 0, cbExp = if (precincts) 4 else 6, precSizes = ps,
         cbStyle = if (styles) 0x3f else 0, layers = if (styles) 2 else 1,
-        roi = roiRects)
+        roi = roiRects, xOff = xo, yOff = yo)
     val stream = if (jp2) wrapJp2(cs0, w, h, planes.length, 8) else cs0
     val csName = if (rgb || sub420) "/DeviceRGB" else "/DeviceGray"
     val content = s"q $w 0 0 $h 100 600 cm /ImX Do Q"

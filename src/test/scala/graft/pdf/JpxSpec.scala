@@ -65,6 +65,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * it desyncs (1873/1920 samples when tried); that class is gated by the
   * bit-exact round-trips below.
   *
+  * ODD-parity origins (arbitrary offsets and tile grids, round 6's
+  * parity-general wavelet) are likewise beyond the vendored decoder — its
+  * Transform.iterate interleaves low-pass at relative-even positions
+  * unconditionally (12665-12684; only the width-1 degenerate case consults
+  * u0) — so those classes are gated by a hand-computed F.3.8 lifting
+  * fixture, an every-parity forward/inverse exactness property, and
+  * bit-exact full-codestream round-trips (odd image origins, tile sizes no
+  * power of two divides, subsampled tiles off the XRsiz·2^levels grid).
+  *
   * Maxshift ROI (RGN) CANNOT be cross-validated there — the vendored
   * decoder throws 'Unknown codestream code' on 0xFF5E
   * (pdf.combined.js:11054-11056), so the ROI lane is beyond-parity; its
@@ -480,9 +489,9 @@ class JpxSpec extends AnyFunSuite {
       val psnr = 10 * math.log10(255.0 * 255 / math.max(mse, 1e-9))
       assert(psnr > 40, f"comp $c PSNR $psnr%.1f")
     }
-    // multi-tile + subsampling: tile size must divide by XRsiz<<levels so
-    // component tile origins stay even; component tiles stay block-aligned
-    // with cbExp=3 (8 << 2 = 32 divides the 32-sample component tile)
+    // multi-tile + subsampling (alignment no longer required — the
+    // parity-general wavelet handles any grid; this case keeps the
+    // original aligned geometry for continuity with the r6 cross-val)
     val (w2, h2) = (128, 64)
     val planes2 = Array(JpxSynth.testGray(w2, h2, 3),
       JpxSynth.testGray(w2 / 2, h2 / 2, 6), JpxSynth.testGray(w2 / 2, h2 / 2, 11))
@@ -492,14 +501,14 @@ class JpxSpec extends AnyFunSuite {
     assert(dMt.isDefined)
     for (c <- 0 until 3)
       assert(dMt.get.planes(c).toSeq == planes2(c).toSeq, s"mt comp $c")
-    // misaligned tile size (36 % (2<<2) != 0 for the chroma comps): reject.
-    // The encoder refuses to author odd-parity tiles since round 6's
-    // absolute anchoring, so forge the SIZ XTsiz field on the good stream
+    // forged XTsiz (36 vs the encoded 64-tile packet geometry): the tile
+    // grid no longer matches the tile-part contents — malformed, must
+    // degrade to None rather than wrong pixels
     val csBad = csMt.clone()
     val sizAt = findMarker(csBad, 0xff51)
     csBad(sizAt + 22) = 0; csBad(sizAt + 23) = 0
     csBad(sizAt + 24) = 0; csBad(sizAt + 25) = 36
-    assert(Jpx.decode(csBad).isEmpty, "misaligned multi-tile must reject")
+    assert(Jpx.decode(csBad).isEmpty, "forged tile grid must reject")
   }
 
   test("MCT over mixed subsampling rejects (spec constraint)") {
@@ -764,18 +773,85 @@ class JpxSpec extends AnyFunSuite {
     }
   }
 
-  test("offsets that break resolution-origin parity reject (and A.5.1 order)") {
+  test("A.5.1 offset ordering violations reject") {
     val (w, h) = (38, 30)
     val cs = JpxSynth.encode(Array(JpxSynth.testGray(w - 6, h - 6, 3)),
-      w, h, 8, 1, xOff = 6, yOff = 6) // multiple of 2^1, legal at levels=1
+      w, h, 8, 1, xOff = 6, yOff = 6)
     assert(Jpx.decode(cs).isDefined)
     val siz = findMarker(cs, 0xff51)
-    // levels=1 needs multiples of 2: XOsiz 7 breaks parity → None
-    val bad = cs.clone(); bad(siz + 2 + 13) = 7
-    assert(Jpx.decode(bad).isEmpty)
     // XTOsiz > XOsiz violates A.5.1 → None
-    val bad2 = cs.clone(); bad2(siz + 2 + 29) = 8
-    assert(Jpx.decode(bad2).isEmpty)
+    val bad = cs.clone(); bad(siz + 2 + 29) = 8
+    assert(Jpx.decode(bad).isEmpty)
+  }
+
+  test("odd-origin inverse lifting matches the hand-computed F.3.8 fixture") {
+    // i0 = 1, four samples at absolute 1..4 (evens {2,4} low, odds {1,3}
+    // high). Spec inverse by hand with E(0)=Y(2), E(5)=Y(3) extension:
+    //   X(2) = 10 − floor((7−3+2)/4)       = 9
+    //   X(4) = 20 − floor((−3−3+2)/4)      = 21
+    //   X(1) = 7  + floor((X(2)+X(2))/2)   = 16   (X(0) reflects to X(2))
+    //   X(3) = −3 + floor((X(2)+X(4))/2)   = 12
+    val ll = Array(10.0, 20.0) // absolute-even samples
+    val hl = Array(7.0, -3.0) // absolute-odd samples
+    val out = Jpx.inverse2D(reversible = true, ll, hl,
+      Array.empty, Array.empty, 1, 5, 0, 1)
+    assert(out.toSeq == Seq(16.0, 9.0, 12.0, 21.0))
+    // single sample at an odd index halves (the degenerate F.3.7 rule
+    // pdf.js and OpenJPEG both apply)
+    val one = Jpx.inverse2D(reversible = true, Array.empty, Array(8.0),
+      Array.empty, Array.empty, 3, 4, 0, 1)
+    assert(one.toSeq == Seq(4.0))
+  }
+
+  test("5/3 forward/inverse round-trips exactly at every origin parity") {
+    val rnd = new scala.util.Random(21)
+    for ((u0, v0) <- Seq((0, 0), (1, 0), (0, 1), (1, 1), (5, 3), (7, 7));
+         (w, h) <- Seq((7, 5), (8, 6), (1, 9), (9, 1), (4, 4))) {
+      val src = Array.fill(w * h)(rnd.nextInt(511) - 255)
+      val (ll, hl, lh, hh) = JpxSynth.forward2D(reversible = true,
+        src.map(_.toDouble), w, h, u0, v0)
+      val back = Jpx.inverse2D(reversible = true, ll, hl, lh, hh,
+        u0, u0 + w, v0, v0 + h)
+      assert(back.map(_.toInt).toSeq == src.toSeq, s"u0=$u0 v0=$v0 ${w}x$h")
+    }
+  }
+
+  test("odd offsets / unaligned tiles / unaligned subsampling round-trip") {
+    // odd image origin: every resolution origin carries odd parity
+    val px = JpxSynth.testGray(59, 45, 13)
+    val cs = JpxSynth.encode(Array(px), 64, 48, 8, 2, xOff = 5, yOff = 3)
+    val d = Jpx.decode(cs)
+    assert(d.isDefined, "odd offsets")
+    assert((d.get.w, d.get.h) == ((59, 45)))
+    assert(d.get.planes(0).toSeq == px.toSeq, "odd offsets")
+    // multi-tile with a tile size no power-of-two divides
+    val px2 = JpxSynth.testGray(100, 70, 8)
+    val csMt = JpxSynth.encode(Array(px2), 100, 70, 8, 2, cbExp = 4,
+      tileW = 37, tileH = 29)
+    val dMt = Jpx.decode(csMt)
+    assert(dMt.isDefined, "unaligned tiles")
+    assert(dMt.get.planes(0).toSeq == px2.toSeq, "unaligned tiles")
+    // subsampled chroma with a tile size off the XRsiz·2^levels grid —
+    // chroma tile origins land on odd component-grid positions
+    val (w3, h3) = (100, 64)
+    val sub = Array(JpxSynth.testGray(w3, h3, 4),
+      JpxSynth.testGray(w3 / 2, h3 / 2, 6), JpxSynth.testGray(w3 / 2, h3 / 2, 9))
+    val csS = JpxSynth.encode(sub, w3, h3, 8, 2, cbExp = 4, tileW = 50,
+      tileH = 50, xrs = Seq(1, 2, 2), yrs = Seq(1, 2, 2))
+    val dS = Jpx.decodeComponents(csS)
+    assert(dS.isDefined, "unaligned subsampled tiles")
+    for (c <- 0 until 3)
+      assert(dS.get.planes(c).toSeq == sub(c).toSeq, s"unaligned sub c$c")
+    // 9/7 at odd offsets reconstructs within tolerance
+    val cs97 = JpxSynth.encode(Array(px), 64, 48, 8, 2, reversible = false,
+      xOff = 5, yOff = 3)
+    val d97 = Jpx.decode(cs97)
+    assert(d97.isDefined, "odd offsets 9/7")
+    val got = d97.get.planes(0)
+    val mse = px.indices.map(i => { val e = got(i) - px(i); e.toDouble * e })
+      .sum / px.length
+    val psnr = 10 * math.log10(255.0 * 255 / math.max(mse, 1e-9))
+    assert(psnr > 40, f"odd-offset 9/7 PSNR $psnr%.1f")
   }
 
   test("ROI PDF decodes through the full raster lane") {
