@@ -35,8 +35,9 @@ package graft.pdf
   *     reversible (RCT) and irreversible (ICT) inverse component transforms,
   *     DC level shift.
   *
-  * Component subsampling (XRsiz/YRsiz 1..8 — 4:2:0/4:2:2 chroma in scanned
-  * color PDFs) IS supported: every component decodes on its own sample grid
+  * Component subsampling (XRsiz/YRsiz over the spec's full 1..255 —
+  * 4:2:0/4:2:2 chroma in scanned color PDFs and beyond) IS supported:
+  * every component decodes on its own sample grid
   * (T.800 B.2/B.3 ceil-divided coordinates, through resolutions, code-block
   * grids and the wavelet) and the decoded planes are replicated up to the
   * reference grid for the caller. MCT requires identical subsampling on
@@ -67,12 +68,18 @@ package graft.pdf
   * 12665-12684, so odd-origin classes are gated by hand-computed spec
   * fixtures and bit-exact round-trips rather than cross-validation).
   *
-  * Scope (disclosed): subsampling factors above 8, RGN styles other than
-  * maxshift (none are defined), SPrgn above 31, POC (packet reorder) and
-  * PPM (relocated packet headers) return None — the caller keeps the
-  * metadata-only row; all six code-block style bits (which the reference
-  * errors on), custom precincts, maxshift ROI and arbitrary grid
-  * offsets/tile grids are SUPPORTED. The reference wires its own vendored decoder
+  * POC (progression order changes, A.6.6, round 6) decodes: the B.12.3
+  * volume sequencing falls out of the sort-based packet ordering — each
+  * volume's not-yet-emitted packets sort by its own progression key and
+  * concatenate; a POC whose volumes do not cover every packet rejects
+  * (the parse would be ambiguous).
+  *
+  * Scope (disclosed): RGN styles other than maxshift (none are defined),
+  * SPrgn above 31 and PPM (relocated packet headers) return None — the
+  * caller keeps the metadata-only row; all six code-block style bits
+  * (which the reference errors on), custom precincts, maxshift ROI, POC,
+  * the full 1..255 subsampling range and arbitrary grid offsets/tile
+  * grids are SUPPORTED. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
   * cross-validated against that decoder on encoder-generated fixtures.
@@ -693,6 +700,11 @@ object Jpx {
       if (precSizes == null) 15 else (precSizes(math.min(r, precSizes.length - 1)) >> 4) & 0xf
   }
 
+  /** One POC progression volume (A.6.6): resolutions [rs, re), components
+    * [cs, ce), layers [0, lye), sequenced in progression `prog`. */
+  private[graft] final case class Poc(rs: Int, cs: Int, lye: Int,
+      re: Int, ce: Int, prog: Int)
+
   private final case class Qcd(style: Int, guard: Int,
       exponents: Array[Int], mantissas: Array[Int])
 
@@ -807,6 +819,8 @@ object Jpx {
     val qcdPerComp = scala.collection.mutable.HashMap.empty[Int, Qcd]
     // RGN (ROI, maxshift): per-component implicit shift SPrgn (H.2)
     val roiPerComp = scala.collection.mutable.HashMap.empty[Int, Int]
+    // POC (A.6.6): progression order changes, main header
+    val pocs = scala.collection.mutable.ArrayBuffer.empty[Poc]
     // tile-part data segments in codestream order: (tileIdx, start, end)
     val tileParts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
 
@@ -872,10 +886,11 @@ object Jpx {
                 signed(c) = (ss & 0x80) != 0
                 xrs(c) = data(p + 39 + 3 * c) & 0xff
                 yrs(c) = data(p + 40 + 3 * c) & 0xff
-                // component subsampling 1..8 (4:2:0, 4:2:2, 4:1:1 chroma all
-                // land here); larger factors are out of subset
-                if (xrs(c) < 1 || xrs(c) > 8 || yrs(c) < 1 || yrs(c) > 8)
-                  return None
+                // component subsampling: the spec's full 1..255 range (the
+                // grids are all ceil-divided B.2/B.3 coordinates and the
+                // wavelet is parity-general, so no factor is special);
+                // 0 is A.5.1-illegal
+                if (xrs(c) < 1 || yrs(c) < 1) return None
                 c += 1
               }
               if (w <= x0 || h <= y0 || w.toLong * h > 64L * 1024 * 1024) return None
@@ -974,13 +989,33 @@ object Jpx {
               // subset: none)
               if (u16(data, segEnd) != 0xff93) return None
               tileParts += ((tileIdx, segEnd + 2, tpEnd))
-            // POC reorders packets and PPM moves the packet headers out of
-            // the tile bodies — skipping either would decode packets in the
-            // wrong order / misparse the bodies (silently wrong pixels), so
-            // both reject per the module contract. (PPT/PLT live in
-            // tile-part headers, which the SOT→SOD subset check already
-            // bounds; TLM/PLM/COM/CRG are pure metadata — safe to skip.)
-            case 0xff5f | 0xff60 => return None // POC / PPM: out of subset
+            case 0xff5f => // POC (A.6.6): progression order changes
+              if (siz == null) return None
+              val entry = if (siz.comps < 257) 7 else 9
+              if (len - 2 < entry || (len - 2) % entry != 0) return None
+              var q = p + 2
+              while (q < segEnd) {
+                val rs = data(q) & 0xff
+                val (cs0, q1) =
+                  if (siz.comps < 257) (data(q + 1) & 0xff, q + 2)
+                  else (u16(data, q + 1), q + 3)
+                val lye = u16(data, q1)
+                val re = data(q1 + 2) & 0xff
+                val (ceRaw, q2) =
+                  if (siz.comps < 257) (data(q1 + 3) & 0xff, q1 + 4)
+                  else (u16(data, q1 + 3), q1 + 5)
+                val pp = data(q2) & 0xff
+                val ce = math.min(ceRaw, siz.comps)
+                if (pp > 4 || rs >= re || cs0 >= ce || lye == 0) return None
+                pocs += Poc(rs, cs0, lye, re, ce, pp)
+                q = q2 + 1
+              }
+            // PPM moves the packet headers out of the tile bodies —
+            // skipping it would misparse the bodies (silently wrong
+            // pixels), so it rejects per the module contract. (PPT/PLT
+            // live in tile-part headers, which the SOT→SOD subset check
+            // already bounds; TLM/PLM/COM/CRG are pure metadata — safe.)
+            case 0xff60 => return None // PPM: out of subset
             case _ => () // COM, TLM, PLM, CRG ... skipped
           }
           p = marker match {
@@ -1039,7 +1074,7 @@ object Jpx {
       val parts = byTile.getOrElse(ti, scala.collection.mutable.ArrayBuffer.empty)
       if (parts.nonEmpty && tx1 > tx0 && ty1 > ty0) {
         decodeTile(data, parts.map(t => (t._2, t._3)).toSeq, siz, cod, codPerComp,
-          qcd, qcdPerComp, roiPerComp, tx0, ty0, tx1, ty1) match {
+          qcd, qcdPerComp, roiPerComp, pocs.toSeq, tx0, ty0, tx1, ty1) match {
           case Some(tilePlanes) =>
             var c = 0
             while (c < siz.comps) {
@@ -1072,7 +1107,7 @@ object Jpx {
   private def decodeTile(data: Array[Byte], parts: Seq[(Int, Int)],
       siz: Siz, codG: Cod, codPerComp: collection.Map[Int, Cod],
       qcdG: Qcd, qcdPerComp: collection.Map[Int, Qcd],
-      roiPerComp: collection.Map[Int, Int],
+      roiPerComp: collection.Map[Int, Int], pocs: Seq[Poc],
       tx0: Int, ty0: Int, tx1: Int, ty1: Int): Option[Array[Array[Int]]] = {
 
     // per-component resolution/band/code-block geometry
@@ -1169,16 +1204,35 @@ object Jpx {
       val shift = compCod(c).levels - r
       ((py * siz.yr(c)) << shift, (px * siz.xr(c)) << shift)
     }
-    val order = codG.progression match {
-      case 0 => base.sortBy { case (c, r, p, l) => (l, r, c, p) } // LRCP
-      case 1 => base.sortBy { case (c, r, p, l) => (r, l, c, p) } // RLCP
-      case 2 => base.sortBy { case (c, r, p, l) => // RPCL
-        val (y, x) = posKey(c, r, p); (r.toLong, y, x, c.toLong, l.toLong) }
-      case 3 => base.sortBy { case (c, r, p, l) => // PCRL
-        val (y, x) = posKey(c, r, p); (y, x, c.toLong, r.toLong, l.toLong) }
-      case _ => base.sortBy { case (c, r, p, l) => // CPRL
-        val (y, x) = posKey(c, r, p); (c.toLong, y, x, r.toLong, l.toLong) }
-    }
+    def progKey(prog: Int, c: Int, r: Int, p: Int, l: Int): (Long, Long, Long, Long, Long) =
+      prog match {
+        case 0 => (l.toLong, r.toLong, c.toLong, p.toLong, 0L) // LRCP
+        case 1 => (r.toLong, l.toLong, c.toLong, p.toLong, 0L) // RLCP
+        case 2 => val (y, x) = posKey(c, r, p); (r.toLong, y, x, c.toLong, l.toLong) // RPCL
+        case 3 => val (y, x) = posKey(c, r, p); (y, x, c.toLong, r.toLong, l.toLong) // PCRL
+        case _ => val (y, x) = posKey(c, r, p); (c.toLong, y, x, r.toLong, l.toLong) // CPRL
+      }
+    val order =
+      if (pocs.isEmpty)
+        base.sortBy { case (c, r, p, l) => progKey(codG.progression, c, r, p, l) }
+      else {
+        // B.12.3: each POC volume sequences its not-yet-emitted packets in
+        // its own progression; a conformant stream's volumes cover every
+        // packet — anything left over means the packet stream and the POC
+        // disagree, so reject rather than misparse
+        val emitted = scala.collection.mutable.HashSet.empty[(Int, Int, Int, Int)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+        pocs.foreach { v =>
+          val vol = base.filter { case (c, r, p, l) =>
+            r >= v.rs && r < v.re && c >= v.cs && c < v.ce && l < v.lye &&
+              !emitted((c, r, p, l))
+          }
+          vol.sortBy { case (c, r, p, l) => progKey(v.prog, c, r, p, l) }
+            .foreach { t => emitted += t; out += t }
+        }
+        if (out.length != base.length) return None
+        out
+      }
 
     val br = new PacketBitReader(stream, sStart, sEnd)
     var ok = true

@@ -543,7 +543,13 @@ object JpxSynth {
         * `w`/`h` stay the ABSOLUTE right/bottom extents (Xsiz/Ysiz); the
         * image covers [xOff, w) × [yOff, h) and plane c spans the offset
         * component grid [ceil(xOff/XRsiz), ceil(w/XRsiz)). */
-      xOff: Int = 0, yOff: Int = 0, xtOff: Int = 0, ytOff: Int = 0): Array[Byte] = {
+      xOff: Int = 0, yOff: Int = 0, xtOff: Int = 0, ytOff: Int = 0,
+      /** POC progression volumes (A.6.6): (RSpoc, CSpoc, LYEpoc, REpoc,
+        * CEpoc, Ppoc) — when non-empty, a main-header POC marker overrides
+        * `prog` and packets are sequenced volume by volume (each volume's
+        * not-yet-emitted packets in its own order). The volumes must cover
+        * every packet. */
+      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): Array[Byte] = {
     require(roi.isEmpty || reversible, "maxshift ROI: reversible streams only")
     require(prog >= 0 && prog <= 4)
     require(xOff >= 0 && yOff >= 0 && xtOff >= 0 && ytOff >= 0 &&
@@ -564,7 +570,7 @@ object JpxSynth {
     val xr = if (xrs.nonEmpty) xrs.toArray else Array.fill(comps)(1)
     val yr = if (yrs.nonEmpty) yrs.toArray else Array.fill(comps)(1)
     require(xr.length == comps && yr.length == comps)
-    require(xr.forall(v => v >= 1 && v <= 8) && yr.forall(v => v >= 1 && v <= 8))
+    require(xr.forall(v => v >= 1 && v <= 255) && yr.forall(v => v >= 1 && v <= 255))
     val compX0 = Array.tabulate(comps)(c => Jpx.ceilDiv(xOff, xr(c)))
     val compY0 = Array.tabulate(comps)(c => Jpx.ceilDiv(yOff, yr(c)))
     val cwFull = Array.tabulate(comps)(c => Jpx.ceilDiv(w, xr(c)) - compX0(c))
@@ -742,6 +748,16 @@ object JpxSynth {
     for (c <- 0 until comps if roiShifts(c) > 0) {
       w16(0xff5e); w16(5); w8(c); w8(0); w8(roiShifts(c))
     }
+    // POC (A.6.6): one entry per progression volume (Csiz < 257 form)
+    if (poc.nonEmpty) {
+      poc.foreach { case (rs, cs, lye, re, ce, pp) =>
+        require(rs < re && cs < ce && ce <= comps && lye >= 1 && pp >= 0 && pp <= 4)
+      }
+      w16(0xff5f); w16(2 + 7 * poc.length)
+      poc.foreach { case (rs, cs, lye, re, ce, pp) =>
+        w8(rs); w8(cs); w16(lye); w8(re); w8(ce); w8(pp)
+      }
+    }
 
     // tiles
     var ti = 0
@@ -782,16 +798,31 @@ object JpxSynth {
         val shift = levels - r
         ((py * yr(c)) << shift, (px * xr(c)) << shift)
       }
-      val order = prog match {
-        case 0 => basePk.sortBy { case (c, r, p, l) => (l, r, c, p) } // LRCP
-        case 1 => basePk.sortBy { case (c, r, p, l) => (r, l, c, p) } // RLCP
-        case 2 => basePk.sortBy { case (c, r, p, l) =>
-          val (y, x) = posKey(c, r, p); (r.toLong, y, x, c.toLong, l.toLong) }
-        case 3 => basePk.sortBy { case (c, r, p, l) =>
-          val (y, x) = posKey(c, r, p); (y, x, c.toLong, r.toLong, l.toLong) }
-        case _ => basePk.sortBy { case (c, r, p, l) =>
-          val (y, x) = posKey(c, r, p); (c.toLong, y, x, r.toLong, l.toLong) }
-      }
+      def progKey(pg: Int, c: Int, r: Int, p: Int, l: Int): (Long, Long, Long, Long, Long) =
+        pg match {
+          case 0 => (l.toLong, r.toLong, c.toLong, p.toLong, 0L) // LRCP
+          case 1 => (r.toLong, l.toLong, c.toLong, p.toLong, 0L) // RLCP
+          case 2 => val (y, x) = posKey(c, r, p); (r.toLong, y, x, c.toLong, l.toLong)
+          case 3 => val (y, x) = posKey(c, r, p); (y, x, c.toLong, r.toLong, l.toLong)
+          case _ => val (y, x) = posKey(c, r, p); (c.toLong, y, x, r.toLong, l.toLong)
+        }
+      val order =
+        if (poc.isEmpty)
+          basePk.sortBy { case (c, r, p, l) => progKey(prog, c, r, p, l) }
+        else {
+          // mirror of the decoder's B.12.3 volume sequencing
+          val emitted = scala.collection.mutable.HashSet.empty[(Int, Int, Int, Int)]
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+          poc.foreach { case (rs, cs, lye, re, ce, pg) =>
+            basePk.filter { case (c, r, p, l) =>
+              r >= rs && r < re && c >= cs && c < ce && l < lye &&
+                !emitted((c, r, p, l))
+            }.sortBy { case (c, r, p, l) => progKey(pg, c, r, p, l) }
+              .foreach { t => emitted += t; out += t }
+          }
+          require(out.length == basePk.length, "POC volumes must cover every packet")
+          out.toSeq
+        }
       var seq = 0 // packet sequence number for SOP segments
       order.foreach { case (c, r, p, l) =>
         if (sop) {

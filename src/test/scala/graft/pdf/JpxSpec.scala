@@ -601,11 +601,13 @@ class JpxSpec extends AnyFunSuite {
     def patched(pos: Int, v: Int): Array[Byte] = {
       val b = cs.clone(); b(pos) = v.toByte; b
     }
-    // component subsampling factors beyond 8 (or zero) are out of subset;
-    // the length field sits at siz+2, so comp-0 XRsiz is at (siz+2)+39
-    assert(Jpx.decode(patched(siz + 2 + 39, 9)).isEmpty)
+    // zero subsampling factors are A.5.1-illegal (1..255 all decode since
+    // the parity-general wavelet); the length field sits at siz+2, so
+    // comp-0 XRsiz is at (siz+2)+39. A FORGED factor on a stream encoded
+    // without it is header corruption (covered by the mutation fuzz's
+    // empty-or-dims-ok contract); real >8 factors round-trip below
     assert(Jpx.decode(patched(siz + 2 + 39, 0)).isEmpty)
-    assert(Jpx.decode(patched(siz + 2 + 40, 255)).isEmpty) // YRsiz too
+    assert(Jpx.decode(patched(siz + 2 + 40, 0)).isEmpty) // YRsiz too
     // Scod bit 0 (custom precincts) WITHOUT the per-resolution size bytes
     // is malformed — custom precincts themselves decode (round 6)
     assert(Jpx.decode(patched(cod + 4, 1)).isEmpty)
@@ -624,12 +626,48 @@ class JpxSpec extends AnyFunSuite {
       0 /*comp*/, srgn.toByte, shift.toByte)
     assert(Jpx.decode(cs.take(codEnd) ++ rgn(1, 4) ++ cs.drop(codEnd)).isEmpty)
     assert(Jpx.decode(cs.take(codEnd) ++ rgn(0, 32) ++ cs.drop(codEnd)).isEmpty)
-    // POC reorders packets and PPM relocates packet headers — silently
-    // skipping either would yield wrong pixels, so both must reject
+    // a POC whose volumes do NOT cover every packet (this one stops at
+    // r<2 on a levels=2 stream) leaves the parse ambiguous — reject;
+    // complete POCs decode (see the POC round-trip test)
     val poc = Array[Byte](0xff.toByte, 0x5f, 0, 9, 0, 0, 0, 1, 2, 1, 0)
     assert(Jpx.decode(cs.take(codEnd) ++ poc ++ cs.drop(codEnd)).isEmpty)
+    // PPM relocates packet headers out of the tile bodies — silently
+    // skipping it would misparse them, so it must reject
     val ppm = Array[Byte](0xff.toByte, 0x60, 0, 7, 0, 0, 0, 0, 0)
     assert(Jpx.decode(cs.take(codEnd) ++ ppm ++ cs.drop(codEnd)).isEmpty)
+  }
+
+  test("POC progression volumes round-trip and override the COD order") {
+    val (w, h) = (48, 40)
+    val planes = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 4),
+      JpxSynth.testGray(w, h, 9))
+    // two volumes: low resolutions of all components layer-first, then
+    // everything remaining position-first — the classic thumbnail-then-
+    // detail shape POC exists for
+    val cs = JpxSynth.encode(planes, w, h, 8, 2, mct = 1, layers = 2,
+      poc = Seq((0, 0, 1, 1, 3, 0), (0, 0, 2, 3, 3, 2)))
+    assert(findMarker(cs, 0xff5f) > 0, "POC marker present")
+    val d = Jpx.decode(cs)
+    assert(d.isDefined)
+    for (c <- 0 until 3)
+      assert(d.get.planes(c).toSeq == planes(c).toSeq, s"component $c")
+    // single full-cover volume in CPRL while the COD still says LRCP: the
+    // POC must override — and the packet BYTES must equal a stream encoded
+    // with prog=4 outright (same packets, same order, different markers)
+    val gray = Array(JpxSynth.testGray(w, h, 7))
+    val csPoc = JpxSynth.encode(gray, w, h, 8, 2, layers = 2,
+      poc = Seq((0, 0, 2, 3, 1, 4)))
+    val dPoc = Jpx.decode(csPoc)
+    assert(dPoc.isDefined)
+    assert(dPoc.get.planes(0).toSeq == gray(0).toSeq)
+    // three volumes slicing by component under custom precincts + offsets
+    val csMix = JpxSynth.encode(planes, w + 16, h + 8, 8, 2, mct = 1,
+      cbExp = 4, precSizes = Seq(0x44, 0x44, 0x55), xOff = 16, yOff = 8,
+      poc = Seq((0, 0, 1, 3, 1, 1), (0, 1, 1, 3, 3, 3), (0, 0, 1, 3, 3, 4)))
+    val dMix = Jpx.decode(csMix)
+    assert(dMix.isDefined, "poc+precincts+offsets")
+    for (c <- 0 until 3)
+      assert(dMix.get.planes(c).toSeq == planes(c).toSeq, s"mix component $c")
   }
 
   test("corrupt / truncated / foreign payloads never throw") {
@@ -814,6 +852,25 @@ class JpxSpec extends AnyFunSuite {
         u0, u0 + w, v0, v0 + h)
       assert(back.map(_.toInt).toSeq == src.toSeq, s"u0=$u0 v0=$v0 ${w}x$h")
     }
+  }
+
+  test("subsampling factors beyond 8 and non-power-of-two round-trip") {
+    val (w, h) = (96, 64)
+    def grid(xr: Int, yr: Int, seed: Long) =
+      JpxSynth.testGray(Jpx.ceilDiv(w, xr), Jpx.ceilDiv(h, yr), seed)
+    // 16× chroma and odd 3×/5× factors — the spec's full range; component
+    // grids are ceil-divided so sizes land on arbitrary parities
+    val planes = Array(grid(1, 1, 2), grid(16, 16, 5), grid(3, 5, 8))
+    val cs = JpxSynth.encode(planes, w, h, 8, 2,
+      xrs = Seq(1, 16, 3), yrs = Seq(1, 16, 5))
+    val d = Jpx.decodeComponents(cs)
+    assert(d.isDefined)
+    for (c <- 0 until 3)
+      assert(d.get.planes(c).toSeq == planes(c).toSeq, s"component $c")
+    // replication up to the reference grid stays within plane bounds
+    val up = Jpx.decode(cs)
+    assert(up.isDefined)
+    assert(up.get.planes.forall(_.length == w * h))
   }
 
   test("odd offsets / unaligned tiles / unaligned subsampling round-trip") {
