@@ -175,7 +175,10 @@ object Jbig2 {
   private[graft] def decodeGenericInto(
       mq: MqDecoder, cx: Array[Int],
       w: Int, h: Int, template: Int, at: Array[(Int, Int)],
-      tpgdon: Boolean): Array[Byte] = {
+      tpgdon: Boolean,
+      /** USESKIP bitmap (6.2.5.7 step 3c — halftone HENABLESKIP): pixels
+        * flagged 1 are set to 0 WITHOUT consuming an MQ decision. */
+      skip: Array[Byte] = null): Array[Byte] = {
     require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024, s"region $w x $h")
     val bitmap = new Array[Byte](w * h)
     val tmpl = templatePoints(template, at)
@@ -190,22 +193,26 @@ object Jbig2 {
       } else {
         var x = 0
         while (x < w) {
-          var ctx = 0
-          var t = 0
-          while (t < tmpl.length) {
-            val (dx, dy) = tmpl(t)
-            val xx = x + dx
-            val yy = y + dy
-            val bit =
-              // yy >= h is reachable via a signalled AT pixel with positive
-              // dy (legal signed byte) on the last rows — out of bounds reads
-              // as 0, same as the refinement path's guard
-              if (xx < 0 || xx >= w || yy < 0 || yy >= h) 0
-              else bitmap(yy * w + xx)
-            ctx = (ctx << 1) | bit
-            t += 1
+          if (skip != null && skip(y * w + x) != 0) {
+            // skipped pixel: stays 0, nothing decoded
+          } else {
+            var ctx = 0
+            var t = 0
+            while (t < tmpl.length) {
+              val (dx, dy) = tmpl(t)
+              val xx = x + dx
+              val yy = y + dy
+              val bit =
+                // yy >= h is reachable via a signalled AT pixel with positive
+                // dy (legal signed byte) on the last rows — out of bounds reads
+                // as 0, same as the refinement path's guard
+                if (xx < 0 || xx >= w || yy < 0 || yy >= h) 0
+                else bitmap(yy * w + xx)
+              ctx = (ctx << 1) | bit
+              t += 1
+            }
+            bitmap(y * w + x) = mq.decode(cx, ctx).toByte
           }
-          bitmap(y * w + x) = mq.decode(cx, ctx).toByte
           x += 1
         }
       }
@@ -758,9 +765,14 @@ object Jbig2 {
     * patterns stamped at the rotated grid positions
     * x = (HGX + mg·HRY + ng·HRX) >> 8, y = (HGY + mg·HRX − ng·HRY) >> 8
     * (6.6.5.1 — one grid vector (HRX, HRY) and its perpendicular).
-    * MMR-coded grayscale and HENABLESKIP degrade (disclosed; the reference
-    * decodes neither — it has no halftone branch at all). HCOMBOP OR/XOR
-    * composite like the text lane; others skip. */
+    * MMR-coded grayscale decodes all bitplanes from ONE continuous MMR
+    * stream (C.5 — equivalent to an HGW × HGH·J G4 bitmap sliced MSB
+    * first, since G4 rows chain through the previous row across plane
+    * boundaries); HENABLESKIP builds the 6.6.5.1 skip bitmap (grid cells
+    * whose pattern lands wholly outside the region) and the arithmetic
+    * planes skip those pixels per 6.2.5.7. The reference decodes neither —
+    * it has no halftone branch at all. HCOMBOP OR/XOR composite like the
+    * text lane; others skip. */
   private[graft] def decodeHalftoneRegion(
       data: Array[Byte], start: Int, end: Int,
       patterns: Vector[Bitmap]): Option[(Int, Int, Int, Int, Array[Byte])] = {
@@ -777,7 +789,6 @@ object Jbig2 {
     val enableSkip = (flags & 8) != 0
     val combOp = (flags >> 4) & 7
     val defPixel = (flags >> 7) & 1
-    if (mmr || enableSkip) return None // disclosed degrade
     if (combOp != 0 && combOp != 2) return None // OR / XOR only, like text
     if (rw <= 0 || rh <= 0 || rw.toLong * rh > 64L * 1024 * 1024) return None
     val hgw = be32(data, p).toInt
@@ -788,17 +799,49 @@ object Jbig2 {
     val hry = ((data(p + 18) & 0xff) << 8) | (data(p + 19) & 0xff)
     p += 20
     if (hgw <= 0 || hgh <= 0 || hgw.toLong * hgh > 16L * 1024 * 1024) return None
-    // Gray-coded bitplanes, MSB first, one shared decoder/context (C.5)
+    // HENABLESKIP (6.6.5.1): grid cells whose pattern falls wholly outside
+    // the region carry no visible value — the arithmetic planes skip them
+    val skip: Array[Byte] =
+      if (!enableSkip) null
+      else {
+        val s = new Array[Byte](hgw * hgh)
+        val hpw = patterns(0).w
+        val hph = patterns(0).h
+        var mg = 0
+        while (mg < hgh) {
+          var ng = 0
+          while (ng < hgw) {
+            val x = (hgx + mg * hry + ng * hrx) >> 8
+            val y = (hgy + mg * hrx - ng * hry) >> 8
+            if (x + hpw <= 0 || x >= rw || y + hph <= 0 || y >= rh)
+              s(mg * hgw + ng) = 1
+            ng += 1
+          }
+          mg += 1
+        }
+        s
+      }
+    // Gray-coded bitplanes, MSB first (C.5): arithmetic planes share one
+    // decoder/context; MMR planes come from ONE continuous G4 stream —
+    // decoded as a single hgw × (hgh·bits) bitmap and sliced (rows chain
+    // through the previous row across plane boundaries, so this IS the
+    // continuous-decoder semantics)
     val bits = ceilLog2(patterns.length)
-    val mq = new MqDecoder(data, p, end)
-    val cx = new Array[Int](1 << 16)
-    val at = Array((if (template <= 1) 3 else 2, -1), (-3, -1), (2, -2), (-2, -2))
     val gray = new Array[Int](hgw * hgh)
     val prevBit = new Array[Byte](hgw * hgh)
+    val mmrPlanes: Array[Byte] =
+      if (!mmr) null
+      else decodeMmr(data, p, end, hgw, hgh * bits).getOrElse(return None)
+    val mq = if (mmr) null else new MqDecoder(data, p, end)
+    val cx = if (mmr) null else new Array[Int](1 << 16)
+    val at = Array((if (template <= 1) 3 else 2, -1), (-3, -1), (2, -2), (-2, -2))
     var j = bits - 1
     while (j >= 0) {
-      val plane = decodeGenericInto(mq, cx, hgw, hgh, template,
-        at.take(atCount(template)), tpgdon = false)
+      val plane =
+        if (mmr) java.util.Arrays.copyOfRange(mmrPlanes,
+          (bits - 1 - j) * hgw * hgh, (bits - j) * hgw * hgh)
+        else decodeGenericInto(mq, cx, hgw, hgh, template,
+          at.take(atCount(template)), tpgdon = false, skip = skip)
       var i = 0
       while (i < plane.length) {
         val b = plane(i) ^ prevBit(i)

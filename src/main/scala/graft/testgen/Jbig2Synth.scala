@@ -116,7 +116,10 @@ object Jbig2Synth {
     * shared generic context (the encode mirror of Jbig2.decodeGenericInto). */
   private def encodeGenericInto(enc: MqEncoder, cx: Array[Int],
       bitmap: Array[Byte], w: Int, h: Int, template: Int,
-      tpgdon: Boolean, atOverride: Array[(Int, Int)] = null): Unit = {
+      tpgdon: Boolean, atOverride: Array[(Int, Int)] = null,
+      /** USESKIP mirror (6.2.5.7): flagged pixels encode nothing; the
+        * bitmap must carry 0 there so contexts match the decoder's. */
+      skip: Array[Byte] = null): Unit = {
     val at = if (atOverride != null) atOverride else nominalAt(template)
     val tmpl = Jbig2.templatePoints(template, at)
     val ltpCx = Jbig2.ltpContext(template)
@@ -140,19 +143,23 @@ object Jbig2Synth {
       if (!skipRow) {
         var x = 0
         while (x < w) {
-          var ctx = 0
-          var t = 0
-          while (t < tmpl.length) {
-            val (dx, dy) = tmpl(t)
-            val xx = x + dx
-            val yy = y + dy
-            val bit =
-              if (xx < 0 || xx >= w || yy < 0) 0
-              else if (bitmap(yy * w + xx) != 0) 1 else 0
-            ctx = (ctx << 1) | bit
-            t += 1
+          if (skip != null && skip(y * w + x) != 0) {
+            require(bitmap(y * w + x) == 0, "skipped pixels must be 0")
+          } else {
+            var ctx = 0
+            var t = 0
+            while (t < tmpl.length) {
+              val (dx, dy) = tmpl(t)
+              val xx = x + dx
+              val yy = y + dy
+              val bit =
+                if (xx < 0 || xx >= w || yy < 0) 0
+                else if (bitmap(yy * w + xx) != 0) 1 else 0
+              ctx = (ctx << 1) | bit
+              t += 1
+            }
+            enc.encode(cx, ctx, if (bitmap(y * w + x) != 0) 1 else 0)
           }
-          enc.encode(cx, ctx, if (bitmap(y * w + x) != 0) 1 else 0)
           x += 1
         }
       }
@@ -1178,13 +1185,37 @@ object Jbig2Synth {
     * `gray` is row-major hgw×hgh pattern indices. */
   def encodeHalftoneRegionData(rw: Int, rh: Int, gray: Array[Int],
       hgw: Int, hgh: Int, hgx: Int, hgy: Int, hrx: Int, hry: Int,
-      nPatterns: Int, template: Int = 0, combOp: Int = 0): Array[Byte] = {
+      nPatterns: Int, template: Int = 0, combOp: Int = 0,
+      /** HMMR: gray bitplanes as ONE continuous G4 stream (C.5). */
+      mmrGray: Boolean = false,
+      /** HENABLESKIP: requires the pattern dims to rebuild the 6.6.5.1
+        * skip bitmap; gray values at skipped cells must be 0. */
+      enableSkip: Boolean = false, patW: Int = 0, patH: Int = 0): Array[Byte] = {
     require(gray.length == hgw * hgh && gray.forall(g => g >= 0 && g < nPatterns))
+    require(!(mmrGray && enableSkip), "skip is an arithmetic-lane feature")
     val bits = Jbig2.ceilLog2(nPatterns)
-    val enc = new MqEncoder
-    val cx = new Array[Int](1 << 16)
-    var j = bits - 1
-    while (j >= 0) {
+    val skip: Array[Byte] =
+      if (!enableSkip) null
+      else {
+        require(patW > 0 && patH > 0)
+        val s = new Array[Byte](hgw * hgh)
+        var mg = 0
+        while (mg < hgh) {
+          var ng = 0
+          while (ng < hgw) {
+            val x = (hgx + mg * hry + ng * hrx) >> 8
+            val y = (hgy + mg * hrx - ng * hry) >> 8
+            if (x + patW <= 0 || x >= rw || y + patH <= 0 || y >= rh) {
+              s(mg * hgw + ng) = 1
+              require(gray(mg * hgw + ng) == 0, "skipped cells carry gray 0")
+            }
+            ng += 1
+          }
+          mg += 1
+        }
+        s
+      }
+    def grayPlane(j: Int): Array[Byte] = {
       val plane = new Array[Byte](hgw * hgh)
       var i = 0
       while (i < plane.length) {
@@ -1193,14 +1224,35 @@ object Jbig2Synth {
         plane(i) = (bj ^ bj1).toByte // Gray code (C.5)
         i += 1
       }
-      encodeGenericInto(enc, cx, plane, hgw, hgh, template, tpgdon = false)
-      j -= 1
+      plane
     }
-    val body = enc.flush()
+    val body: Array[Byte] =
+      if (mmrGray) {
+        // all planes MSB-first as one tall G4 bitmap → one continuous stream
+        val tall = new Array[Byte](hgw * hgh * bits)
+        var j = bits - 1
+        while (j >= 0) {
+          System.arraycopy(grayPlane(j), 0, tall, (bits - 1 - j) * hgw * hgh,
+            hgw * hgh)
+          j -= 1
+        }
+        encodeMmrG4(tall, hgw, hgh * bits)
+      } else {
+        val enc = new MqEncoder
+        val cx = new Array[Int](1 << 16)
+        var j = bits - 1
+        while (j >= 0) {
+          encodeGenericInto(enc, cx, grayPlane(j), hgw, hgh, template,
+            tpgdon = false, skip = skip)
+          j -= 1
+        }
+        enc.flush()
+      }
     val out = java.nio.ByteBuffer.allocate(17 + 1 + 20 + body.length)
     out.putInt(rw).putInt(rh).putInt(0).putInt(0)
     out.put(0.toByte) // region combination operator: OR
-    out.put(((template << 1) | (combOp << 4)).toByte)
+    out.put(((if (mmrGray) 1 else 0) | (template << 1) |
+      (if (enableSkip) 8 else 0) | (combOp << 4)).toByte)
     out.putInt(hgw).putInt(hgh).putInt(hgx).putInt(hgy)
     out.putShort(hrx.toShort).putShort(hry.toShort)
     out.put(body)
@@ -1212,14 +1264,16 @@ object Jbig2Synth {
   def embeddedHalftoneStream(w: Int, h: Int, pats: Seq[Jbig2.Bitmap],
       gray: Array[Int], hgw: Int, hgh: Int, hgx: Int = 0, hgy: Int = 0,
       hrx: Int = 0, hry: Int = 0, template: Int = 0,
-      mmrPatterns: Boolean = false): Array[Byte] = {
+      mmrPatterns: Boolean = false, mmrGray: Boolean = false,
+      enableSkip: Boolean = false): Array[Byte] = {
     val page = java.nio.ByteBuffer.allocate(19)
       .putInt(w).putInt(h).putInt(0).putInt(0)
       .put(0.toByte).putShort(0.toShort).array()
     val rx = if (hrx != 0) hrx else pats.head.w << 8
     val dict = encodePatternDictData(pats, template, mmrPatterns)
     val ht = encodeHalftoneRegionData(w, h, gray, hgw, hgh, hgx, hgy, rx, hry,
-      pats.length, template)
+      pats.length, template, mmrGray = mmrGray, enableSkip = enableSkip,
+      patW = pats.head.w, patH = pats.head.h)
     segment(0, 48, Nil, page) ++
       segment(1, 16, Nil, dict) ++
       segment(2, 22, Seq(1), ht)

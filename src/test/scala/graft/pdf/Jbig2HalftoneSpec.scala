@@ -10,7 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * halftone grayscale images decode as Gray-coded bitplanes over one
   * shared context (C.5); patterns stamp at the rotated grid
   * x = (HGX + mg·HRY + ng·HRX) >> 8, y = (HGY + mg·HRX − ng·HRY) >> 8
-  * (6.6.5.1). MMR-coded grayscale and HENABLESKIP degrade (disclosed). */
+  * (6.6.5.1). MMR-coded grayscale (one continuous G4 stream across all
+  * bitplanes) and HENABLESKIP (6.6.5.1 out-of-region cells skipped per
+  * 6.2.5.7) decode since round 6 — no halftone cuts remain. */
 class Jbig2HalftoneSpec extends AnyFunSuite {
 
   // four 6×6 density patterns (growing dot)
@@ -100,19 +102,61 @@ class Jbig2HalftoneSpec extends AnyFunSuite {
     assert(black > 0)
   }
 
-  test("degrades, never throws: MMR grayscale, skip, truncation, mutation") {
+  test("MMR grayscale: all bitplanes from one continuous G4 stream") {
+    val (w, h) = (36, 30)
+    val (hgw, hgh) = (6, 5)
+    val gray = Array.tabulate(hgw * hgh)(i => (i * 7 + i / hgw) % 4)
+    val stream = Jbig2Synth.embeddedHalftoneStream(w, h, pats, gray, hgw, hgh,
+      mmrGray = true)
+    val out = Jbig2.decodeEmbedded(stream, w, h)
+    assert(out.isDefined)
+    val expected = expectedPage(w, h, gray, hgw, hgh, 0, 0, 6 << 8, 0)
+    assert(out.get.toSeq == expected.toSeq)
+    // 3-bitplane (5-level) MMR grayscale — the plane boundary rows chain
+    // through the G4 2D references, pinning the continuous-stream reading
+    val pats5 = pats :+ Jbig2Synth.glyph(Seq("#.#.#.", ".#.#.#", "#.#.#.",
+      ".#.#.#", "#.#.#.", ".#.#.#"))
+    val gray5 = Array.tabulate(hgw * hgh)(i => i % 5)
+    val s5 = Jbig2Synth.embeddedHalftoneStream(w, h, pats5, gray5, hgw, hgh,
+      mmrGray = true)
+    val o5 = Jbig2.decodeEmbedded(s5, w, h)
+    assert(o5.isDefined)
+    val arith5 = Jbig2.decodeEmbedded(Jbig2Synth.embeddedHalftoneStream(
+      w, h, pats5, gray5, hgw, hgh), w, h)
+    assert(o5.get.toSeq == arith5.get.toSeq, "MMR and arithmetic lanes agree")
+  }
+
+  test("HENABLESKIP: out-of-region grid cells decode nothing") {
+    // a 7×6 grid over a 36×30 region with the grid origin pulled up-left:
+    // the first row/column of cells lands wholly outside → skipped
+    val (w, h) = (36, 30)
+    val (hgw, hgh) = (7, 6)
+    val (hgx, hgy) = (-6 << 8, -6 << 8)
+    val gray = Array.tabulate(hgw * hgh) { i =>
+      val (mg, ng) = (i / hgw, i % hgw)
+      val x = (hgx + mg * 0 + ng * (6 << 8)) >> 8
+      val y = (hgy + mg * (6 << 8) - ng * 0) >> 8
+      if (x + 6 <= 0 || x >= w || y + 6 <= 0 || y >= h) 0 else (i * 5 + 1) % 4
+    }
+    val stream = Jbig2Synth.embeddedHalftoneStream(w, h, pats, gray, hgw, hgh,
+      hgx = hgx, hgy = hgy, enableSkip = true)
+    val out = Jbig2.decodeEmbedded(stream, w, h)
+    assert(out.isDefined)
+    val expected = expectedPage(w, h, gray, hgw, hgh, hgx, hgy, 6 << 8, 0)
+    assert(out.get.toSeq == expected.toSeq)
+    // the skip-encoded stream must be shorter than the plain encoding of
+    // the same grid — proof pixels were actually skipped, not just zeroed
+    val plain = Jbig2Synth.embeddedHalftoneStream(w, h, pats, gray, hgw, hgh,
+      hgx = hgx, hgy = hgy)
+    assert(stream.length < plain.length, "skip must save coded decisions")
+    assert(Jbig2.decodeEmbedded(plain, w, h).get.toSeq == expected.toSeq)
+  }
+
+  test("degrades, never throws: truncation, mutation") {
     val (w, h) = (36, 30)
     val gray = Array.tabulate(30)(_ % 4)
     val good = Jbig2Synth.embeddedHalftoneStream(w, h, pats, gray, 6, 5)
     assert(Jbig2.decodeEmbedded(good, w, h).isDefined)
-    // locate the halftone segment's flags byte and set HMMR / HENABLESKIP:
-    // both are disclosed degrades — decodeHalftoneRegion must return None
-    val htData = Jbig2Synth.encodeHalftoneRegionData(w, h, gray, 6, 5, 0, 0,
-      6 << 8, 0, 4)
-    val mmrFlags = htData.clone(); mmrFlags(17) = (mmrFlags(17) | 1).toByte
-    assert(Jbig2.decodeHalftoneRegion(mmrFlags, 0, mmrFlags.length, pats.toVector).isEmpty)
-    val skipFlags = htData.clone(); skipFlags(17) = (skipFlags(17) | 8).toByte
-    assert(Jbig2.decodeHalftoneRegion(skipFlags, 0, skipFlags.length, pats.toVector).isEmpty)
     for (cut <- Seq(0, 15, good.length / 2, good.length - 2)) {
       val r = Jbig2.decodeEmbedded(good.take(cut), w, h)
       assert(r.isEmpty || r.get.length == w * h)
