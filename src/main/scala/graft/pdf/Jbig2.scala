@@ -13,14 +13,23 @@ package graft.pdf
   * Refinement coding (6.3) is supported where it occurs inline: REFAGG
   * symbol dictionaries — both the single-instance refinement path and
   * multi-instance aggregation (6.5.8.2.1, a composite symbol decoded as an
-  * inner text region of the dictionary stream) — and per-instance text
-  * region refinement (IARI/IARDW/IARDH/IARDX/IARDY).
+  * inner text region of the dictionary stream) — per-instance text region
+  * refinement (IARI/IARDW/IARDH/IARDX/IARDY, and the SBHUFF form with raw
+  * RI bits, table-coded deltas and per-instance BMSIZE-bounded MQ
+  * segments, 6.4.11), and standalone refinement region segments (types
+  * 40/42/43 with TPGRON). Huffman coding (SDHUFF/SBHUFF), pattern
+  * dictionaries and halftone regions (incl. MMR grayscale and
+  * HENABLESKIP) all decode — see the per-procedure scaladocs.
   *
-  * Scope (disclosed): huffman-coded tables, TPGRON and halftone regions
-  * return None — the caller keeps the metadata-only row; the reference's
-  * decoder cannot decode any of those either, so this engine's JBIG2
-  * coverage is a strict SUPERSET of the reference's (it additionally errors
-  * on MMR, decoded here via the JDK fax codec). The reference decoder lives
+  * Scope (disclosed): the standard huffman tables B.6–B.15 are NOT carried
+  * — no in-sandbox source can verify their Annex B constants, and wrong
+  * constants would mean silently wrong pixels — so stream classes that
+  * BIND to them degrade to None: standard FS/DS/DT/RD selectors (custom
+  * type-53 tables decode), and SDHUFF+REFAGG dictionaries (6.5.8.2.2 pins
+  * their RDX/RDY to B.15 with no custom escape). The reference's decoder
+  * cannot decode ANY huffman, refinement or halftone stream, so this
+  * engine's JBIG2 coverage is a strict SUPERSET of the reference's (it
+  * additionally errors on MMR, decoded here via the JDK fax codec). The reference decoder lives
   * in its vendored pdf.combined.js (9603-10685, stream wiring 22530-22556) —
   * cited as the semantic contract; this implementation is from the public
   * spec, with spec-correct reference-corner placement.
@@ -550,8 +559,11 @@ object Jbig2 {
     * arrive as ONE collective bitmap — BMSIZE 0 ⇒ uncompressed rows (each
     * padded to a byte), else an MMR (T.6) stream of exactly BMSIZE bytes —
     * split by the accumulated widths. Export runs decode with Table B.1.
-    * SDHUFF + REFAGG degrades (disclosed — refinement data is
-    * arithmetic-coded mid-huffman). Custom tables come from referred table
+    * SDHUFF + REFAGG degrades (disclosed — 6.5.8.2.2 pins its RDX/RDY to
+    * the standard table B.15, which is not carried: its Annex B constants
+    * cannot be verified in this sandbox and wrong constants would mean
+    * silently wrong pixels; text-region huffman refinement, whose tables
+    * CAN be custom, does decode). Custom tables come from referred table
     * segments, consumed in DH, DW, BMSIZE, AGGINST selector order. */
   private def decodeSymbolDictHuff(
       data: Array[Byte], start: Int, end: Int, flags: Int,
@@ -700,8 +712,9 @@ object Jbig2 {
     // (pdf.combined.js textRegion compose); AND/XNOR streams are skipped
     if (combOp != 0 && combOp != 2) return None
     if (huffman)
-      return decodeTextRegionHuff(data, p, end, rw, rh, rx, ry, refine, strips,
-        refCorner, transposed, combOp, defPixel, dsOffset, syms, customTables)
+      return decodeTextRegionHuff(data, p, end, rw, rh, rx, ry, refine,
+        rTemplate, strips, refCorner, transposed, combOp, defPixel, dsOffset,
+        syms, customTables)
     val rAt: Array[(Int, Int)] =
       if (refine && rTemplate == 0) {
         if (p + 4 + 4 > end) return None
@@ -892,18 +905,24 @@ object Jbig2 {
     * byte-align after), FS/DS/DT values from the selected huffman tables,
     * CURT as `log2(SBSTRIPS)` raw bits. Standard selectors resolving to
     * tables B.6–B.15 degrade (see Jbig2Huffman's scope note): huffman text
-    * regions decode when FS/DS/DT are custom (selector 3). Refinement +
-    * huffman degrades. Placement/advance is the shared placeSymbol kernel —
+    * regions decode when FS/DS/DT (and, when refining, RDW/RDH/RDX/RDY)
+    * are custom (selector 3). Refinement + huffman decodes (round 6,
+    * 6.4.11 with SBHUFF=1): RI is one raw bit per instance; the deltas and
+    * BMSIZE come from their tables (BMSIZE selector 0 = the standard B.1),
+    * the reader byte-aligns, and the refinement is a FRESH MQ decoder over
+    * exactly BMSIZE bytes with the GR statistics retained across instances
+    * (the GRSTATS input of 6.4.2 — same retention as the arithmetic lane
+    * and jbig2dec). Placement/advance is the shared placeSymbol kernel —
     * identical corner semantics to the arithmetic path. */
   private def decodeTextRegionHuff(
       data: Array[Byte], start: Int, end: Int,
       rw: Int, rh: Int, rx: Int, ry: Int,
-      refine: Boolean, strips: Int, refCorner: Int, transposed: Boolean,
+      refine: Boolean, rTemplate: Int, strips: Int, refCorner: Int,
+      transposed: Boolean,
       combOp: Int, defPixel: Int, dsOffset: Int,
       syms: Vector[Bitmap],
       customs: Vector[Jbig2Huffman.Table]): Option[(Int, Int, Int, Int, Array[Byte])] = {
     import Jbig2Huffman._
-    if (refine) return None // huffman + refinement: disclosed degrade
     if (start + 2 + 4 > end) return None
     val hf = ((data(start) & 0xff) << 8) | (data(start + 1) & 0xff)
     var p = start + 2
@@ -912,9 +931,32 @@ object Jbig2 {
     // selector 3 = custom; 0-2 name standard tables B.6–B.15 (not carried)
     def pick(sel: Int): Option[Table] =
       if (sel == 3) nextCustom() else None
+    // custom-table consumption order is FS, DS, DT, RDW, RDH, RDX, RDY,
+    // BMSIZE (7.4.3.1.6)
     val tFS = pick(hf & 3).getOrElse(return None)
     val tDS = pick((hf >> 2) & 3).getOrElse(return None)
     val tDT = pick((hf >> 4) & 3).getOrElse(return None)
+    val (tRDW, tRDH, tRDX, tRDY, tBMSIZE) =
+      if (!refine) (null, null, null, null, null)
+      else {
+        val w0 = pick((hf >> 6) & 3).getOrElse(return None)
+        val h0 = pick((hf >> 8) & 3).getOrElse(return None)
+        val x0 = pick((hf >> 10) & 3).getOrElse(return None)
+        val y0 = pick((hf >> 12) & 3).getOrElse(return None)
+        // BMSIZE selector (bit 14): 0 = standard table B.1, 1 = custom
+        val b0 = if (((hf >> 14) & 1) == 0) B1 else nextCustom().getOrElse(return None)
+        (w0, h0, x0, y0, b0)
+      }
+    val rAt: Array[(Int, Int)] =
+      if (refine && rTemplate == 0) {
+        if (p + 4 > end) return None
+        val a = Array((data(p).toInt, data(p + 1).toInt),
+          (data(p + 2).toInt, data(p + 3).toInt))
+        p += 4
+        a
+      } else Array((0, 0), (0, 0))
+    lazy val grCx = new Array[Int](1 << 13)
+    if (p + 4 > end) return None
     val numInstances = be32(data, p).toInt
     p += 4
     if (numInstances < 0 || numInstances > (1 << 20) || syms.isEmpty) return None
@@ -971,7 +1013,29 @@ object Jbig2 {
           case Value(v) if v >= 0 && v < syms.length => v
           case _ => return None
         }
-        val sym = syms(id)
+        val sym0 = syms(id)
+        // 6.4.11 with SBHUFF=1: RI is one raw bit; deltas + BMSIZE from the
+        // tables, byte-align, fresh MQ decoder over exactly BMSIZE bytes
+        val sym =
+          if (!refine) sym0
+          else if (r.bits(1) == 0) sym0
+          else {
+            val rdw = dec(tRDW).getOrElse(return None)
+            val rdh = dec(tRDH).getOrElse(return None)
+            val rdx = dec(tRDX).getOrElse(return None)
+            val rdy = dec(tRDY).getOrElse(return None)
+            val bmsize = dec(tBMSIZE).getOrElse(return None)
+            r.align()
+            val nw = sym0.w + rdw
+            val nh = sym0.h + rdh
+            if (nw <= 0 || nh <= 0 || nw > MaxSymbolDim || nh > MaxSymbolDim ||
+              bmsize <= 0 || r.pos.toLong + bmsize > end) return None
+            val mq = new MqDecoder(data, r.pos, r.pos + bmsize)
+            val refined = Bitmap(nw, nh, decodeRefinementInto(mq, grCx, nw, nh,
+              rTemplate, sym0, (rdw >> 1) + rdx, (rdh >> 1) + rdy, rAt))
+            r.pos += bmsize
+            refined
+          }
         drawn += sym.w.toLong * sym.h
         if (drawn > 256L * 1024 * 1024 || r.exhausted) return None
         curS = placeSymbol(region, rw, rh, sym, curS, t, transposed, refCorner,

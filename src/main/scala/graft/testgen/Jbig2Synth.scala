@@ -600,11 +600,18 @@ object Jbig2Synth {
 
   private[graft] def segment(number: Int, segType: Int, referred: Seq[Int],
       data: Array[Byte]): Array[Byte] = {
-    require(number <= 255 && referred.forall(_ <= 255) && referred.length <= 4)
-    val out = java.nio.ByteBuffer.allocate(5 + 1 + referred.length + 1 + 4 + data.length)
+    require(number <= 255 && referred.forall(_ <= 255))
+    // 7.2.4: counts above 4 take the long form — 0b111 marker, 29-bit
+    // count, then ceil((count+8)/8) retain-bit bytes (all zero here)
+    val longForm = referred.length > 4
+    val countBytes = if (longForm) 4 + (referred.length + 8) / 8 else 1
+    val out = java.nio.ByteBuffer.allocate(5 + countBytes + referred.length + 1 + 4 + data.length)
     out.putInt(number)
     out.put(segType.toByte) // 1-byte page association
-    out.put((referred.length << 5).toByte) // count + no retain bits
+    if (longForm) {
+      out.putInt((7 << 29) | referred.length)
+      (0 until (referred.length + 8) / 8).foreach(_ => out.put(0.toByte))
+    } else out.put((referred.length << 5).toByte) // count + no retain bits
     referred.foreach(r => out.put(r.toByte))
     out.put(1.toByte) // page association
     out.putInt(data.length)
@@ -1020,8 +1027,18 @@ object Jbig2Synth {
   def encodeTextRegionHuffData(rw: Int, rh: Int,
       glyphs: Seq[Jbig2.Bitmap], instances: Seq[(Int, Int, Int)],
       tFS: Jbig2Huffman.Table, tDS: Jbig2Huffman.Table, tDT: Jbig2Huffman.Table,
-      refCorner: Int = 1, combOp: Int = 0): Array[Byte] = {
+      refCorner: Int = 1, combOp: Int = 0,
+      /** SBREFINE with SBHUFF (6.4.11): original-instance-index → refined
+        * bitmap (those instances carry RI=1; rest RI=0). RDW/RDH/RDX/RDY
+        * share one custom table `tRD`; BMSIZE uses the standard B.1. The
+        * GR statistics persist across instances (matching the decoder);
+        * each refinement is its own flushed MQ codeword segment. TL corner
+        * only (the strip regrouping uses glyph heights). */
+      refines: Map[Int, Jbig2.Bitmap] = Map.empty,
+      tRD: Jbig2Huffman.Table = null, rTemplate: Int = 0): Array[Byte] = {
     require(glyphs.length >= 2, "huffman fixture needs >= 2 symbols")
+    val refine = refines.nonEmpty
+    require(!refine || (tRD != null && (refCorner & 1) == 1))
     val w = new BitWriter
     // symbol-ID codes: all symbols at length L (canonical 0..n-1)
     val symLen = Jbig2.ceilLog2(glyphs.length)
@@ -1032,9 +1049,10 @@ object Jbig2Synth {
     w.align()
     def tOf(inst: (Int, Int, Int)) =
       inst._3 + (if ((refCorner & 1) != 0) 0 else glyphs(inst._1).h - 1)
-    def sOf(inst: (Int, Int, Int)) = inst._2
-    val strips = instances.groupBy(tOf).toSeq.sortBy(_._1)
-      .map { case (t, is) => (t, is.sortBy(_._2)) }
+    val strips = instances.zipWithIndex.groupBy { case (inst, _) => tOf(inst) }
+      .toSeq.sortBy(_._1)
+      .map { case (t, is) => (t, is.sortBy(_._1._2)) }
+    val grCx = new Array[Int](1 << 13)
     encodeHuffValue(w, tDT, Some(0)) // STRIPT init
     var stripT = 0
     var firstS = 0
@@ -1042,8 +1060,8 @@ object Jbig2Synth {
       encodeHuffValue(w, tDT, Some(t - stripT))
       stripT = t
       var curS = 0
-      is.zipWithIndex.foreach { case (inst, k) =>
-        val s = sOf(inst)
+      is.zipWithIndex.foreach { case ((inst, origIdx), k) =>
+        val s = inst._2
         if (k == 0) {
           encodeHuffValue(w, tFS, Some(s - firstS))
           firstS = s
@@ -1054,19 +1072,46 @@ object Jbig2Synth {
         }
         // SBSTRIPS == 1: no CURT bits
         w.bits(inst._1, symLen) // symbol ID at uniform length
-        curS += glyphs(inst._1).w - 1
+        val sym = glyphs(inst._1)
+        val drawn = if (!refine) sym else refines.get(origIdx) match {
+          case None => w.bit(0); sym
+          case Some(r) =>
+            w.bit(1)
+            val rdw = r.w - sym.w
+            val rdh = r.h - sym.h
+            encodeHuffValue(w, tRD, Some(rdw))
+            encodeHuffValue(w, tRD, Some(rdh))
+            encodeHuffValue(w, tRD, Some(-(rdw >> 1))) // net offset 0
+            encodeHuffValue(w, tRD, Some(-(rdh >> 1)))
+            val enc = new MqEncoder
+            encodeRefinementInto(enc, grCx, r.bits, r.w, r.h, rTemplate,
+              sym, 0, 0, NominalRefAt)
+            val seg = enc.flush()
+            encodeHuffValue(w, Jbig2Huffman.B1, Some(seg.length))
+            w.align()
+            seg.foreach(b => w.bits(b & 0xff, 8))
+            r
+        }
+        curS += drawn.w - 1
       }
       encodeHuffValue(w, tDS, None) // OOB terminates the strip
     }
     val body = w.result()
-    // SBHUFF=1, LOGSBSTRIPS=0, refCorner, combOp
-    val flags = 1 | ((refCorner & 3) << 4) | ((combOp & 3) << 7)
-    val hf = 3 | (3 << 2) | (3 << 4) // FS/DS/DT custom, R selectors 0
-    val out = java.nio.ByteBuffer.allocate(17 + 2 + 2 + 4 + body.length)
+    // SBHUFF=1, optional SBREFINE, LOGSBSTRIPS=0, refCorner, combOp
+    val flags = 1 | (if (refine) 2 else 0) | ((refCorner & 3) << 4) |
+      ((combOp & 3) << 7) | (if (refine) (rTemplate & 1) << 15 else 0)
+    // FS/DS/DT custom; refining regions add custom RDW/RDH/RDX/RDY and the
+    // standard-B.1 BMSIZE selector (bit 14 = 0)
+    val hf = 3 | (3 << 2) | (3 << 4) |
+      (if (refine) (3 << 6) | (3 << 8) | (3 << 10) | (3 << 12) else 0)
+    val rAtBytes = if (refine && rTemplate == 0) 4 else 0
+    val out = java.nio.ByteBuffer.allocate(17 + 2 + 2 + rAtBytes + 4 + body.length)
     out.putInt(rw).putInt(rh).putInt(0).putInt(0)
     out.put(0.toByte)
     out.putShort(flags.toShort)
     out.putShort(hf.toShort)
+    if (refine && rTemplate == 0)
+      NominalRefAt.foreach { case (ax, ay) => out.put(ax.toByte).put(ay.toByte) }
     out.putInt(instances.length)
     out.put(body)
     out.array()
@@ -1085,7 +1130,11 @@ object Jbig2Synth {
     * table segments + huffman symbol dictionary + huffman text region. */
   def embeddedHuffTextStream(w: Int, h: Int, glyphs: Seq[Jbig2.Bitmap],
       instances: Seq[(Int, Int, Int)], mmr: Boolean = false,
-      refCorner: Int = 1): Array[Byte] = {
+      refCorner: Int = 1,
+      /** original-instance-index → refined bitmap: SBREFINE with SBHUFF —
+        * RDW/RDH/RDX/RDY ride one custom table referred four times (the
+        * 7.4.3.1.6 consumption order), BMSIZE the standard B.1. */
+      refines: Map[Int, Jbig2.Bitmap] = Map.empty): Array[Byte] = {
     val page = java.nio.ByteBuffer.allocate(19)
       .putInt(w).putInt(h).putInt(0).putInt(0)
       .put(0.toByte).putShort(0.toShort).array()
@@ -1096,13 +1145,27 @@ object Jbig2Synth {
     val exported = glyphs.groupBy(_.h).toSeq.sortBy(_._1).flatMap(_._2.sortBy(_.w))
     val remap = glyphs.map(g => exported.indexWhere(e => e eq g))
     val remapped = instances.map { case (id, x, y) => (remap(id), x, y) }
-    val text = encodeTextRegionHuffData(w, h, exported, remapped, fsT, dsT, dtT, refCorner)
-    segment(0, 48, Nil, page) ++
-      segment(1, 53, Nil, fsB) ++
-      segment(2, 53, Nil, dsB) ++
-      segment(3, 53, Nil, dtB) ++
-      segment(4, 0, Nil, dict) ++
-      segment(5, 6, Seq(4, 1, 2, 3), text)
+    if (refines.isEmpty) {
+      val text = encodeTextRegionHuffData(w, h, exported, remapped, fsT, dsT, dtT, refCorner)
+      segment(0, 48, Nil, page) ++
+        segment(1, 53, Nil, fsB) ++
+        segment(2, 53, Nil, dsB) ++
+        segment(3, 53, Nil, dtB) ++
+        segment(4, 0, Nil, dict) ++
+        segment(5, 6, Seq(4, 1, 2, 3), text)
+    } else {
+      val (rdB, rdT) = encodeTableSegment(-8, 8, Seq((2, 4)),
+        lowerPref = 3, upperPref = 3)
+      val text = encodeTextRegionHuffData(w, h, exported, remapped, fsT, dsT,
+        dtT, refCorner, refines = refines, tRD = rdT)
+      segment(0, 48, Nil, page) ++
+        segment(1, 53, Nil, fsB) ++
+        segment(2, 53, Nil, dsB) ++
+        segment(3, 53, Nil, dtB) ++
+        segment(4, 53, Nil, rdB) ++
+        segment(5, 0, Nil, dict) ++
+        segment(6, 6, Seq(5, 1, 2, 3, 4, 4, 4, 4), text)
+    }
   }
 
   /** PDF-embedded stream: a generic region draws `base`, then a standalone

@@ -146,6 +146,38 @@ class Jbig2HuffmanSpec extends AnyFunSuite {
     assert(out.get.toSeq == expected.toSeq)
   }
 
+  test("huffman + refinement text region (6.4.11 with SBHUFF=1)") {
+    val w = 32
+    val h = 18
+    val glyphs = Seq(
+      Jbig2Synth.glyph(Seq("####", "#..#", "#..#", "####")),
+      Jbig2Synth.glyph(Seq(".##.", "#..#", "#..#", ".##.")))
+    // instance 1 refines to a GROWN 6×6 ring, instance 3 refines to a
+    // same-size inversion — RDW/RDH exercise nonzero and zero deltas
+    val grown = Jbig2Synth.glyph(Seq("######", "#....#", "#.##.#",
+      "#.##.#", "#....#", "######"))
+    val flipped = Jbig2Synth.glyph(Seq("...#", ".##.", ".##.", "#..."))
+    val instances = Seq((0, 2, 2), (1, 10, 2), (0, 18, 2), (1, 4, 10), (0, 14, 10))
+    val refines = Map(1 -> grown, 3 -> flipped)
+    val expected = new Array[Byte](w * h)
+    instances.zipWithIndex.foreach { case ((id, x, y), i) =>
+      val g = refines.getOrElse(i, glyphs(id))
+      for (yy <- 0 until g.h; xx <- 0 until g.w)
+        if (g.bits(yy * g.w + xx) != 0 && y + yy < h && x + xx < w)
+          expected((y + yy) * w + (x + xx)) = 1
+    }
+    val stream = Jbig2Synth.embeddedHuffTextStream(w, h, glyphs, instances,
+      refines = refines)
+    val out = Jbig2.decodeEmbedded(stream, w, h)
+    assert(out.isDefined)
+    assert(out.get.toSeq == expected.toSeq)
+    // the unrefined encoding of the same instances must differ — proof the
+    // refinement lane actually changed pixels
+    val plain = Jbig2.decodeEmbedded(
+      Jbig2Synth.embeddedHuffTextStream(w, h, glyphs, instances), w, h)
+    assert(plain.get.toSeq != expected.toSeq)
+  }
+
   test("degrades, never throws: B.6 selectors, refinement, truncation, mutation") {
     val glyphs = Seq(Jbig2Synth.glyph(Seq("##", "##")), Jbig2Synth.glyph(Seq(".#", "#.")))
     val good = Jbig2Synth.embeddedHuffTextStream(16, 8, glyphs, Seq((0, 1, 1), (1, 6, 3)))
