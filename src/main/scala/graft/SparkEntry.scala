@@ -375,6 +375,14 @@ object SparkEntry {
           graft.testgen.Jbig2Synth.pdfWithJbig2(40, 24, seed = 0, huffman = true)),
         ("synthetic/jbig2ht.pdf",
           graft.testgen.Jbig2Synth.pdfWithJbig2(48, 32, seed = 0, halftone = true)),
+        // the SAME halftone grayscale as one continuous MMR (G4) stream —
+        // lossless lane equality, so the pinned mean matches jbig2ht's
+        ("synthetic/jbig2htmmr.pdf",
+          graft.testgen.Jbig2Synth.pdfWithJbig2(48, 32, seed = 0, halftoneMmr = true)),
+        // huffman text region with two per-instance refinements (6.4.11
+        // with SBHUFF=1) — mean 230 vs the unrefined huffman row's 231
+        ("synthetic/jbig2huffref.pdf",
+          graft.testgen.Jbig2Synth.pdfWithJbig2(40, 24, seed = 0, huffRefine = true)),
         // generic region + type-42 refinement region (REPLACE composition,
         // TPGRON typical prediction) — the refined raster clears a band the
         // base draws, so the pinned mean (174 vs base 158) gates the refine
@@ -1033,6 +1041,8 @@ object SparkEntry {
         | ('jbig2mmr', 0, 'ImJ', 64, 48, 1, 'DeviceGray', 'JBIG2Decode', 64, 48, 3, 158),
         | ('jbig2huff', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 231),
         | ('jbig2ht', 0, 'ImJ', 48, 32, 1, 'DeviceGray', 'JBIG2Decode', 48, 32, 3, 128),
+        | ('jbig2htmmr', 0, 'ImJ', 48, 32, 1, 'DeviceGray', 'JBIG2Decode', 48, 32, 3, 128),
+        | ('jbig2huffref', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 230),
         | ('jbig2refine', 0, 'ImJ', 40, 24, 1, 'DeviceGray', 'JBIG2Decode', 40, 24, 3, 174),
         | ('jpx', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpxrgb', 0, 'ImX', 64, 48, 8, 'DeviceRGB', 'JPXDecode', 64, 48, 3, 108),

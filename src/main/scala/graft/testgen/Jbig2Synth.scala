@@ -800,10 +800,22 @@ object Jbig2Synth {
   def pdfWithJbig2(w: Int, h: Int, seed: Long, symbolCoded: Boolean = false,
       mmr: Boolean = false, globalsSplit: Boolean = false,
       huffman: Boolean = false, halftone: Boolean = false,
-      refine: Boolean = false): Array[Byte] = {
+      refine: Boolean = false, halftoneMmr: Boolean = false,
+      huffRefine: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val (stream, globals) =
-      if (refine) {
+      if (huffRefine) {
+        // the huffman text page with two instances refined (6.4.11 with
+        // SBHUFF=1): one grown ring, one same-size inversion — both shift
+        // the pinned mean away from the unrefined huffman rows'
+        val (glyphs, instances) = textFixture
+        val grown = glyph(Seq("######", "#....#", "#.##.#", "#.##.#",
+          "#....#", "######"))
+        val flipped = glyph(Seq("...#", ".##.", ".##.", "#...", "...."))
+        (embeddedHuffTextStream(w, h, glyphs, instances,
+          refines = Map(1 -> grown, 4 -> flipped)), None)
+      }
+      else if (refine) {
         // generic region + type-42 refinement region (REPLACE, TPGRON):
         // the refined raster clears the top 4 rows to white — a black→white
         // edit only REPLACE composition can express, and one that moves the
@@ -826,8 +838,10 @@ object Jbig2Synth {
         val (glyphs, instances) = textFixture
         (embeddedHuffTextStream(w, h, glyphs, instances, mmr = true), None)
       }
-      else if (halftone) {
-        // pattern dictionary + halftone region over a 4-level gray ramp
+      else if (halftone || halftoneMmr) {
+        // pattern dictionary + halftone region over a 4-level gray ramp —
+        // the MMR variant codes the SAME grayscale as one continuous G4
+        // stream, so its pinned mean must equal the arithmetic row's
         val pats = Seq(
           glyph(Seq("....", "....", "....", "....")),
           glyph(Seq("....", ".##.", ".##.", "....")),
@@ -836,7 +850,8 @@ object Jbig2Synth {
         val hgw = w / 4
         val hgh = h / 4
         val gray = Array.tabulate(hgw * hgh)(i => (i * 5 + i / hgw) % 4)
-        (embeddedHalftoneStream(w, h, pats, gray, hgw, hgh), None)
+        (embeddedHalftoneStream(w, h, pats, gray, hgw, hgh,
+          mmrGray = halftoneMmr), None)
       }
       else if (globalsSplit) { val (g, p) = textStreamWithGlobals(w, h); (p, Some(g)) }
       else if (symbolCoded) (textStream(w, h), None)
