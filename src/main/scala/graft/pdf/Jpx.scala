@@ -74,12 +74,20 @@ package graft.pdf
   * concatenate; a POC whose volumes do not cover every packet rejects
   * (the parse would be ambiguous).
   *
-  * Scope (disclosed): RGN styles other than maxshift (none are defined),
-  * SPrgn above 31 and PPM (relocated packet headers) return None — the
-  * caller keeps the metadata-only row; all six code-block style bits
-  * (which the reference errors on), custom precincts, maxshift ROI, POC,
-  * the full 1..255 subsampling range and arbitrary grid offsets/tile
-  * grids are SUPPORTED. The reference wires its own vendored decoder
+  * PPM (packed packet headers, A.7.4, round 6) decodes: main-header PPM
+  * segments concatenate in Zppm order and split into Nppm-prefixed groups,
+  * one per tile-part in codestream order; each packet's header bits (and
+  * EPH) then come from the tile's packed stream while its codeword-segment
+  * bodies stay in the tile stream. A packed stream that runs dry mid-parse
+  * rejects.
+  *
+  * Scope (disclosed): RGN styles other than maxshift (none are defined by
+  * T.800), SPrgn above 31 (the int magnitude lane) and tile-part-header
+  * marker segments (PPT/PLT/COC-in-tile — the SOT→SOD subset) return
+  * None — the caller keeps the metadata-only row. Everything else
+  * decodes: all six code-block style bits (which the reference errors
+  * on), custom precincts, maxshift ROI, POC, PPM, the full 1..255
+  * subsampling range and arbitrary grid offsets/tile grids. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
   * cross-validated against that decoder on encoder-generated fixtures.
@@ -212,10 +220,16 @@ object Jpx {
     private var buf = 0
     private var cnt = 0
     private var prevFF = false
+    /** set once a bit was served past `end` — a packed-header stream (PPM)
+      * that runs dry mid-parse is malformed, not silently all-zero */
+    var exhausted = false
 
     def bit(): Int = {
       if (cnt == 0) {
-        if (pos >= end) { buf = 0; cnt = if (prevFF) 7 else 8; prevFF = false }
+        if (pos >= end) {
+          buf = 0; cnt = if (prevFF) 7 else 8; prevFF = false
+          exhausted = true
+        }
         else {
           buf = data(pos) & 0xff
           pos += 1
@@ -821,6 +835,8 @@ object Jpx {
     val roiPerComp = scala.collection.mutable.HashMap.empty[Int, Int]
     // POC (A.6.6): progression order changes, main header
     val pocs = scala.collection.mutable.ArrayBuffer.empty[Poc]
+    // PPM (A.7.4): packed packet headers, (Zppm, payload) per segment
+    val ppmChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
     // tile-part data segments in codestream order: (tileIdx, start, end)
     val tileParts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
 
@@ -1010,12 +1026,13 @@ object Jpx {
                 pocs += Poc(rs, cs0, lye, re, ce, pp)
                 q = q2 + 1
               }
-            // PPM moves the packet headers out of the tile bodies —
-            // skipping it would misparse the bodies (silently wrong
-            // pixels), so it rejects per the module contract. (PPT/PLT
-            // live in tile-part headers, which the SOT→SOD subset check
-            // already bounds; TLM/PLM/COM/CRG are pure metadata — safe.)
-            case 0xff60 => return None // PPM: out of subset
+            case 0xff60 => // PPM (A.7.4): packed packet headers, round 6
+              if (len < 3) return None
+              val z = data(p + 2) & 0xff
+              ppmChunks += ((z,
+                java.util.Arrays.copyOfRange(data, p + 3, segEnd)))
+            // (PPT/PLT live in tile-part headers, which the SOT→SOD subset
+            // check already bounds; TLM/PLM/COM/CRG are pure metadata.)
             case _ => () // COM, TLM, PLM, CRG ... skipped
           }
           p = marker match {
@@ -1060,8 +1077,29 @@ object Jpx {
     val compH = Array.tabulate(siz.comps)(c => ceilDiv(siz.h, siz.yr(c)) - compY0(c))
     val planes = Array.tabulate(siz.comps)(c => new Array[Int](compW(c) * compH(c)))
 
-    // group tile-part segments by tile (in order)
-    val byTile = tileParts.groupBy(_._1)
+    // PPM (A.7.4): concatenate segment payloads in Zppm order, split into
+    // Nppm-prefixed per-tile-part groups (groups may span segment
+    // boundaries), and assign group k to the k-th tile-part in codestream
+    // order; a tile's packed headers are its parts' groups concatenated
+    val ppmByPart: Array[Array[Byte]] =
+      if (ppmChunks.isEmpty) null
+      else {
+        val all = ppmChunks.sortBy(_._1).toArray.flatMap(_._2)
+        val groups = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var q = 0
+        while (q + 4 <= all.length && groups.length < tileParts.length) {
+          val n = u32(all, q).toInt
+          if (n < 0 || q + 4 + n > all.length) return None
+          groups += java.util.Arrays.copyOfRange(all, q + 4, q + 4 + n)
+          q += 4 + n
+        }
+        if (groups.length < tileParts.length) return None
+        groups.toArray
+      }
+
+    // group tile-part segments by tile (in order, keeping each part's
+    // codestream ordinal for the PPM group mapping)
+    val byTile = tileParts.zipWithIndex.groupBy(_._1._1)
 
     var ti = 0
     while (ti < numXTiles * numYTiles) {
@@ -1071,10 +1109,19 @@ object Jpx {
       val ty0 = math.max(siz.yto + py * siz.yt, siz.y0)
       val tx1 = math.min(siz.xto + (px + 1) * siz.xt, siz.w)
       val ty1 = math.min(siz.yto + (py + 1) * siz.yt, siz.h)
-      val parts = byTile.getOrElse(ti, scala.collection.mutable.ArrayBuffer.empty)
+      val parts = byTile.getOrElse(ti,
+        scala.collection.mutable.ArrayBuffer.empty[((Int, Int, Int), Int)])
       if (parts.nonEmpty && tx1 > tx0 && ty1 > ty0) {
-        decodeTile(data, parts.map(t => (t._2, t._3)).toSeq, siz, cod, codPerComp,
-          qcd, qcdPerComp, roiPerComp, pocs.toSeq, tx0, ty0, tx1, ty1) match {
+        val ppmHdr: Array[Byte] =
+          if (ppmByPart == null) null
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            parts.foreach { case (_, ord) => bos.write(ppmByPart(ord)) }
+            bos.toByteArray
+          }
+        decodeTile(data, parts.map { case (t, _) => (t._2, t._3) }.toSeq,
+          siz, cod, codPerComp,
+          qcd, qcdPerComp, roiPerComp, pocs.toSeq, ppmHdr, tx0, ty0, tx1, ty1) match {
           case Some(tilePlanes) =>
             var c = 0
             while (c < siz.comps) {
@@ -1108,6 +1155,8 @@ object Jpx {
       siz: Siz, codG: Cod, codPerComp: collection.Map[Int, Cod],
       qcdG: Qcd, qcdPerComp: collection.Map[Int, Qcd],
       roiPerComp: collection.Map[Int, Int], pocs: Seq[Poc],
+      /** PPM packed packet headers for this tile (null = headers inline) */
+      ppmHdr: Array[Byte],
       tx0: Int, ty0: Int, tx1: Int, ty1: Int): Option[Array[Array[Int]]] = {
 
     // per-component resolution/band/code-block geometry
@@ -1235,11 +1284,17 @@ object Jpx {
       }
 
     val br = new PacketBitReader(stream, sStart, sEnd)
+    val ppmReader =
+      if (ppmHdr == null) null
+      else new PacketBitReader(ppmHdr, 0, ppmHdr.length)
     var ok = true
     var oi = 0
     while (ok && oi < order.length) {
       val (c, r, p, l) = order(oi)
-      ok = parsePacket(br, stream, sEnd, resolutions(c)(r), compCod(c), l, p)
+      ok = parsePacket(br, stream, sEnd, resolutions(c)(r), compCod(c), l, p,
+        ppmReader, ppmHdr)
+      // a packed-header stream running dry mid-parse is malformed
+      if (ppmReader != null && ppmReader.exhausted) ok = false
       oi += 1
     }
     if (!ok) return None
@@ -1454,15 +1509,21 @@ object Jpx {
   }
 
   /** Parse one packet for (resolution, precinct, layer).
-    * Mutates code-block states; returns false on malformed input. */
+    * Mutates code-block states; returns false on malformed input. With PPM
+    * (round 6) the header bits — and any EPH — come from the tile's packed
+    * header stream (`ppm`/`ppmData`) while the codeword-segment bodies stay
+    * in the tile stream, consumed from `br.pos`. */
   private def parsePacket(br: PacketBitReader, data: Array[Byte], end: Int,
-      res: Resolution, cod: Cod, layer: Int, prec: Int): Boolean = {
-    // SOP marker segment (A.8.1) if signalled
+      res: Resolution, cod: Cod, layer: Int, prec: Int,
+      ppm: PacketBitReader = null, ppmData: Array[Byte] = null): Boolean = {
+    // SOP marker segment (A.8.1) if signalled — always in the tile stream
     if (cod.sop && br.pos + 6 <= end &&
       (data(br.pos) & 0xff) == 0xff && (data(br.pos + 1) & 0xff) == 0x91) {
       br.pos += 6
     }
-    val hdr = new PacketBitReader(data, br.pos, end)
+    val hdr = if (ppm != null) ppm else new PacketBitReader(data, br.pos, end)
+    val hdrData = if (ppm != null) ppmData else data
+    val hdrEnd = if (ppm != null) ppmData.length else end
     // (block, passes, byte length, codeword-segment index) per piece
     val contributions = scala.collection.mutable.ArrayBuffer.empty[(CodeBlock, Int, Int, Int)]
     if (hdr.bit() == 0) {
@@ -1534,10 +1595,13 @@ object Jpx {
       }
       hdr.align()
     }
-    var pos = hdr.pos
-    // EPH marker after the header if signalled
-    if (cod.eph && pos + 2 <= end &&
-      (data(pos) & 0xff) == 0xff && (data(pos + 1) & 0xff) == 0x92) pos += 2
+    // EPH marker after the header if signalled — in the HEADER stream
+    if (cod.eph && hdr.pos + 2 <= hdrEnd &&
+      (hdrData(hdr.pos) & 0xff) == 0xff && (hdrData(hdr.pos + 1) & 0xff) == 0x92)
+      hdr.pos += 2
+    // codeword-segment bodies: directly after the inline header, or at the
+    // tile stream's cursor when the header came packed (PPM)
+    var pos = if (ppm != null) br.pos else hdr.pos
     var ci = 0
     while (ci < contributions.length) {
       val (blk, passes, segLen, segIdx) = contributions(ci)

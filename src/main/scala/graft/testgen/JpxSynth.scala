@@ -549,7 +549,11 @@ object JpxSynth {
         * `prog` and packets are sequenced volume by volume (each volume's
         * not-yet-emitted packets in its own order). The volumes must cover
         * every packet. */
-      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): Array[Byte] = {
+      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
+      /** PPM (A.7.4): packet headers packed into main-header PPM segments
+        * (one Nppm group per tile), tile bodies carrying only the codeword
+        * segments (plus SOP markers when signalled). */
+      ppm: Boolean = false): Array[Byte] = {
     require(roi.isEmpty || reversible, "maxshift ROI: reversible streams only")
     require(prog >= 0 && prog <= 4)
     require(xOff >= 0 && yOff >= 0 && xtOff >= 0 && ytOff >= 0 &&
@@ -759,10 +763,13 @@ object JpxSynth {
       }
     }
 
-    // tiles
+    // tiles — with PPM the packet headers collect into one group per tile
+    // (one tile-part each here), emitted as main-header PPM segments
+    val tileSections = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
     var ti = 0
     while (ti < numYT * numXT) {
       val body = new java.io.ByteArrayOutputStream()
+      val hdrBuf = new java.io.ByteArrayOutputStream()
       val tpx = ti % numXT
       val tpy = ti / numXT
       val ttx0 = math.max(xtOff + tpx * xt, xOff)
@@ -826,20 +833,44 @@ object JpxSynth {
       var seq = 0 // packet sequence number for SOP segments
       order.foreach { case (c, r, p, l) =>
         if (sop) {
-          // SOP marker segment (A.8.1): FF91 Lsop=4 Nsop
+          // SOP marker segment (A.8.1): FF91 Lsop=4 Nsop — tile stream
           body.write(0xff); body.write(0x91)
           body.write(0); body.write(4)
           body.write((seq >> 8) & 0xff); body.write(seq & 0xff)
           seq = (seq + 1) & 0xffff
         }
-        body.write(emitPacket(plans(c)(r), l, layers, eph, p))
+        val (hdrB, bodB) = emitPacket(plans(c)(r), l, layers, eph, p)
+        if (ppm) { hdrBuf.write(hdrB); body.write(bodB) }
+        else { body.write(hdrB); body.write(bodB) }
       }
-      val bodyBytes = body.toByteArray
+      tileSections += ((hdrBuf.toByteArray, body.toByteArray))
+      ti += 1
+    }
+    if (ppm) {
+      // PPM segments (A.7.4): Nppm-prefixed group per tile-part, chunked
+      // across segments with incrementing Zppm under the 16-bit Lppm cap
+      val all = new java.io.ByteArrayOutputStream()
+      tileSections.foreach { case (hdrB, _) =>
+        all.write(hdrB.length >>> 24); all.write((hdrB.length >>> 16) & 0xff)
+        all.write((hdrB.length >>> 8) & 0xff); all.write(hdrB.length & 0xff)
+        all.write(hdrB)
+      }
+      val bytes = all.toByteArray
+      var off = 0
+      var z = 0
+      while (off < bytes.length || z == 0) {
+        val take = math.min(60000, bytes.length - off)
+        w16(0xff60); w16(3 + take); w8(z)
+        bos.write(bytes, off, take)
+        off += take
+        z += 1
+      }
+    }
+    tileSections.zipWithIndex.foreach { case ((_, bodyBytes), idx) =>
       // SOT
-      w16(0xff90); w16(10); w16(ti); w32(12 + 2 + bodyBytes.length); w8(0); w8(1)
+      w16(0xff90); w16(10); w16(idx); w32(12 + 2 + bodyBytes.length); w8(0); w8(1)
       w16(0xff93)
       bos.write(bodyBytes)
-      ti += 1
     }
     w16(0xffd9) // EOC
     bos.toByteArray
@@ -989,8 +1020,11 @@ object JpxSynth {
   /** One packet for (resolution plan, precinct, layer): first-inclusion via
     * the precinct's tag tree, re-inclusion via one bit, fair pass/byte split
     * across layers. */
+  /** Emit one packet, returning (header bytes incl. any EPH, body bytes) —
+    * concatenated for inline headers, split across the PPM stream and the
+    * tile body when packed headers are in use. */
   private def emitPacket(plan: ResPlan, layer: Int, layers: Int,
-      eph: Boolean = false, prec: Int = 0): Array[Byte] = {
+      eph: Boolean = false, prec: Int = 0): (Array[Byte], Array[Byte]) = {
     // a block's layer share: passes split evenly by cumulative targets;
     // bytes are computed per codeword-segment piece at emission
     def layerShare(b: BlkState): Int = {
@@ -1015,7 +1049,7 @@ object JpxSynth {
       val out0 = new java.io.ByteArrayOutputStream()
       out0.write(bw.toArray)
       if (eph) { out0.write(0xff); out0.write(0x92) }
-      return out0.toByteArray
+      return (out0.toByteArray, Array.empty[Byte])
     }
     bw.bit(1)
     plan.perBand.zipWithIndex.foreach { case ((blocks, nx, _), bi) =>
@@ -1096,8 +1130,9 @@ object JpxSynth {
     val out = new java.io.ByteArrayOutputStream()
     out.write(bw.toArray)
     if (eph) { out.write(0xff); out.write(0x92) } // end-of-packet-header
-    segments.foreach { case (d, off, len) => out.write(d, off, len) }
-    out.toByteArray
+    val bod = new java.io.ByteArrayOutputStream()
+    segments.foreach { case (d, off, len) => bod.write(d, off, len) }
+    (out.toByteArray, bod.toByteArray)
   }
 
   /** Wrap a raw codestream in the minimal JP2 box set (signature, ftyp,

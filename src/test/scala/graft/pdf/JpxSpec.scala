@@ -74,6 +74,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * bit-exact full-codestream round-trips (odd image origins, tile sizes no
   * power of two divides, subsampled tiles off the XRsiz·2^levels grid).
   *
+  * PPM/POC likewise CANNOT be cross-validated — the vendored decoder
+  * throws 'Unknown codestream code' on both markers — and are gated by
+  * bit-exact round-trips (PPM × multi-tile × SOP/EPH × precincts × POC)
+  * plus dry-packed-stream reject tests.
+  *
   * Maxshift ROI (RGN) CANNOT be cross-validated there — the vendored
   * decoder throws 'Unknown codestream code' on 0xFF5E
   * (pdf.combined.js:11054-11056), so the ROI lane is beyond-parity; its
@@ -631,10 +636,60 @@ class JpxSpec extends AnyFunSuite {
     // complete POCs decode (see the POC round-trip test)
     val poc = Array[Byte](0xff.toByte, 0x5f, 0, 9, 0, 0, 0, 1, 2, 1, 0)
     assert(Jpx.decode(cs.take(codEnd) ++ poc ++ cs.drop(codEnd)).isEmpty)
-    // PPM relocates packet headers out of the tile bodies — silently
-    // skipping it would misparse them, so it must reject
+    // a PPM whose packed headers run dry (here: an empty Nppm group spliced
+    // onto an inline-headed stream) is malformed — the reader exhausts on
+    // the first packet and the decode rejects rather than emit zeros
     val ppm = Array[Byte](0xff.toByte, 0x60, 0, 7, 0, 0, 0, 0, 0)
     assert(Jpx.decode(cs.take(codEnd) ++ ppm ++ cs.drop(codEnd)).isEmpty)
+  }
+
+  test("PPM packed packet headers round-trip (single- and multi-tile)") {
+    val (w, h) = (64, 48)
+    val px = JpxSynth.testGray(w, h, 2)
+    // single tile, headers in one main-header PPM group
+    val cs = JpxSynth.encode(Array(px), w, h, 8, 2, ppm = true)
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    assert(out.get.planes(0).toSeq == px.toSeq)
+    assert(findMarker(cs, 0xff60) > 0, "PPM marker present")
+    // multi-tile: one Nppm group per tile-part, consumed in codestream order
+    val px2 = JpxSynth.testGray(100, 70, 8)
+    val csMt = JpxSynth.encode(Array(px2), 100, 70, 8, 2, cbExp = 4,
+      tileW = 37, tileH = 29, ppm = true)
+    val dMt = Jpx.decode(csMt)
+    assert(dMt.isDefined, "ppm multi-tile")
+    assert(dMt.get.planes(0).toSeq == px2.toSeq, "ppm multi-tile")
+    // PPM composes with multi-layer RGB + RCT, SOP in the body stream and
+    // EPH inside the packed headers
+    val rgb = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 4),
+      JpxSynth.testGray(w, h, 9))
+    val csR = JpxSynth.encode(rgb, w, h, 8, 2, mct = 1, layers = 2,
+      sop = true, eph = true, ppm = true)
+    val dR = Jpx.decode(csR)
+    assert(dR.isDefined, "ppm+sop+eph")
+    for (c <- 0 until 3)
+      assert(dR.get.planes(c).toSeq == rgb(c).toSeq, s"ppm rgb c$c")
+    // packed headers + custom precincts + POC, the full composition
+    val csP = JpxSynth.encode(Array(px), w, h, 8, 2, cbExp = 4,
+      precSizes = Seq(0x44, 0x44, 0x55), ppm = true,
+      poc = Seq((0, 0, 1, 1, 1, 0), (0, 0, 1, 3, 1, 2)))
+    val dP = Jpx.decode(csP)
+    assert(dP.isDefined, "ppm+precincts+poc")
+    assert(dP.get.planes(0).toSeq == px.toSeq, "ppm+precincts+poc")
+    // an undersized packed-header stream rejects (the reader running dry
+    // mid-parse is detectable malformation)...
+    val at = findMarker(cs, 0xff60)
+    val segLen = u16(cs, at + 2)
+    val starved = cs.clone()
+    // shrink the first group's Nppm to 1: headers exhaust on packet one
+    starved(at + 5) = 0; starved(at + 6) = 0; starved(at + 7) = 0; starved(at + 8) = 1
+    assert(Jpx.decode(starved).isEmpty, "dry packed headers must reject")
+    // ...while REMOVING the PPM leaves tile bodies that parse as inline
+    // headers — header corruption, bounded by the fuzz contract (empty or
+    // dims-ok, and certainly not the original pixels)
+    val gutted = cs.take(at) ++ cs.drop(at + 2 + segLen)
+    val g = Jpx.decode(gutted)
+    assert(g.isEmpty || g.get.planes(0).toSeq != px.toSeq)
   }
 
   test("POC progression volumes round-trip and override the COD order") {
