@@ -74,19 +74,22 @@ package graft.pdf
   * concatenate; a POC whose volumes do not cover every packet rejects
   * (the parse would be ambiguous).
   *
-  * PPM (packed packet headers, A.7.4, round 6) decodes: main-header PPM
-  * segments concatenate in Zppm order and split into Nppm-prefixed groups,
-  * one per tile-part in codestream order; each packet's header bits (and
-  * EPH) then come from the tile's packed stream while its codeword-segment
-  * bodies stay in the tile stream. A packed stream that runs dry mid-parse
-  * rejects.
+  * Packed packet headers decode in BOTH forms (round 6): PPM (A.7.4) —
+  * main-header segments concatenated in Zppm order, split into
+  * Nppm-prefixed groups, one per tile-part in codestream order — and PPT
+  * (A.7.5) — tile-part-header segments concatenated per tile in (part,
+  * Zppt) order (PLT/COM tile-header markers are skipped as metadata).
+  * Each packet's header bits (and EPH) then come from the tile's packed
+  * stream while its codeword-segment bodies stay in the tile stream. A
+  * packed stream that runs dry mid-parse rejects, as does a stream
+  * carrying both PPM and PPT (A.7.4's exclusivity).
   *
   * Scope (disclosed): RGN styles other than maxshift (none are defined by
-  * T.800), SPrgn above 31 (the int magnitude lane) and tile-part-header
-  * marker segments (PPT/PLT/COC-in-tile — the SOT→SOD subset) return
+  * T.800), SPrgn above 31 (the int magnitude lane) and per-tile coding
+  * overrides (COD/COC/QCD/QCC/RGN/POC inside tile-part headers) return
   * None — the caller keeps the metadata-only row. Everything else
   * decodes: all six code-block style bits (which the reference errors
-  * on), custom precincts, maxshift ROI, POC, PPM, the full 1..255
+  * on), custom precincts, maxshift ROI, POC, PPM, PPT, the full 1..255
   * subsampling range and arbitrary grid offsets/tile grids. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
@@ -837,6 +840,8 @@ object Jpx {
     val pocs = scala.collection.mutable.ArrayBuffer.empty[Poc]
     // PPM (A.7.4): packed packet headers, (Zppm, payload) per segment
     val ppmChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    // PPT (A.7.5): per-tile-part packed headers, (part ordinal, Zppt, bytes)
+    val pptChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Byte])]
     // tile-part data segments in codestream order: (tileIdx, start, end)
     val tileParts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
 
@@ -1001,10 +1006,32 @@ object Jpx {
                 if (csEnd - 2 >= p && u16(data, csEnd - 2) == 0xffd9) csEnd - 2 else csEnd
               } else p - 2 + psot0
               if (tpEnd > csEnd) return None
-              // SOD must follow (possibly after tile-part header markers —
-              // subset: none)
-              if (u16(data, segEnd) != 0xff93) return None
-              tileParts += ((tileIdx, segEnd + 2, tpEnd))
+              // tile-part header markers between SOT and SOD (round 6):
+              // PPT collects this part's packed packet headers, PLT/COM are
+              // metadata; per-tile coding overrides (COD/COC/QCD/QCC/RGN/
+              // POC-in-tile) remain out of subset
+              var tp = segEnd
+              var sod = -1
+              while (sod < 0) {
+                if (tp + 2 > tpEnd) return None
+                u16(data, tp) match {
+                  case 0xff93 => sod = tp + 2
+                  case m =>
+                    if (tp + 4 > tpEnd) return None
+                    val l = u16(data, tp + 2)
+                    if (l < 2 || tp + 2 + l > tpEnd) return None
+                    m match {
+                      case 0xff61 => // PPT: Zppt + packed header bytes
+                        if (l < 3) return None
+                        pptChunks += ((tileParts.length, data(tp + 4) & 0xff,
+                          java.util.Arrays.copyOfRange(data, tp + 5, tp + 2 + l)))
+                      case 0xff58 | 0xff64 => () // PLT / COM: skipped
+                      case _ => return None // per-tile coding overrides
+                    }
+                    tp += 2 + l
+                }
+              }
+              tileParts += ((tileIdx, sod, tpEnd))
             case 0xff5f => // POC (A.6.6): progression order changes
               if (siz == null) return None
               val entry = if (siz.comps < 257) 7 else 9
@@ -1096,6 +1123,7 @@ object Jpx {
         if (groups.length < tileParts.length) return None
         groups.toArray
       }
+    if (ppmByPart != null && pptChunks.nonEmpty) return None // A.7.4: exclusive
 
     // group tile-part segments by tile (in order, keeping each part's
     // codestream ordinal for the PPM group mapping)
@@ -1113,12 +1141,21 @@ object Jpx {
         scala.collection.mutable.ArrayBuffer.empty[((Int, Int, Int), Int)])
       if (parts.nonEmpty && tx1 > tx0 && ty1 > ty0) {
         val ppmHdr: Array[Byte] =
-          if (ppmByPart == null) null
-          else {
+          if (ppmByPart != null) {
             val bos = new java.io.ByteArrayOutputStream()
             parts.foreach { case (_, ord) => bos.write(ppmByPart(ord)) }
             bos.toByteArray
-          }
+          } else if (pptChunks.nonEmpty) {
+            // PPT: this tile's chunks in (part ordinal, Zppt) order
+            val ords = parts.map(_._2).toSet
+            val sel = pptChunks.filter(c => ords(c._1)).sortBy(c => (c._1, c._2))
+            if (sel.isEmpty) null
+            else {
+              val bos = new java.io.ByteArrayOutputStream()
+              sel.foreach(c => bos.write(c._3))
+              bos.toByteArray
+            }
+          } else null
         decodeTile(data, parts.map { case (t, _) => (t._2, t._3) }.toSeq,
           siz, cod, codPerComp,
           qcd, qcdPerComp, roiPerComp, pocs.toSeq, ppmHdr, tx0, ty0, tx1, ty1) match {

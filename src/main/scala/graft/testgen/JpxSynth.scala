@@ -553,7 +553,11 @@ object JpxSynth {
       /** PPM (A.7.4): packet headers packed into main-header PPM segments
         * (one Nppm group per tile), tile bodies carrying only the codeword
         * segments (plus SOP markers when signalled). */
-      ppm: Boolean = false): Array[Byte] = {
+      ppm: Boolean = false,
+      /** PPT (A.7.5): packet headers packed into tile-part-header PPT
+        * segments instead — mutually exclusive with `ppm`. */
+      ppt: Boolean = false): Array[Byte] = {
+    require(!(ppm && ppt), "PPM and PPT are mutually exclusive (A.7.4)")
     require(roi.isEmpty || reversible, "maxshift ROI: reversible streams only")
     require(prog >= 0 && prog <= 4)
     require(xOff >= 0 && yOff >= 0 && xtOff >= 0 && ytOff >= 0 &&
@@ -840,7 +844,7 @@ object JpxSynth {
           seq = (seq + 1) & 0xffff
         }
         val (hdrB, bodB) = emitPacket(plans(c)(r), l, layers, eph, p)
-        if (ppm) { hdrBuf.write(hdrB); body.write(bodB) }
+        if (ppm || ppt) { hdrBuf.write(hdrB); body.write(bodB) }
         else { body.write(hdrB); body.write(bodB) }
       }
       tileSections += ((hdrBuf.toByteArray, body.toByteArray))
@@ -866,11 +870,34 @@ object JpxSynth {
         z += 1
       }
     }
-    tileSections.zipWithIndex.foreach { case ((_, bodyBytes), idx) =>
-      // SOT
-      w16(0xff90); w16(10); w16(idx); w32(12 + 2 + bodyBytes.length); w8(0); w8(1)
-      w16(0xff93)
-      bos.write(bodyBytes)
+    tileSections.zipWithIndex.foreach { case ((hdrB, bodyBytes), idx) =>
+      if (ppt) {
+        // PPT segments in this tile-part's header, chunked under Lppt's cap
+        val pptBytes = new java.io.ByteArrayOutputStream()
+        var off = 0
+        var z = 0
+        while (off < hdrB.length || z == 0) {
+          val take = math.min(60000, hdrB.length - off)
+          pptBytes.write(0xff); pptBytes.write(0x61)
+          pptBytes.write(((3 + take) >> 8) & 0xff); pptBytes.write((3 + take) & 0xff)
+          pptBytes.write(z)
+          pptBytes.write(hdrB, off, take)
+          off += take
+          z += 1
+        }
+        val pb = pptBytes.toByteArray
+        // SOT (Psot spans the PPT segments too)
+        w16(0xff90); w16(10); w16(idx)
+        w32(12 + pb.length + 2 + bodyBytes.length); w8(0); w8(1)
+        bos.write(pb)
+        w16(0xff93)
+        bos.write(bodyBytes)
+      } else {
+        // SOT
+        w16(0xff90); w16(10); w16(idx); w32(12 + 2 + bodyBytes.length); w8(0); w8(1)
+        w16(0xff93)
+        bos.write(bodyBytes)
+      }
     }
     w16(0xffd9) // EOC
     bos.toByteArray

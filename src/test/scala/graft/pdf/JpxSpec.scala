@@ -74,10 +74,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * bit-exact full-codestream round-trips (odd image origins, tile sizes no
   * power of two divides, subsampled tiles off the XRsiz·2^levels grid).
   *
-  * PPM/POC likewise CANNOT be cross-validated — the vendored decoder
-  * throws 'Unknown codestream code' on both markers — and are gated by
-  * bit-exact round-trips (PPM × multi-tile × SOP/EPH × precincts × POC)
-  * plus dry-packed-stream reject tests.
+  * PPM/PPT/POC likewise CANNOT be cross-validated — the vendored decoder
+  * throws 'Unknown codestream code' on all three markers — and are gated
+  * by bit-exact round-trips (PPM/PPT × multi-tile × SOP/EPH × precincts ×
+  * POC) plus dry-packed-stream, PPM+PPT-exclusivity and tile-header-COD
+  * reject tests.
   *
   * Maxshift ROI (RGN) CANNOT be cross-validated there — the vendored
   * decoder throws 'Unknown codestream code' on 0xFF5E
@@ -690,6 +691,45 @@ class JpxSpec extends AnyFunSuite {
     val gutted = cs.take(at) ++ cs.drop(at + 2 + segLen)
     val g = Jpx.decode(gutted)
     assert(g.isEmpty || g.get.planes(0).toSeq != px.toSeq)
+  }
+
+  test("PPT tile-part packed headers round-trip; PPM+PPT rejects") {
+    val (w, h) = (64, 48)
+    val px = JpxSynth.testGray(w, h, 2)
+    val cs = JpxSynth.encode(Array(px), w, h, 8, 2, ppt = true)
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    assert(out.get.planes(0).toSeq == px.toSeq)
+    // multi-tile: each tile-part carries its own PPT segments
+    val px2 = JpxSynth.testGray(100, 70, 8)
+    val csMt = JpxSynth.encode(Array(px2), 100, 70, 8, 2, cbExp = 4,
+      tileW = 64, tileH = 64, ppt = true)
+    val dMt = Jpx.decode(csMt)
+    assert(dMt.isDefined, "ppt multi-tile")
+    assert(dMt.get.planes(0).toSeq == px2.toSeq, "ppt multi-tile")
+    // multi-layer RGB with EPH inside the tile-packed headers
+    val rgb = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 4),
+      JpxSynth.testGray(w, h, 9))
+    val csR = JpxSynth.encode(rgb, w, h, 8, 2, mct = 1, layers = 2,
+      eph = true, ppt = true)
+    val dR = Jpx.decode(csR)
+    assert(dR.isDefined, "ppt rgb")
+    for (c <- 0 until 3)
+      assert(dR.get.planes(c).toSeq == rgb(c).toSeq, s"ppt rgb c$c")
+    // PPM and PPT together are A.7.4-illegal: splice the PPM stream's
+    // main-header PPM segment into the PPT stream → reject
+    val csPpm = JpxSynth.encode(Array(px), w, h, 8, 2, ppm = true)
+    val pmAt = findMarker(csPpm, 0xff60)
+    val pmLen = 2 + u16(csPpm, pmAt + 2)
+    val ptAt = findMarker(cs, 0xff90) // splice before the first SOT
+    val both = cs.take(ptAt) ++ csPpm.slice(pmAt, pmAt + pmLen) ++ cs.drop(ptAt)
+    assert(Jpx.decode(both).isEmpty, "PPM + PPT must reject")
+    // an unknown tile-part-header marker (per-tile COD override) rejects
+    val codAt = findMarker(cs, 0xff52)
+    val codLen = 2 + u16(cs, codAt + 2)
+    val sotHdrEnd = ptAt + 12 // SOT marker + Lsot(10) bytes
+    val tileCod = cs.take(sotHdrEnd) ++ cs.slice(codAt, codAt + codLen) ++ cs.drop(sotHdrEnd)
+    assert(Jpx.decode(tileCod).isEmpty, "tile-header COD must reject")
   }
 
   test("POC progression volumes round-trip and override the COD order") {
