@@ -843,7 +843,7 @@ object Jbig2 {
     val gray = new Array[Int](hgw * hgh)
     val prevBit = new Array[Byte](hgw * hgh)
     val mmrPlanes: Array[Byte] =
-      if (!mmr) null
+      if (!mmr || bits == 0) null // single-pattern grids carry no planes
       else decodeMmr(data, p, end, hgw, hgh * bits).getOrElse(return None)
     val mq = if (mmr) null else new MqDecoder(data, p, end)
     val cx = if (mmr) null else new Array[Int](1 << 16)

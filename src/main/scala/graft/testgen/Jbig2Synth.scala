@@ -1305,7 +1305,8 @@ object Jbig2Synth {
       plane
     }
     val body: Array[Byte] =
-      if (mmrGray) {
+      if (bits == 0) Array.emptyByteArray // single pattern: no bitplanes
+      else if (mmrGray) {
         // all planes MSB-first as one tall G4 bitmap → one continuous stream
         val tall = new Array[Byte](hgw * hgh * bits)
         var j = bits - 1

@@ -152,6 +152,24 @@ class Jbig2HalftoneSpec extends AnyFunSuite {
     assert(Jbig2.decodeEmbedded(plain, w, h).get.toSeq == expected.toSeq)
   }
 
+  test("single-pattern grids carry zero bitplanes on both lanes") {
+    // one pattern → ceil(log2(1)) = 0 planes: nothing to decode, the grid
+    // stamps pattern 0 everywhere (both the arithmetic and MMR flag paths)
+    val (w, h) = (24, 12)
+    val one = Seq(pats(2))
+    val gray = Array.fill(6 * 3)(0)
+    // expectedPage resolves ids against the 4-entry spec fixture, where
+    // index 2 is the same bitmap as one(0)
+    val expected = expectedPage(w, h, Array.fill(6 * 3)(2), 6, 3, 0, 0, 6 << 8, 0)
+    for (mmr <- Seq(false, true)) {
+      val stream = Jbig2Synth.embeddedHalftoneStream(w, h, one, gray, 6, 3,
+        mmrGray = mmr)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.isDefined, s"mmr=$mmr")
+      assert(out.get.toSeq == expected.toSeq, s"mmr=$mmr")
+    }
+  }
+
   test("degrades, never throws: truncation, mutation") {
     val (w, h) = (36, 30)
     val gray = Array.tabulate(30)(_ % 4)
