@@ -283,6 +283,74 @@ object SparkEntry {
         .select(col("paper"), col("page"), col("n_items"), col("n_styles"),
           md5(col("names")).as("names_md5"), md5(col("canon")).as("styles_md5"))
     }),
+    "q65_pdf_outline" -> ((s, dir) => {
+      // the getOutline surface (reference Catalog.readDocumentOutline,
+      // pdf.combined.js:42605-42679; round 6): per corpus PDF, the outline
+      // (bookmark) tree flattened pre-order — title, rendered destination,
+      // url, rgb color, bold/italic flags, raw /Count and the destination's
+      // 0-based page (resolved through getDestinations + the page-tree ref
+      // map). Literals below were cross-checked item-for-item against
+      // fixtures the vendored engine itself produced (getOutline +
+      // getPageIndex under node — OutlineParitySpec gates the full surface
+      // including all 349 named destinations). Papers without an outline
+      // emit the (-1, -1) sentinel, the reference's null. A synthetic doc
+      // adds the url-action and flags/color lanes the corpus lacks.
+      import s.implicits._
+      val _ = dir
+      val synthetic = s.createDataset(Seq(
+        ("synthetic/outline_url.pdf", graft.testgen.Synth.pdfWithCatalogExtra(2,
+          "/Outlines 5 0 R", Seq(
+            "<< /First 6 0 R /Last 7 0 R >>",
+            "<< /Title (Site) /F 3 /C [0 0.5 1] /A << /S /URI /URI (https://example.org/p) >> /Next 7 0 R >>",
+            "<< /Title (Here) /Dest [4 0 R /XYZ 10 20 null] >>")))))
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .union(synthetic)
+        .flatMap { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          val doc = graft.pdf.PdfDocument.open(bytes)
+          doc.outline match {
+            case Some(items) =>
+              items.flatMap(_.flatten(0)).zipWithIndex.map { case ((depth, it), ord) =>
+                (paper, ord, depth, it.title, it.dest.getOrElse(""),
+                  it.url.getOrElse(""), s"${it.colorR},${it.colorG},${it.colorB}",
+                  it.count.map(graft.pdf.PdfDocument.jsNum).getOrElse(""),
+                  it.bold, it.italic, it.destPage.getOrElse(-1))
+              }
+            case None => Seq((paper, -1, -1, "", "", "", "", "", false, false, -1))
+          }
+        }
+        .toDF("paper", "ord", "depth", "title", "dest", "url", "color",
+          "cnt", "bold", "italic", "dest_page")
+    }),
+    "q66_named_dests" -> ((s, dir) => {
+      // the getDestinations surface (reference Catalog.destinations,
+      // pdf.combined.js:42686-42720): per corpus PDF, the named-destination
+      // count and an md5 over the sorted canonical `name=dest` dump
+      // (`ref:num_gen` / `name:X` / js-number rendering). The corpus covers
+      // all three naming flavors: 1301's name tree, test24's UTF-16BE-keyed
+      // tree (217 entries), test25/2839's flat trees; literals derive from
+      // the vendored engine's own getDestinations dump (OutlineParitySpec
+      // gates every entry, this pins the aggregate).
+      import s.implicits._
+      val _ = dir
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          val doc = graft.pdf.PdfDocument.open(bytes)
+          val canon = doc.destinations.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=${graft.pdf.PdfDocument.renderDest(v)}" }
+            .mkString("\n")
+          (paper, doc.destinations.size.toLong, canon)
+        }
+        .toDF("paper", "n_dests", "canon")
+        .select(col("paper"), col("n_dests"), md5(col("canon")).as("dests_md5"))
+    }),
     "q64_page_labels" -> ((s, dir) => {
       // catalog /PageLabels number tree → per-page display labels (SURVEY.md
       // §2.8 C4, round 6; reference Catalog.pageLabels): corpus papers —
@@ -979,6 +1047,43 @@ object SparkEntry {
         | ('test25', 6, 390, '8d0dfa27eb8fb69a1153e4c803daa071'),
         | ('test25', 7, 151, 'a115c53d002206042a3d5e6f39f500da')
         |) AS t(paper, page, n_items, items_md5)""".stripMargin,
+    "q65_pdf_outline" ->
+      """SELECT * FROM (VALUES
+        | ('1301.4293', 0, 0, '1 Introduction', 'section.1', '', '0,0,0', '', false, false, 0),
+        | ('1301.4293', 1, 0, '2 Model', 'section.2', '', '0,0,0', '', false, false, 1),
+        | ('1301.4293', 2, 0, '3 Experiments', 'section.3', '', '0,0,0', '', false, false, 1),
+        | ('1301.4293', 3, 0, '4 Conclusion', 'section.4', '', '0,0,0', '', false, false, 2),
+        | ('C04-1204', -1, -1, '', '', '', '', '', false, false, -1),
+        | ('test24', -1, -1, '', '', '', '', '', false, false, -1),
+        | ('test25', 0, 0, 'Solid-state synthesis of graphite carbon-coated Li4Ti5O12 anode for lithium ion batteries', 'maintitle', '', '0,0,0', '8', false, false, 0),
+        | ('test25', 1, 1, 'Abstract', 'Section11', '', '0,0,0', '0', false, false, 0),
+        | ('test25', 2, 1, 'Introduction', 'Section12', '', '0,0,0', '0', false, false, 0),
+        | ('test25', 3, 1, 'Experimental', 'Section13', '', '0,0,0', '0', false, false, 1),
+        | ('test25', 4, 1, 'Results and discussion', 'Section14', '', '0,0,0', '2', false, false, 1),
+        | ('test25', 5, 2, 'Morphology characterization and phase identification', 'Section25', '', '0,0,0', '0', false, false, 1),
+        | ('test25', 6, 2, 'Electrochemical performance', 'Section26', '', '0,0,0', '0', false, false, 3),
+        | ('test25', 7, 1, 'Conclusions', 'Section17', '', '0,0,0', '0', false, false, 4),
+        | ('test25', 8, 1, 'References', 'Section18', '', '0,0,0', '0', false, false, 5),
+        | ('2839', 0, 0, 'New ferromagnets of Sr8ARe3Cu4O24 (A=Sr, Ca) with an ordered perovskite structure', 'Title1', '', '0,0,0', '8', false, false, 0),
+        | ('2839', 1, 1, 'Introduction', 'A1', '', '0,0,0', '', false, false, 0),
+        | ('2839', 2, 1, 'Experimental', 'A2', '', '0,0,0', '', false, false, 0),
+        | ('2839', 3, 1, 'Results and discussion', 'A3', '', '0,0,0', '2', false, false, 1),
+        | ('2839', 4, 2, 'Synthesis, phase identification and structure analysis', 'B1', '', '0,0,0', '', false, false, 1),
+        | ('2839', 5, 2, 'Magnetic properties', 'B2', '', '0,0,0', '', false, false, 3),
+        | ('2839', 6, 1, 'Conclusion', 'A4', '', '0,0,0', '', false, false, 5),
+        | ('2839', 7, 1, 'Acknowledgements', 'ACK', '', '0,0,0', '', false, false, 5),
+        | ('2839', 8, 1, 'References', 'REF', '', '0,0,0', '', false, false, 5),
+        | ('outline_url', 0, 0, 'Site', '', 'https://example.org/p', '0,127,255', '', true, true, -1),
+        | ('outline_url', 1, 0, 'Here', 'ref:4_0,name:XYZ,10,20,null', '', '0,0,0', '', false, false, 1)
+        |) AS t(paper, ord, depth, title, dest, url, color, cnt, bold, italic, dest_page)""".stripMargin,
+    "q66_named_dests" ->
+      """SELECT * FROM (VALUES
+        | ('1301.4293', 28, '5485749e61e5ca9291a9590c0211366f'),
+        | ('C04-1204', 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        | ('test24', 217, '1abc7a3f73b98731dcb90489e5f366f6'),
+        | ('test25', 74, '29ac560074b8a2dc6ae70095738cdd58'),
+        | ('2839', 30, '6c0ddb96f42301fe9394afd8b5ad6388')
+        |) AS t(paper, n_dests, dests_md5)""".stripMargin,
     "q64_page_labels" ->
       """SELECT * FROM (VALUES
         | ('1301.4293', -1, ''),

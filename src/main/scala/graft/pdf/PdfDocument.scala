@@ -100,30 +100,42 @@ final class PdfDocument private (val file: PdfFile) {
     sb.toString
   }
 
-  /** Page dicts in document order (depth-first /Kids walk, cycle-guarded). */
-  val pages: Vector[PageInfo] = {
+  /** Page dicts in document order (depth-first /Kids walk, cycle-guarded),
+    * plus each page's object ref → index (the `getPageIndex` surface,
+    * pdf.combined.js:43000 — ours is a byproduct of the same walk). */
+  private val pagesAndRefs: (Vector[PageInfo], Map[(Int, Int), Int]) = {
     import file.{dictGet, resolve}
     val out = Vector.newBuilder[PageInfo]
+    val refIdx = Map.newBuilder[(Int, Int), Int]
+    var nPages = 0
     val seen = mutable.Set.empty[PObj]
     def walk(node: PObj, inherited: Map[String, PObj]): Unit = resolve(node) match {
       case d: PDict if seen.add(node) =>
         val inh = inherited ++
           Seq("Resources", "MediaBox", "Rotate", "CropBox")
             .flatMap(k => d.get(k).map(k -> _))
+        def emit(): Unit = {
+          out += PageInfo(d, inh)
+          node match {
+            case PRef(num, gen) => refIdx += (num, gen) -> nPages
+            case _ => ()
+          }
+          nPages += 1
+        }
         dictGet(d, "Type") match {
           case Some(PName("Pages")) =>
             dictGet(d, "Kids") match {
               case Some(PArr(kids)) => kids.foreach(walk(_, inh))
               case _ => ()
             }
-          case Some(PName("Page")) => out += PageInfo(d, inh)
+          case Some(PName("Page")) => emit()
           case _ =>
             // missing /Type: treat nodes with /Kids as Pages, /Contents as Page
             if (d.has("Kids")) dictGet(d, "Kids") match {
               case Some(PArr(kids)) => kids.foreach(walk(_, inh))
               case _ => ()
             }
-            else if (d.has("Contents")) out += PageInfo(d, inh)
+            else if (d.has("Contents")) emit()
         }
       case _ => ()
     }
@@ -134,8 +146,10 @@ final class PdfDocument private (val file: PdfFile) {
         case _ => ()
       }
     } catch { case scala.util.control.NonFatal(_) => () }
-    out.result()
+    (out.result(), refIdx.result())
   }
+  val pages: Vector[PageInfo] = pagesAndRefs._1
+  val pageRefIndex: Map[(Int, Int), Int] = pagesAndRefs._2
 
   final case class PageInfo(dict: PDict, inherited: Map[String, PObj]) {
     def attr(key: String): Option[PObj] =
@@ -601,6 +615,219 @@ final class PdfDocument private (val file: PdfFile) {
     }
     Some(out.toVector)
   }
+
+  // ── catalog navigation surfaces: getOutline / getDestinations ──
+
+  /** Named destinations (reference Catalog.destinations + getDestinations,
+    * pdf.combined.js:42686-42720): the /Names → /Dests name tree (getAll,
+    * 43710-43744) or the legacy catalog /Dests dictionary; dictionary-valued
+    * destinations take their /D. Keys are the raw latin-1 byte strings of
+    * the name-tree string keys (the JS object-key coercion — NOT
+    * stringToPDFString: UTF-16BE-keyed files like test24 keep their BOM
+    * bytes). The reference propagates a malformed-tree assert to the API
+    * promise; we degrade to empty per the house never-throw rule. */
+  lazy val destinations: Map[String, PObj] =
+    try readDestinations()
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def readDestinations(): Map[String, PObj] = {
+    val root = file.dictGet(file.trailer, "Root")
+      .collect { case d: PDict => d }.getOrElse(return Map.empty)
+    def takeD(o: PObj): PObj = file.resolve(o) match {
+      case d: PDict => file.dictGet(d, "D").getOrElse(PNull)
+      case other => other
+    }
+    val out = mutable.LinkedHashMap.empty[String, PObj]
+    file.dictGet(root, "Names") match {
+      case Some(names: PDict) if names.has("Dests") =>
+        // NameTree.getAll: BFS, duplicate-kid assert (→ abandon), /Kids
+        // nodes never read /Names, leaf /Names read pairwise
+        val treeRoot = names.get("Dests").getOrElse(return Map.empty)
+        val processed = mutable.Set[PObj](treeRoot)
+        val queue = mutable.Queue(treeRoot)
+        while (queue.nonEmpty) {
+          file.resolve(queue.dequeue()) match {
+            case d: PDict =>
+              if (d.has("Kids")) {
+                file.resolve(d.get("Kids").getOrElse(PNull)) match {
+                  case PArr(kids) => kids.foreach { kid =>
+                    if (processed.contains(kid)) throw new IllegalStateException("dup tree kid")
+                    processed += kid
+                    queue += kid
+                  }
+                  case _ => ()
+                }
+              } else file.dictGet(d, "Names") match {
+                case Some(PArr(entries)) =>
+                  var i = 0
+                  while (i + 1 < entries.length) {
+                    file.resolve(entries(i)) match {
+                      // JS object keys coerce: strings keep raw bytes,
+                      // numbers print; other key types are unreachable
+                      case PStr(b) => out(new String(b,
+                        java.nio.charset.StandardCharsets.ISO_8859_1)) =
+                        takeD(entries(i + 1))
+                      case PNum(v) => out(PdfDocument.jsNum(v)) = takeD(entries(i + 1))
+                      case _ => ()
+                    }
+                    i += 2
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
+      case _ =>
+        file.dictGet(root, "Dests") match {
+          case Some(d: PDict) =>
+            d.entries.keysIterator.toSeq.sorted.foreach { k =>
+              // legacy name dictionary: keys are PDF names
+              d.get(k).filter(_ != PNull).foreach(v => out(k) = takeD(v))
+            }
+          case _ => ()
+        }
+    }
+    out.toMap
+  }
+
+  /** The document outline (bookmarks) — reference getOutline /
+    * Catalog.readDocumentOutline (pdf.combined.js:42605-42679), reproduced
+    * rule for rule: breadth-first First/Next walk with a processed-ref cycle
+    * guard; /A actions yield /D destinations or validated /URI urls; a raw
+    * /Dest name converts to its string; titles via stringToPDFString; /F
+    * flags split into bold/italic; /C colors through the DeviceRGB truncate
+    * + clamp; any malformed item (missing /Title) abandons the WHOLE surface
+    * (warn → null). Dests are pre-rendered to the canonical string form
+    * (`ref:num_gen` / `name:X` / js-number, comma-joined for arrays) and
+    * resolved to a 0-based page index where the target page exists. */
+  lazy val outline: Option[Vector[OutlineItem]] =
+    try readOutline()
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def readOutline(): Option[Vector[OutlineItem]] = {
+    val root = file.dictGet(file.trailer, "Root")
+      .collect { case d: PDict => d }.getOrElse(return None)
+    val outlines = file.dictGet(root, "Outlines")
+      .collect { case d: PDict => d }.getOrElse(return None)
+    val first = outlines.get("First").getOrElse(return None)
+    if (!first.isInstanceOf[PRef]) return None
+
+    final class Node {
+      var item: OutlineItem = _
+      val children = mutable.ArrayBuffer.empty[Node]
+      def freeze(): OutlineItem = item.copy(children = children.map(_.freeze()).toVector)
+    }
+    val rootNode = new Node
+    val processed = mutable.Set[PObj](first)
+    val queue = mutable.Queue[(PObj, Node)]((first, rootNode))
+    while (queue.nonEmpty) {
+      val (ref, parent) = queue.dequeue()
+      file.resolve(ref) match {
+        case PNull => () // fetch miss: the reference's `=== null` skip
+        case d: PDict =>
+          if (!d.has("Title")) throw new IllegalStateException("Invalid outline item")
+          var dest: PObj = PNull
+          var url: Option[String] = None
+          file.dictGet(d, "A") match {
+            case Some(a: PDict) =>
+              file.dictGet(a, "D") match {
+                // JS truthiness: an empty-string /D is falsy and skipped
+                case Some(PStr(b)) if b.isEmpty => ()
+                case Some(v) => dest = v
+                case None =>
+                  file.dictGet(a, "URI") match {
+                    case Some(PStr(b)) =>
+                      val u = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+                      if (PdfDocument.isValidUrl(u)) url = Some(u)
+                    case _ => ()
+                  }
+              }
+            case Some(_) => throw new IllegalStateException("non-dict /A")
+            case None =>
+              if (d.has("Dest")) {
+                dest = d.get("Dest").get match { // RAW — an indirect dest stays a ref
+                  case PName(n) => PStr(n.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+                  case other => other
+                }
+              }
+          }
+          val title = file.dictGet(d, "Title") match {
+            case Some(PStr(b)) => PdfDocument.decodePdfString(b)
+            case _ => "" // stringToPDFString over a non-string: empty
+          }
+          val flags = file.dictGet(d, "F") match {
+            case Some(n: PNum) => n.int
+            case _ => 0
+          }
+          // DeviceRGB getRgbItem (pdf.combined.js:41138-41146): (v*255)|0,
+          // clamped — only for a 3-array that is not all-zero
+          var (r, g, b) = (0, 0, 0)
+          file.dictGet(d, "C") match {
+            case Some(PArr(cs)) if cs.length == 3 &&
+                cs.exists { case PNum(v) => v != 0; case _ => true } =>
+              def cvt(o: PObj): Int = {
+                val v = o match { case PNum(x) => x; case _ => Double.NaN }
+                val t = (v * 255).toInt // NaN → 0, truncate toward zero like |0
+                if (t < 0) 0 else if (t > 255) 255 else t
+              }
+              r = cvt(cs(0)); g = cvt(cs(1)); b = cvt(cs(2))
+            case _ => ()
+          }
+          val count = file.dictGet(d, "Count") match {
+            case Some(PNum(v)) => Some(v)
+            case _ => None
+          }
+          val node = new Node
+          node.item = OutlineItem(
+            title = title,
+            dest = if (dest == PNull) None else Some(PdfDocument.renderDest(dest)),
+            url = url,
+            colorR = r, colorG = g, colorB = b,
+            count = count,
+            bold = (flags & 2) != 0,
+            italic = (flags & 1) != 0,
+            destPage = if (dest == PNull) None else destPageIndex(dest),
+            children = Vector.empty)
+          parent.children += node
+          d.get("First") match {
+            case Some(f: PRef) if !processed.contains(f) =>
+              processed += f
+              queue += ((f, node))
+            case _ => ()
+          }
+          d.get("Next") match {
+            case Some(nx: PRef) if !processed.contains(nx) =>
+              processed += nx
+              queue += ((nx, parent))
+            case _ => ()
+          }
+        case _ => throw new IllegalStateException("non-dict outline item")
+      }
+    }
+    val items = rootNode.children.map(_.freeze()).toVector
+    if (items.nonEmpty) Some(items) else None
+  }
+
+  /** Resolve a destination (explicit array, named string, or indirect ref)
+    * to a 0-based page index via the page-tree walk's ref map. Number-typed
+    * first elements (remote-goto style) index pages directly. */
+  def destPageIndex(destRaw: PObj): Option[Int] = {
+    val explicit = file.resolve(destRaw) match {
+      case PStr(b) =>
+        destinations.get(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+          .map(file.resolve).getOrElse(PNull)
+      case PName(n) => destinations.get(n).map(file.resolve).getOrElse(PNull)
+      case other => other
+    }
+    explicit match {
+      case PArr(items) if items.nonEmpty => items.head match {
+        case PRef(num, gen) => pageRefIndex.get((num, gen))
+        case PNum(v) if v.isWhole && v >= 0 && v < pages.length => Some(v.toInt)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 }
 
 object PdfDocument {
@@ -652,4 +879,59 @@ object PdfDocument {
       sb.toString
     }
   }
+
+  /** isValidUrl(url, false) — RFC 3986 scheme sniff with the reference's
+    * protocol allowlist (pdf.combined.js:2473-2494). */
+  private[pdf] def isValidUrl(url: String): Boolean = {
+    if (url.isEmpty) return false
+    val m = java.util.regex.Pattern
+      .compile("^[a-z][a-z0-9+\\-.]*(?=:)", java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(url)
+    if (!m.find()) return false
+    m.group(0).toLowerCase match {
+      case "http" | "https" | "ftp" | "mailto" | "tel" => true
+      case _ => false
+    }
+  }
+
+  /** JS-style number rendering: integral doubles print without a fraction. */
+  private[graft] def jsNum(d: Double): String =
+    if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  /** Canonical destination string: explicit arrays join their elements with
+    * commas (`ref:num_gen`, `name:X`, js-numbers, `null`); byte strings keep
+    * latin-1; a top-level name or ref uses the same tagged form. */
+  private[graft] def renderDest(o: PObj): String = o match {
+    case PStr(b) => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    case PArr(items) => items.map(renderDestElem).mkString(",")
+    case other => renderDestElem(other)
+  }
+
+  private def renderDestElem(o: PObj): String = o match {
+    case PRef(num, gen) => s"ref:${num}_$gen"
+    case PName(n) => s"name:$n"
+    case PNum(v) => jsNum(v)
+    case PStr(b) => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    case PBool(v) => v.toString
+    case PNull => "null"
+    case _ => "?"
+  }
+}
+
+/** One outline (bookmark) item — the reference getOutline item shape
+  * (pdf.combined.js:42655-42664) with the destination pre-rendered and
+  * resolved to a page. `count` keeps the raw /Count number (open/closed
+  * descendant count); `destPage` is 0-based. */
+final case class OutlineItem(
+    title: String,
+    dest: Option[String],
+    url: Option[String],
+    colorR: Int, colorG: Int, colorB: Int,
+    count: Option[Double],
+    bold: Boolean,
+    italic: Boolean,
+    destPage: Option[Int],
+    children: Vector[OutlineItem]) {
+  def flatten(depth: Int = 0): Vector[(Int, OutlineItem)] =
+    (depth, this) +: children.flatMap(_.flatten(depth + 1))
 }

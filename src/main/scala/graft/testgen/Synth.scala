@@ -192,6 +192,29 @@ object Synth {
     sb.toByteArray
   }
 
+  /** Minimal PDF with arbitrary extra CATALOG entries (e.g. `/Outlines 7 0 R
+    * /Names << /Dests 8 0 R >>`) and trailing objects numbered from
+    * 3 + nPages — the same recovery-scan skeleton as pdfWithPageLabels. */
+  def pdfWithCatalogExtra(nPages: Int, catalogExtra: String,
+      extraObjs: Seq[String] = Nil): Array[Byte] = {
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      sb.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w(s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R $catalogExtra >>\nendobj\n")
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n")
+    (0 until nPages).foreach { i =>
+      w(s"${3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>\nendobj\n")
+    }
+    extraObjs.zipWithIndex.foreach { case (body, k) =>
+      w(s"${3 + nPages + k} 0 obj\n$body\nendobj\n")
+    }
+    w(s"trailer\n<< /Size ${3 + nPages + extraObjs.length} /Root 1 0 R >>\n")
+    w("startxref\n0\n%%EOF\n")
+    sb.toByteArray
+  }
+
   final case class SynthTurn(conv_id: String, turn_idx: Int, role: String,
       text: String, tool: String, tsMillis: Long, expected: String)
 
