@@ -492,7 +492,15 @@ object SparkEntry {
         // unstyled gray rows' (the vendored decoder's transform is
         // parity-blind and would mis-decode this stream)
         ("synthetic/jpxoff.pdf",
-          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, offsets = true))))
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, offsets = true)),
+        // per-tile coding overrides (A.4.2, round 6): the second tile of a
+        // 2-tile grid re-codes itself (RLCP, 2 layers, fewer levels,
+        // smaller blocks, own QCD) via first-tile-part COD/QCD markers —
+        // lossless, so the pinned mean equals the unstyled gray rows'
+        // (seven such classes cross-validate against the vendored decoder
+        // at 0 mismatches)
+        ("synthetic/jpxtile.pdf",
+          graft.testgen.JpxSynth.pdfWithJpx(64, 48, seed = 2, tiles = true))))
       s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
         .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
         .select(col("path"), col("content"))
@@ -1158,6 +1166,7 @@ object SparkEntry {
         | ('jpxstyles', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpxroi', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('jpxoff', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
+        | ('jpxtile', 0, 'ImX', 64, 48, 8, 'DeviceGray', 'JPXDecode', 64, 48, 3, 95),
         | ('test24', 0, 'Im1', 353, 274, 8, 'DeviceRGB', 'DCTDecode', 353, 274, 3, 204),
         | ('test24', 4, 'Im2', 497, 345, 8, 'DeviceRGB', 'DCTDecode', 497, 345, 3, 242),
         | ('test24', 4, 'Im3', 496, 291, 8, 'DeviceRGB', 'DCTDecode', 496, 291, 3, 238),

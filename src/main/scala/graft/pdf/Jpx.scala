@@ -84,13 +84,22 @@ package graft.pdf
   * packed stream that runs dry mid-parse rejects, as does a stream
   * carrying both PPM and PPT (A.7.4's exclusivity).
   *
+  * Per-tile coding overrides decode (A.4.2, round 6): first tile-parts may
+  * carry COD/COC/QCD/QCC, merged per T.800's precedence — tile COC > tile
+  * COD > main COC > main COD, a tile COD/QCD dropping the main
+  * per-component overrides for its tile (the reference's SOT reset +
+  * tile-COD clear, pdf.combined.js:11010-11011). Coding markers in a
+  * NON-first tile-part (TPsot > 0) reject per A.4.2. Note the vendored
+  * reference reads SOP/EPH from the main COD only (11754-11755), so a
+  * tile-signalled SOP desyncs it — ours honors the tile's flags.
+  *
   * Scope (disclosed): RGN styles other than maxshift (none are defined by
-  * T.800), SPrgn above 31 (the int magnitude lane) and per-tile coding
-  * overrides (COD/COC/QCD/QCC/RGN/POC inside tile-part headers) return
-  * None — the caller keeps the metadata-only row. Everything else
-  * decodes: all six code-block style bits (which the reference errors
-  * on), custom precincts, maxshift ROI, POC, PPM, PPT, the full 1..255
-  * subsampling range and arbitrary grid offsets/tile grids. The reference wires its own vendored decoder
+  * T.800), SPrgn above 31 (the int magnitude lane), and RGN/POC inside
+  * tile-part headers return None — the caller keeps the metadata-only
+  * row. Everything else decodes: all six code-block style bits (which the
+  * reference errors on), custom precincts, maxshift ROI, POC, PPM, PPT,
+  * per-tile coding overrides, the full 1..255 subsampling range and
+  * arbitrary grid offsets/tile grids. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
   * cross-validated against that decoder on encoder-generated fixtures.
@@ -872,6 +881,77 @@ object Jpx {
       }
     }
 
+    /** COD segment body (A.6.1) at `s` (the Lcod position). Null = reject. */
+    def parseCodSeg(s: Int, e: Int): Cod = {
+      val scod = data(s + 2) & 0xff
+      val prog = data(s + 3) & 0xff
+      val layers = u16(data, s + 4)
+      val mct = data(s + 6) & 0xff
+      val levels = data(s + 7) & 0xff
+      val xcb = (data(s + 8) & 0x0f) + 2
+      val ycb = (data(s + 9) & 0x0f) + 2
+      val cbStyle = data(s + 10) & 0xff
+      val wavelet = data(s + 11) & 0xff
+      // custom precinct partition (Scod bit 0): one size byte per
+      // resolution; PPx/PPy must be ≥ 1 above resolution 0 (B.6)
+      val precSizes: Array[Int] =
+        if ((scod & 1) == 0) null
+        else {
+          if (s + 12 + levels + 1 > e) return null
+          val ps = Array.tabulate(levels + 1)(i => data(s + 12 + i) & 0xff)
+          if (ps.indices.exists(r => r > 0 && ((ps(r) & 0xf) < 1 || (ps(r) >> 4) < 1)))
+            return null
+          ps
+        }
+      // 1 << shift wraps at 32 on the JVM: cap the subset at 30.
+      // All six defined code-block style bits (A.6.1 Table A.19) are
+      // supported: bypass 0x1, context reset 0x2, terminate-all 0x4,
+      // vertically causal 0x8, predictable termination 0x10 (an
+      // encoder-side error-resilience property — segment structure
+      // is unchanged, so decoding needs no special handling), and
+      // segmentation symbols 0x20
+      if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x3f) != 0) return null
+      if (layers < 1 || prog > 4) return null
+      Cod(prog, layers, mct, levels, xcb, ycb, cbStyle,
+        wavelet == 1, (scod & 2) != 0, (scod & 4) != 0, precSizes)
+    }
+
+    /** COC segment body (A.6.2) at `s`; SGcod fields copy from `base`
+      * (which COD governs this scope). Null = reject. */
+    def parseCocSeg(s: Int, e: Int, base: Cod): (Int, Cod) = {
+      if (siz == null || base == null) return null
+      val (ci, off) =
+        if (siz.comps < 257) (data(s + 2) & 0xff, s + 3)
+        else (u16(data, s + 2), s + 4)
+      val scoc = data(off) & 0xff
+      val levels = data(off + 1) & 0xff
+      val xcb = (data(off + 2) & 0x0f) + 2
+      val ycb = (data(off + 3) & 0x0f) + 2
+      val cbStyle = data(off + 4) & 0xff
+      val wavelet = data(off + 5) & 0xff
+      if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x3f) != 0) return null
+      val precSizesC: Array[Int] =
+        if ((scoc & 1) == 0) null
+        else {
+          if (off + 6 + levels + 1 > e) return null
+          val ps = Array.tabulate(levels + 1)(i => data(off + 6 + i) & 0xff)
+          if (ps.indices.exists(r => r > 0 && ((ps(r) & 0xf) < 1 || (ps(r) >> 4) < 1)))
+            return null
+          ps
+        }
+      (ci, base.copy(levels = levels, xcb = xcb, ycb = ycb,
+        cbStyle = cbStyle, reversible = wavelet == 1, precSizes = precSizesC))
+    }
+
+    // per-tile coding overrides (A.4.2: first tile-part headers may carry
+    // COD/COC/QCD/QCC; T.800's precedence — tile COC > tile COD > main COC
+    // > main COD, a tile COD/QCD dropping the main per-component overrides
+    // for that tile — is realized at the decodeTile call site)
+    val tileCod = scala.collection.mutable.HashMap.empty[Int, Cod]
+    val tileCoc = scala.collection.mutable.HashMap.empty[(Int, Int), Cod]
+    val tileQcd = scala.collection.mutable.HashMap.empty[Int, Qcd]
+    val tileQcc = scala.collection.mutable.HashMap.empty[(Int, Int), Qcd]
+
     var sawEoc = false
     while (!sawEoc && p + 2 <= csEnd) {
       val marker = u16(data, p)
@@ -923,62 +1003,13 @@ object Jpx {
               siz = Siz(w, h, x0, y0, xt, yt, xto, yto, nc, depth, signed,
                 xrs, yrs)
             case 0xff52 => // COD
-              val scod = data(p + 2) & 0xff
-              val prog = data(p + 3) & 0xff
-              val layers = u16(data, p + 4)
-              val mct = data(p + 6) & 0xff
-              val levels = data(p + 7) & 0xff
-              val xcb = (data(p + 8) & 0x0f) + 2
-              val ycb = (data(p + 9) & 0x0f) + 2
-              val cbStyle = data(p + 10) & 0xff
-              val wavelet = data(p + 11) & 0xff
-              // custom precinct partition (Scod bit 0): one size byte per
-              // resolution; PPx/PPy must be ≥ 1 above resolution 0 (B.6)
-              val precSizes: Array[Int] =
-                if ((scod & 1) == 0) null
-                else {
-                  if (p + 12 + levels + 1 > segEnd) return None
-                  val ps = Array.tabulate(levels + 1)(i => data(p + 12 + i) & 0xff)
-                  if (ps.indices.exists(r => r > 0 && ((ps(r) & 0xf) < 1 || (ps(r) >> 4) < 1)))
-                    return None
-                  ps
-                }
-              // 1 << shift wraps at 32 on the JVM: cap the subset at 30.
-              // All six defined code-block style bits (A.6.1 Table A.19) are
-              // supported: bypass 0x1, context reset 0x2, terminate-all 0x4,
-              // vertically causal 0x8, predictable termination 0x10 (an
-              // encoder-side error-resilience property — segment structure
-              // is unchanged, so decoding needs no special handling), and
-              // segmentation symbols 0x20
-              if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x3f) != 0) return None
-              if (layers < 1 || prog > 4) return None
-              cod = Cod(prog, layers, mct, levels, xcb, ycb, cbStyle,
-                wavelet == 1, (scod & 2) != 0, (scod & 4) != 0, precSizes)
+              cod = parseCodSeg(p, segEnd)
+              if (cod == null) return None
             case 0xff53 => // COC
-              if (siz == null) return None
-              val (ci, off) =
-                if (siz.comps < 257) (data(p + 2) & 0xff, p + 3)
-                else (u16(data, p + 2), p + 4)
-              val scoc = data(off) & 0xff
-              val levels = data(off + 1) & 0xff
-              val xcb = (data(off + 2) & 0x0f) + 2
-              val ycb = (data(off + 3) & 0x0f) + 2
-              val cbStyle = data(off + 4) & 0xff
-              val wavelet = data(off + 5) & 0xff
-              if (levels > 30 || xcb + ycb > 12 || (cbStyle & ~0x3f) != 0) return None
-              val precSizesC: Array[Int] =
-                if ((scoc & 1) == 0) null
-                else {
-                  if (off + 6 + levels + 1 > segEnd) return None
-                  val ps = Array.tabulate(levels + 1)(i => data(off + 6 + i) & 0xff)
-                  if (ps.indices.exists(r => r > 0 && ((ps(r) & 0xf) < 1 || (ps(r) >> 4) < 1)))
-                    return None
-                  ps
-                }
-              val base = if (cod != null) cod else return None
-              codPerComp(ci) = base.copy(levels = levels, xcb = xcb, ycb = ycb,
-                cbStyle = cbStyle, reversible = wavelet == 1,
-                precSizes = precSizesC)
+              parseCocSeg(p, segEnd, cod) match {
+                case null => return None
+                case (ci, c) => codPerComp(ci) = c
+              }
             case 0xff5c => qcd = parseQ(data, p + 2, segEnd)
             case 0xff5d =>
               if (siz == null) return None
@@ -1008,8 +1039,12 @@ object Jpx {
               if (tpEnd > csEnd) return None
               // tile-part header markers between SOT and SOD (round 6):
               // PPT collects this part's packed packet headers, PLT/COM are
-              // metadata; per-tile coding overrides (COD/COC/QCD/QCC/RGN/
-              // POC-in-tile) remain out of subset
+              // metadata, and FIRST tile-parts (TPsot 0) may override the
+              // coding style per A.4.2 — COD/COC/QCD/QCC collected in two
+              // passes (COD/QCD first) since the header fixes no marker
+              // order. RGN-in-tile and POC-in-tile stay out of subset.
+              val tpsot = data(p + 8) & 0xff
+              val hdrSegs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
               var tp = segEnd
               var sod = -1
               while (sod < 0) {
@@ -1026,9 +1061,39 @@ object Jpx {
                         pptChunks += ((tileParts.length, data(tp + 4) & 0xff,
                           java.util.Arrays.copyOfRange(data, tp + 5, tp + 2 + l)))
                       case 0xff58 | 0xff64 => () // PLT / COM: skipped
-                      case _ => return None // per-tile coding overrides
+                      case 0xff52 | 0xff53 | 0xff5c | 0xff5d =>
+                        // coding markers are first-tile-part-only (A.4.2)
+                        if (tpsot != 0) return None
+                        hdrSegs += ((m, tp + 2, tp + 2 + l))
+                      case _ => return None // RGN / POC in tile: out of subset
                     }
                     tp += 2 + l
+                }
+              }
+              hdrSegs.foreach { case (m, s, e) => // pass 1: COD / QCD
+                m match {
+                  case 0xff52 =>
+                    val c = parseCodSeg(s, e)
+                    if (c == null) return None
+                    tileCod(tileIdx) = c
+                  case 0xff5c => tileQcd(tileIdx) = parseQ(data, s + 2, e)
+                  case _ => ()
+                }
+              }
+              hdrSegs.foreach { case (m, s, e) => // pass 2: COC / QCC
+                m match {
+                  case 0xff53 =>
+                    parseCocSeg(s, e, tileCod.getOrElse(tileIdx, cod)) match {
+                      case null => return None
+                      case (ci, c) => tileCoc((tileIdx, ci)) = c
+                    }
+                  case 0xff5d =>
+                    if (siz == null) return None
+                    val (ci, off) =
+                      if (siz.comps < 257) (data(s + 2) & 0xff, s + 3)
+                      else (u16(data, s + 2), s + 4)
+                    tileQcc((tileIdx, ci)) = parseQ(data, off, e)
+                  case _ => ()
                 }
               }
               tileParts += ((tileIdx, sod, tpEnd))
@@ -1156,9 +1221,27 @@ object Jpx {
               bos.toByteArray
             }
           } else null
+        // effective coding per T.800's precedence (tile COC > tile COD >
+        // main COC > main COD — a tile COD/QCD drops the main per-component
+        // overrides, exactly the reference's SOT reset + tile-COD clear,
+        // pdf.combined.js:11010-11011, 10896-10897)
+        val codT = tileCod.getOrElse(ti, cod)
+        val codPerCompT = {
+          val m = scala.collection.mutable.HashMap.empty[Int, Cod]
+          if (!tileCod.contains(ti)) m ++= codPerComp
+          tileCoc.foreach { case ((t, c), v) => if (t == ti) m(c) = v }
+          m
+        }
+        val qcdT = tileQcd.getOrElse(ti, qcd)
+        val qcdPerCompT = {
+          val m = scala.collection.mutable.HashMap.empty[Int, Qcd]
+          if (!tileQcd.contains(ti)) m ++= qcdPerComp
+          tileQcc.foreach { case ((t, c), v) => if (t == ti) m(c) = v }
+          m
+        }
         decodeTile(data, parts.map { case (t, _) => (t._2, t._3) }.toSeq,
-          siz, cod, codPerComp,
-          qcd, qcdPerComp, roiPerComp, pocs.toSeq, ppmHdr, tx0, ty0, tx1, ty1) match {
+          siz, codT, codPerCompT,
+          qcdT, qcdPerCompT, roiPerComp, pocs.toSeq, ppmHdr, tx0, ty0, tx1, ty1) match {
           case Some(tilePlanes) =>
             var c = 0
             while (c < siz.comps) {

@@ -13,6 +13,18 @@ import graft.pdf.{Jbig2, Jpx}
   */
 object JpxSynth {
 
+  /** Per-tile coding override (A.4.2, `encode`'s tileCoding): None = inherit
+    * the image-wide value. Any set SGcod/SPcod field emits a first-tile-part
+    * COD; `cocStyles` emits tile COCs; `ownQcd` emits a tile QCD whose
+    * exponents derive from the tile's own magnitudes (required when levels
+    * or the wavelet differ from the main header). */
+  final case class TileCoding(prog: Option[Int] = None,
+      layers: Option[Int] = None, levels: Option[Int] = None,
+      cbExp: Option[Int] = None, cbStyle: Option[Int] = None,
+      reversible: Option[Boolean] = None, sop: Option[Boolean] = None,
+      eph: Option[Boolean] = None, cocStyles: Option[Map[Int, Int]] = None,
+      ownQcd: Boolean = false)
+
   // ── forward wavelets (the exact inverses of Jpx's synthesis lifting) ─────
 
   /** Forward 5/3 lifting (F.4.8.2.1) over a line whose ABSOLUTE origin has
@@ -556,8 +568,45 @@ object JpxSynth {
       ppm: Boolean = false,
       /** PPT (A.7.5): packet headers packed into tile-part-header PPT
         * segments instead — mutually exclusive with `ppm`. */
-      ppt: Boolean = false): Array[Byte] = {
+      ppt: Boolean = false,
+      /** Per-tile coding overrides (A.4.2): a first-tile-part COD (when any
+        * SGcod/SPcod field is set), COCs (cocStyles), and an own QCD whose
+        * exponents derive from that tile's own magnitudes. Tiles overriding
+        * `levels` or `reversible` must set ownQcd (the main QCD's subband
+        * list would not fit). Kept orthogonal to roi/poc/ppm/ppt/precSizes. */
+      tileCoding: Map[Int, TileCoding] = Map.empty): Array[Byte] = {
     require(!(ppm && ppt), "PPM and PPT are mutually exclusive (A.7.4)")
+    if (tileCoding.nonEmpty) {
+      require(roi.isEmpty && poc.isEmpty && !ppm && !ppt && precSizes.isEmpty,
+        "tile coding overrides: plain packet/quant lanes only")
+      tileCoding.values.foreach { t =>
+        if (t.levels.exists(_ != levels) || t.reversible.exists(_ != reversible))
+          require(t.ownQcd, "levels/wavelet overrides need an own tile QCD")
+      }
+    }
+    def tcOf(ti: Int): Option[TileCoding] = tileCoding.get(ti)
+    def lvOf(ti: Int): Int = tcOf(ti).flatMap(_.levels).getOrElse(levels)
+    def revOf(ti: Int): Boolean = tcOf(ti).flatMap(_.reversible).getOrElse(reversible)
+    def cbExpOf(ti: Int): Int = tcOf(ti).flatMap(_.cbExp).getOrElse(cbExp)
+    def progOf(ti: Int): Int = tcOf(ti).flatMap(_.prog).getOrElse(prog)
+    def layersOf(ti: Int): Int = tcOf(ti).flatMap(_.layers).getOrElse(layers)
+    def sopOf(ti: Int): Boolean = tcOf(ti).flatMap(_.sop).getOrElse(sop)
+    def ephOf(ti: Int): Boolean = tcOf(ti).flatMap(_.eph).getOrElse(eph)
+    /** Does tile ti get its own COD marker? (any SGcod/SPcod field set) */
+    def hasTileCod(ti: Int): Boolean = tcOf(ti).exists(t =>
+      t.prog.nonEmpty || t.layers.nonEmpty || t.levels.nonEmpty ||
+        t.cbExp.nonEmpty || t.cbStyle.nonEmpty || t.reversible.nonEmpty ||
+        t.sop.nonEmpty || t.eph.nonEmpty)
+    /** Effective Tier-1 style for (tile, comp): a tile COD drops the main
+      * COCs for that tile (T.800 precedence); tile COCs override either way. */
+    def styleOf(ti: Int, c: Int): Int = tcOf(ti) match {
+      case Some(t) =>
+        val tileWide =
+          if (hasTileCod(ti)) t.cbStyle.getOrElse(cbStyle)
+          else cocStyles.getOrElse(c, t.cbStyle.getOrElse(cbStyle))
+        t.cocStyles.flatMap(_.get(c)).getOrElse(tileWide)
+      case None => cocStyles.getOrElse(c, cbStyle)
+    }
     require(roi.isEmpty || reversible, "maxshift ROI: reversible streams only")
     require(prog >= 0 && prog <= 4)
     require(xOff >= 0 && yOff >= 0 && xtOff >= 0 && ytOff >= 0 &&
@@ -668,7 +717,7 @@ object JpxSynth {
             (cy0 - compY0(c) + y) * cwFull(c) + (cx0 - compX0(c)), sub, y * tw, tw)
           y += 1
         }
-        decompose(sub, tw, th, levels, reversible, cx0, cy0)
+        decompose(sub, tw, th, lvOf(ti), revOf(ti), cx0, cy0)
       }
     }
     // ROI (maxshift, Annex H): scale the masked coefficients up by SPrgn so
@@ -722,28 +771,40 @@ object JpxSynth {
         }
       }
     }
-    // per-subband-position exponents: maxima over tiles and components
+    // per-subband-position exponents, PER TILE (each tile's own levels /
+    // wavelet / magnitudes) — tiles that use the main QCD contribute to its
+    // image-wide maxima; ownQcd tiles signal their own array in a tile QCD
     val nSb = 3 * levels + 1
-    val expByIdx = new Array[Int](nSb)
     def sbIndex(r: Int, kind: Int): Int = if (r == 0) 0 else 3 * (r - 1) + kind
-    tilePlans.foreach(_.foreach { plans =>
-      var r = 0
-      while (r <= levels) {
-        plans(r).foreach { sb =>
-          val maxMag = if (sb.coeffs.isEmpty) 0 else sb.coeffs.map(math.abs).max
-          val needed = bits(maxMag)
-          val e =
-            if (reversible) math.max(1, needed + 1 - Guard)
-            else depth + sb.gain // delta = 1
-          val i = sbIndex(r, sb.kind)
-          if (e > expByIdx(i)) expByIdx(i) = e
-          // irreversible sanity: Mb must cover the quantized magnitudes
-          if (!reversible && needed > Guard + e - 1)
-            throw new IllegalStateException("9/7 magnitude exceeds Mb")
+    def ownQcdOf(ti: Int): Boolean = tcOf(ti).exists(_.ownQcd)
+    val tileExp: Array[Array[Int]] = Array.tabulate(tilePlans.length) { ti =>
+      val lv = lvOf(ti)
+      val rev = revOf(ti)
+      val ex = new Array[Int](3 * lv + 1)
+      tilePlans(ti).foreach { plans =>
+        var r = 0
+        while (r <= lv) {
+          plans(r).foreach { sb =>
+            val maxMag = if (sb.coeffs.isEmpty) 0 else sb.coeffs.map(math.abs).max
+            val needed = bits(maxMag)
+            val e =
+              if (rev) math.max(1, needed + 1 - Guard)
+              else depth + sb.gain // delta = 1
+            val i = sbIndex(r, sb.kind)
+            if (e > ex(i)) ex(i) = e
+            // irreversible sanity: Mb must cover the quantized magnitudes
+            if (!rev && needed > Guard + e - 1)
+              throw new IllegalStateException("9/7 magnitude exceeds Mb")
+          }
+          r += 1
         }
-        r += 1
       }
-    })
+      ex
+    }
+    val expByIdx = new Array[Int](nSb)
+    java.util.Arrays.fill(expByIdx, if (reversible) 1 else depth) // floor when every tile overrides
+    for (ti <- tilePlans.indices if !ownQcdOf(ti); i <- 0 until nSb)
+      if (tileExp(ti)(i) > expByIdx(i)) expByIdx(i) = tileExp(ti)(i)
     // QCD
     if (reversible) {
       w16(0xff5c); w16(3 + nSb); w8(Guard << 5)
@@ -769,7 +830,7 @@ object JpxSynth {
 
     // tiles — with PPM the packet headers collect into one group per tile
     // (one tile-part each here), emitted as main-header PPM segments
-    val tileSections = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
+    val tileSections = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte], Array[Byte])]
     var ti = 0
     while (ti < numYT * numXT) {
       val body = new java.io.ByteArrayOutputStream()
@@ -780,13 +841,16 @@ object JpxSynth {
       val tty0 = math.max(ytOff + tpy * yt, yOff)
       val ttx1 = math.min(xtOff + (tpx + 1) * xt, w)
       val tty1 = math.min(ytOff + (tpy + 1) * yt, h)
+      val tLv = lvOf(ti)
+      val tLayers = layersOf(ti)
+      val tExp = if (ownQcdOf(ti)) tileExp(ti) else expByIdx
       val plans = Array.tabulate(comps) { c =>
         val tcx0 = Jpx.ceilDiv(ttx0, xr(c)); val tcx1 = Jpx.ceilDiv(ttx1, xr(c))
         val tcy0 = Jpx.ceilDiv(tty0, yr(c)); val tcy1 = Jpx.ceilDiv(tty1, yr(c))
-        Array.tabulate(levels + 1) { r =>
-          val sh = levels - r
-          planResolution(tilePlans(ti)(c)(r), r, cbExp, expByIdx, sbIndex,
-            layers, cocStyles.getOrElse(c, cbStyle),
+        Array.tabulate(tLv + 1) { r =>
+          val sh = tLv - r
+          planResolution(tilePlans(ti)(c)(r), r, cbExpOf(ti), tExp, sbIndex,
+            tLayers, styleOf(ti, c),
             rx0 = Jpx.ceilDiv(tcx0, 1 << sh), ry0 = Jpx.ceilDiv(tcy0, 1 << sh),
             rx1 = Jpx.ceilDiv(tcx1, 1 << sh), ry1 = Jpx.ceilDiv(tcy1, 1 << sh),
             ppx = ppxOf(r), ppy = ppyOf(r))
@@ -795,8 +859,8 @@ object JpxSynth {
       // packet order per the signalled progression — the same stable-sort
       // realization of B.12 the decoder uses (precinct position projected
       // to the reference grid for the position-dependent orders)
-      val basePk = for (c <- 0 until comps; r <- 0 to levels;
-                        p <- 0 until plans(c)(r).numPrec; l <- 0 until layers)
+      val basePk = for (c <- 0 until comps; r <- 0 to tLv;
+                        p <- 0 until plans(c)(r).numPrec; l <- 0 until tLayers)
         yield (c, r, p, l)
       def posKey(c: Int, r: Int, p: Int): (Long, Long) = {
         val plan = plans(c)(r)
@@ -806,7 +870,7 @@ object JpxSynth {
         // decoder's key verbatim, so both sides sort packets identically
         val px = math.max(plan.rx0.toLong, ((plan.rx0 >> plan.ppx) + pi).toLong << plan.ppx)
         val py = math.max(plan.ry0.toLong, ((plan.ry0 >> plan.ppy) + pj).toLong << plan.ppy)
-        val shift = levels - r
+        val shift = tLv - r
         ((py * yr(c)) << shift, (px * xr(c)) << shift)
       }
       def progKey(pg: Int, c: Int, r: Int, p: Int, l: Int): (Long, Long, Long, Long, Long) =
@@ -819,7 +883,7 @@ object JpxSynth {
         }
       val order =
         if (poc.isEmpty)
-          basePk.sortBy { case (c, r, p, l) => progKey(prog, c, r, p, l) }
+          basePk.sortBy { case (c, r, p, l) => progKey(progOf(ti), c, r, p, l) }
         else {
           // mirror of the decoder's B.12.3 volume sequencing
           val emitted = scala.collection.mutable.HashSet.empty[(Int, Int, Int, Int)]
@@ -836,25 +900,55 @@ object JpxSynth {
         }
       var seq = 0 // packet sequence number for SOP segments
       order.foreach { case (c, r, p, l) =>
-        if (sop) {
+        if (sopOf(ti)) {
           // SOP marker segment (A.8.1): FF91 Lsop=4 Nsop — tile stream
           body.write(0xff); body.write(0x91)
           body.write(0); body.write(4)
           body.write((seq >> 8) & 0xff); body.write(seq & 0xff)
           seq = (seq + 1) & 0xffff
         }
-        val (hdrB, bodB) = emitPacket(plans(c)(r), l, layers, eph, p)
+        val (hdrB, bodB) = emitPacket(plans(c)(r), l, tLayers, ephOf(ti), p)
         if (ppm || ppt) { hdrBuf.write(hdrB); body.write(bodB) }
         else { body.write(hdrB); body.write(bodB) }
       }
-      tileSections += ((hdrBuf.toByteArray, body.toByteArray))
+      // first-tile-part coding markers (A.4.2): COD when any SGcod/SPcod
+      // field is overridden, COCs for per-component styles, QCD for ownQcd
+      val thdr = new java.io.ByteArrayOutputStream()
+      def t8(v: Int): Unit = thdr.write(v & 0xff)
+      def t16(v: Int): Unit = { t8(v >>> 8); t8(v) }
+      if (hasTileCod(ti)) {
+        t16(0xff52); t16(12)
+        t8((if (sopOf(ti)) 2 else 0) | (if (ephOf(ti)) 4 else 0))
+        t8(progOf(ti)); t16(tLayers); t8(mct)
+        t8(tLv); t8(cbExpOf(ti) - 2); t8(cbExpOf(ti) - 2)
+        t8(tcOf(ti).flatMap(_.cbStyle).getOrElse(cbStyle))
+        t8(if (revOf(ti)) 1 else 0)
+      }
+      tcOf(ti).flatMap(_.cocStyles).getOrElse(Map.empty).toSeq.sortBy(_._1)
+        .foreach { case (ci, style) =>
+          require(ci >= 0 && ci < comps)
+          t16(0xff53); t16(9); t8(ci); t8(0 /*Scoc*/)
+          t8(tLv); t8(cbExpOf(ti) - 2); t8(cbExpOf(ti) - 2)
+          t8(style); t8(if (revOf(ti)) 1 else 0)
+        }
+      if (ownQcdOf(ti)) {
+        val ex = tileExp(ti)
+        if (revOf(ti)) {
+          t16(0xff5c); t16(3 + ex.length); t8(Guard << 5)
+          ex.foreach(e => t8(e << 3))
+        } else {
+          t16(0xff5c); t16(3 + 2 * ex.length); t8((Guard << 5) | 2)
+          ex.foreach(e => t16(e << 11)) // μ = 0
+        }
+      }
+      tileSections += ((hdrBuf.toByteArray, body.toByteArray, thdr.toByteArray))
       ti += 1
     }
     if (ppm) {
       // PPM segments (A.7.4): Nppm-prefixed group per tile-part, chunked
       // across segments with incrementing Zppm under the 16-bit Lppm cap
       val all = new java.io.ByteArrayOutputStream()
-      tileSections.foreach { case (hdrB, _) =>
+      tileSections.foreach { case (hdrB, _, _) =>
         all.write(hdrB.length >>> 24); all.write((hdrB.length >>> 16) & 0xff)
         all.write((hdrB.length >>> 8) & 0xff); all.write(hdrB.length & 0xff)
         all.write(hdrB)
@@ -870,7 +964,7 @@ object JpxSynth {
         z += 1
       }
     }
-    tileSections.zipWithIndex.foreach { case ((hdrB, bodyBytes), idx) =>
+    tileSections.zipWithIndex.foreach { case ((hdrB, bodyBytes, codingHdr), idx) =>
       if (ppt) {
         // PPT segments in this tile-part's header, chunked under Lppt's cap
         val pptBytes = new java.io.ByteArrayOutputStream()
@@ -893,8 +987,10 @@ object JpxSynth {
         w16(0xff93)
         bos.write(bodyBytes)
       } else {
-        // SOT
-        w16(0xff90); w16(10); w16(idx); w32(12 + 2 + bodyBytes.length); w8(0); w8(1)
+        // SOT (Psot spans any first-tile-part coding markers)
+        w16(0xff90); w16(10); w16(idx)
+        w32(12 + codingHdr.length + 2 + bodyBytes.length); w8(0); w8(1)
+        bos.write(codingHdr)
         w16(0xff93)
         bos.write(bodyBytes)
       }
@@ -1240,7 +1336,11 @@ object JpxSynth {
       roi: Boolean = false,
       /** Odd reference-grid offsets (XOsiz 5, YOsiz 3): the w×h visible
         * image sits at an odd origin, driving the parity-general wavelet. */
-      offsets: Boolean = false): Array[Byte] = {
+      offsets: Boolean = false,
+      /** Per-tile coding overrides (A.4.2): a 2-tile grid whose second tile
+        * carries a first-tile-part COD (RLCP, 2 layers, smaller blocks,
+        * fewer levels) and its own QCD. */
+      tiles: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val planes =
       if (sub420) {
@@ -1264,7 +1364,11 @@ object JpxSynth {
       else encode(planes, w + xo, h + yo, 8, levels, reversible = !lossy,
         mct = if (rgb) 1 else 0, cbExp = if (precincts) 4 else 6, precSizes = ps,
         cbStyle = if (styles) 0x3f else 0, layers = if (styles) 2 else 1,
-        roi = roiRects, xOff = xo, yOff = yo)
+        roi = roiRects, xOff = xo, yOff = yo,
+        tileW = if (tiles) 48 else 0,
+        tileCoding = if (!tiles) Map.empty else Map(
+          1 -> TileCoding(prog = Some(1), layers = Some(2),
+            levels = Some(levels - 1), cbExp = Some(4), ownQcd = true)))
     val stream = if (jp2) wrapJp2(cs0, w, h, planes.length, 8) else cs0
     val csName = if (rgb || sub420) "/DeviceRGB" else "/DeviceGray"
     val content = s"q $w 0 0 $h 100 600 cm /ImX Do Q"

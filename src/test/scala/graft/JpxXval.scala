@@ -71,5 +71,69 @@ object JpxXval {
         sb.toString.getBytes("UTF-8"))
       println(s"wrote $name (${cs.length} bytes)")
     }
+
+    // per-tile coding overrides (round 6, /tmp/xval_cmp_tiles.js — the
+    // vendored decoder composites per-tile items with left/top origins):
+    // classes stay inside ITS subset (no bypass/reset/termall style bits)
+    val (tw, th) = (80, 64)
+    val tgray = Array(JpxSynth.testGray(tw, th, 31))
+    val trgb = Array(JpxSynth.testGray(tw, th, 1), JpxSynth.testGray(tw, th, 4),
+      JpxSynth.testGray(tw, th, 9))
+    val contrast = Array(Array.tabulate(tw * th) { i =>
+      val x = i % tw
+      if (x < 48) (if (((i / tw) + x) % 2 == 0) 255 else 0) else 128 + (x % 3)
+    })
+    // outside the vendored subset (round-trip-gated in JpxSpec instead):
+    // COC-bearing classes (it throws 'COC not implemented' everywhere) and
+    // tile-COD SOP/EPH (its parseTilePackets reads the flags from the MAIN
+    // COD only — pdf.combined.js:11754-11755 — so a tile-signalled SOP
+    // desyncs it with 'Out of packets')
+    val tileCases: Seq[(String, Array[Byte], Int)] = Seq(
+      ("tcod_mix", JpxSynth.encode(tgray, tw, th, 8, levels = 2, cbExp = 4,
+        tileW = 48, tileH = 40, tileCoding = Map(
+          1 -> JpxSynth.TileCoding(prog = Some(1)),
+          2 -> JpxSynth.TileCoding(layers = Some(3)),
+          3 -> JpxSynth.TileCoding(levels = Some(1), cbExp = Some(3), ownQcd = true))), 1),
+      ("tqcd_own", JpxSynth.encode(contrast, tw, th, 8, levels = 2, cbExp = 4,
+        tileW = 48, tileCoding = Map(1 -> JpxSynth.TileCoding(ownQcd = true))), 1),
+      ("twavelet", JpxSynth.encode(tgray, tw, th, 8, levels = 2, cbExp = 4,
+        tileW = 48, tileCoding = Map(
+          1 -> JpxSynth.TileCoding(reversible = Some(false), ownQcd = true))), 1),
+      ("tcod_rlcp", JpxSynth.encode(tgray, tw, th, 8, levels = 2, cbExp = 4,
+        tileW = 48, tileH = 40, tileCoding = Map(
+          1 -> JpxSynth.TileCoding(prog = Some(1)))), 1),
+      ("tcod_rgb_rct", JpxSynth.encode(trgb, tw, th, 8, levels = 2, cbExp = 4,
+        mct = 1, tileW = 48, tileCoding = Map(
+          1 -> JpxSynth.TileCoding(prog = Some(4), layers = Some(2)))), 3),
+      ("tcod_layers", JpxSynth.encode(tgray, tw, th, 8, levels = 2, cbExp = 4,
+        tileW = 48, tileH = 40, tileCoding = Map(
+          2 -> JpxSynth.TileCoding(layers = Some(3)))), 1),
+      ("tcod_levels", JpxSynth.encode(tgray, tw, th, 8, levels = 2, cbExp = 4,
+        tileW = 48, tileH = 40, tileCoding = Map(
+          3 -> JpxSynth.TileCoding(levels = Some(1), cbExp = Some(3),
+            ownQcd = true))), 1))
+    for ((name, cs, comps) <- tileCases) {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/xvt_$name.j2k"), cs)
+      val d = Jpx.decode(cs).getOrElse(sys.error(s"our decoder rejected $name"))
+      require(d.planes.length == comps && d.w == tw && d.h == th)
+      val items = new Array[Int](tw * th * comps)
+      var i = 0
+      var px = 0
+      while (px < tw * th) {
+        var c = 0
+        while (c < comps) {
+          items(i) = math.max(0, math.min(255, d.planes(c)(px)))
+          i += 1; c += 1
+        }
+        px += 1
+      }
+      val sb = new StringBuilder
+      sb.append(s"""{"w":$tw,"h":$th,"comps":$comps,"items":[""")
+      sb.append(items.mkString(","))
+      sb.append("]}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/xvt_$name.ours.json"),
+        sb.toString.getBytes("UTF-8"))
+      println(s"wrote tile-class $name (${cs.length} bytes)")
+    }
   }
 }

@@ -77,8 +77,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * PPM/PPT/POC likewise CANNOT be cross-validated — the vendored decoder
   * throws 'Unknown codestream code' on all three markers — and are gated
   * by bit-exact round-trips (PPM/PPT × multi-tile × SOP/EPH × precincts ×
-  * POC) plus dry-packed-stream, PPM+PPT-exclusivity and tile-header-COD
-  * reject tests.
+  * POC) plus dry-packed-stream and PPM+PPT-exclusivity reject tests.
+  *
+  * Round 6 closes PER-TILE CODING OVERRIDES (A.4.2 first-tile-part
+  * COD/COC/QCD/QCC) with SEVEN cross-validated classes (graft.JpxXval
+  * emits /tmp/xvt_*.j2k; /tmp/xval_cmp_tiles.js composites the vendored
+  * per-tile items by left/top origin): tile COD changing the progression,
+  * the layer count, or levels+block-size (with an own tile QCD), all
+  * three combined on a 2×2 unaligned grid, RGB+RCT with a CPRL+2-layer
+  * tile, a tile QCD whose exponents differ from the main (high-contrast
+  * vs near-flat tiles), and a 9/7 tile inside a 5/3 image — 0 mismatched
+  * samples on every stream. Two lanes stay round-trip-only: COC-bearing
+  * streams (the vendored decoder throws 'COC not implemented' on 0xFF53
+  * anywhere, pdf.combined.js:11051-11053) and tile-COD-signalled SOP/EPH
+  * — its parseTilePackets reads both flags from the MAIN COD only
+  * (11754-11755, vendored bug #4), so a tile-signalled SOP desyncs it
+  * with 'Out of packets'; the spec reading (the tile's effective COD
+  * governs its packets) is pinned by the bit-exact round-trips below,
+  * which also cover the T.800 precedence (a tile COD dropping main COCs)
+  * and the non-first-tile-part coding-marker reject.
   *
   * Maxshift ROI (RGN) CANNOT be cross-validated there — the vendored
   * decoder throws 'Unknown codestream code' on 0xFF5E
@@ -1014,5 +1031,111 @@ class JpxSpec extends AnyFunSuite {
     assert((i.filter, i.colorSpace) == (("JPXDecode", "DeviceGray")))
     assert((i.decodedW, i.decodedH, i.decodedBands) == ((64, 48, 3)))
     assert(i.grayMean > 0)
+  }
+
+  // ── per-tile coding overrides (A.4.2 first-tile-part COD/COC/QCD/QCC) ──
+
+  test("per-tile COD overrides round-trip: progression, layers, levels, block size") {
+    val (w, h) = (80, 64)
+    val px = JpxSynth.testGray(w, h, 31)
+    val cs = JpxSynth.encode(Array(px), w, h, 8, levels = 2, cbExp = 4,
+      tileW = 48, tileH = 40, // 2×2 unaligned tile grid
+      tileCoding = Map(
+        1 -> JpxSynth.TileCoding(prog = Some(1), sop = Some(true), eph = Some(true)),
+        2 -> JpxSynth.TileCoding(layers = Some(3)),
+        3 -> JpxSynth.TileCoding(levels = Some(1), cbExp = Some(3), ownQcd = true)))
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    assert(out.get.planes(0).toSeq == px.toSeq)
+  }
+
+  test("tile COD drops main COCs; a tile COC overrides without one (precedence)") {
+    val (w, h) = (80, 40) // 2×1 tiles
+    val planes = Array(JpxSynth.testGray(w, h, 1), JpxSynth.testGray(w, h, 5),
+      JpxSynth.testGray(w, h, 9))
+    // main COC: segmentation symbols on comp 1; tile 1 emits a tile COD
+    // (progression change) which per T.800 precedence CLEARS the main COC
+    // for that tile — both encoder and decoder must agree or the cleanup
+    // passes desync silently
+    val csA = JpxSynth.encode(planes, w, h, 8, levels = 2, cbExp = 4,
+      tileW = 48, cocStyles = Map(1 -> 0x20),
+      tileCoding = Map(1 -> JpxSynth.TileCoding(prog = Some(4))))
+    val outA = Jpx.decode(csA)
+    assert(outA.isDefined, "tile COD vs main COC")
+    for (c <- 0 until 3)
+      assert(outA.get.planes(c).toSeq == planes(c).toSeq, s"A comp $c")
+    // tile COC without a tile COD: main COC still applies to the other
+    // component, the tile COC turns bypass on for comp 2 in tile 0 only
+    val csB = JpxSynth.encode(planes, w, h, 8, levels = 2, cbExp = 4,
+      tileW = 48, cocStyles = Map(1 -> 0x20),
+      tileCoding = Map(0 -> JpxSynth.TileCoding(
+        cocStyles = Some(Map(2 -> 0x01)))))
+    val outB = Jpx.decode(csB)
+    assert(outB.isDefined, "tile COC only")
+    for (c <- 0 until 3)
+      assert(outB.get.planes(c).toSeq == planes(c).toSeq, s"B comp $c")
+  }
+
+  test("a tile QCD with the tile's own exponents round-trips") {
+    val (w, h) = (96, 40)
+    // high-contrast left tile, near-flat right tile → genuinely different
+    // exponent arrays between the main QCD and the tile QCD
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w
+      if (x < 48) (if (((i / w) + x) % 2 == 0) 255 else 0)
+      else 128 + (x % 3)
+    }
+    val cs = JpxSynth.encode(Array(px), w, h, 8, levels = 2, cbExp = 4,
+      tileW = 48, tileCoding = Map(1 -> JpxSynth.TileCoding(ownQcd = true)))
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    assert(out.get.planes(0).toSeq == px.toSeq)
+  }
+
+  test("per-tile wavelet override: 5/3 main, one 9/7 tile") {
+    val (w, h) = (80, 40)
+    val px = JpxSynth.testGray(w, h, 17)
+    val cs = JpxSynth.encode(Array(px), w, h, 8, levels = 2, cbExp = 4,
+      tileW = 48, tileCoding = Map(
+        1 -> JpxSynth.TileCoding(reversible = Some(false), ownQcd = true)))
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    val got = out.get.planes(0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = math.abs(got(y * w + x) - px(y * w + x))
+        if (x < 48) assert(d == 0, s"5/3 tile exact at ($x,$y)")
+        else assert(d <= 3, s"9/7 tile within tolerance at ($x,$y): $d")
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  test("per-tile-override PDF decodes through the full raster lane, lossless") {
+    val plain = JpxSynth.pdfWithJpx(64, 48, seed = 2)
+    val tiled = JpxSynth.pdfWithJpx(64, 48, seed = 2, tiles = true)
+    val Seq(a, b) = Seq(plain, tiled).map { pdf =>
+      val imgs = PdfImages.list(PdfDocument.open(pdf))
+      assert(imgs.length == 1)
+      imgs.head
+    }
+    assert((b.decodedW, b.decodedH, b.decodedBands) == ((64, 48, 3)))
+    assert(b.grayMean == a.grayMean) // both lossless encodings of one raster
+  }
+
+  test("coding markers in a non-first tile-part reject") {
+    val (w, h) = (48, 40)
+    val px = JpxSynth.testGray(w, h, 7)
+    val cs = JpxSynth.encode(Array(px), w, h, 8, levels = 2, cbExp = 4,
+      tileCoding = Map(0 -> JpxSynth.TileCoding(prog = Some(1))))
+    assert(Jpx.decode(cs).exists(_.planes(0).toSeq == px.toSeq))
+    val sot = findMarker(cs, 0xff90)
+    assert(sot > 0 && (cs(sot + 10) & 0xff) == 0) // TPsot
+    val bad = cs.clone()
+    bad(sot + 10) = 1 // now a NON-first part carrying a COD: A.4.2 violation
+    assert(Jpx.decode(bad).isEmpty)
   }
 }
