@@ -351,6 +351,63 @@ object SparkEntry {
         .toDF("paper", "n_dests", "canon")
         .select(col("paper"), col("n_dests"), md5(col("canon")).as("dests_md5"))
     }),
+    "q67_pdf_attachments" -> ((s, dir) => {
+      // the getAttachments surface (reference Catalog.attachments +
+      // FileSpec, pdf.combined.js:42830-42850, 43850-43930): embedded-file
+      // name trees with the platform-name pick (UF > F > Unix > Mac > DOS),
+      // the reference's exact backslash normalization, and decoded /EF
+      // contents. The corpus carries none (sentinel rows — both engines
+      // agree); the synthetic doc's three filespecs (backslash /F + Flate,
+      // UTF-16BE key//UF + raw, EF-less) match the vendored engine's own
+      // dump entry-for-entry (AttachmentsSpec).
+      import s.implicits._
+      val _ = dir
+      val synthetic = s.createDataset(Seq(
+        ("synthetic/attach.pdf", graft.testgen.Synth.pdfWithAttachments())))
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .union(synthetic)
+        .flatMap { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          val atts = graft.pdf.PdfDocument.open(bytes).attachments
+          if (atts.isEmpty) Seq((paper, "", "", -1, ""))
+          else atts.toSeq.sortBy(_._1).map { case (name, (fn, content)) =>
+            val md5hex = content.map(c => java.security.MessageDigest
+              .getInstance("MD5").digest(c).map("%02x".format(_)).mkString)
+              .getOrElse("")
+            (paper, name, fn, content.map(_.length).getOrElse(-1), md5hex)
+          }
+        }
+        .toDF("paper", "name", "filename", "clen", "cmd5")
+    }),
+    "q68_pdf_javascript" -> ((s, dir) => {
+      // the getJavaScript surface (reference Catalog.javaScript,
+      // pdf.combined.js:42852-42898): /Names → /JavaScript action scripts
+      // (string and stream /JS), non-JS actions skipped, plus the catalog
+      // /OpenAction — the de-facto named Print action and /S /JavaScript
+      // dicts. Corpus rows are sentinels (no document JS anywhere — both
+      // engines agree); the synthetic docs match the vendored dumps.
+      import s.implicits._
+      val _ = dir
+      val synthetic = s.createDataset(Seq(
+        ("synthetic/js.pdf", graft.testgen.Synth.pdfWithJavaScript()),
+        ("synthetic/jsopen.pdf",
+          graft.testgen.Synth.pdfWithJavaScript(openActionJs = true))))
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .union(synthetic)
+        .flatMap { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          val js = graft.pdf.PdfDocument.open(bytes).javaScript
+          if (js.isEmpty) Seq((paper, -1, ""))
+          else js.zipWithIndex.map { case (code, i) => (paper, i, code) }
+        }
+        .toDF("paper", "ord", "js")
+    }),
     "q64_page_labels" -> ((s, dir) => {
       // catalog /PageLabels number tree → per-page display labels (SURVEY.md
       // §2.8 C4, round 6; reference Catalog.pageLabels): corpus papers —
@@ -1092,6 +1149,29 @@ object SparkEntry {
         | ('test25', 74, '29ac560074b8a2dc6ae70095738cdd58'),
         | ('2839', 30, '6c0ddb96f42301fe9394afd8b5ad6388')
         |) AS t(paper, n_dests, dests_md5)""".stripMargin,
+    "q67_pdf_attachments" ->
+      """SELECT * FROM (VALUES
+        | ('1301.4293', '', '', -1, ''),
+        | ('C04-1204', '', '', -1, ''),
+        | ('test24', '', '', -1, ''),
+        | ('test25', '', '', -1, ''),
+        | ('2839', '', '', -1, ''),
+        | ('attach', 'att1', 'a/b/c.txt', 64, '7160b8fb5e9e4023d549c3971fbaeead'),
+        | ('attach', 'file2.bin', 'file2.bin', 17, '17b8f931068345055c3e719aab14f158'),
+        | ('attach', 'noef', 'orphan.txt', -1, '')
+        |) AS t(paper, name, filename, clen, cmd5)""".stripMargin,
+    "q68_pdf_javascript" ->
+      """SELECT * FROM (VALUES
+        | ('1301.4293', -1, ''),
+        | ('C04-1204', -1, ''),
+        | ('test24', -1, ''),
+        | ('test25', -1, ''),
+        | ('2839', -1, ''),
+        | ('js', 0, 'app.alert(1);'),
+        | ('js', 1, 'console.println(''x'');'),
+        | ('js', 2, 'print({});'),
+        | ('jsopen', 0, 'open();')
+        |) AS t(paper, ord, js)""".stripMargin,
     "q64_page_labels" ->
       """SELECT * FROM (VALUES
         | ('1301.4293', -1, ''),

@@ -630,6 +630,47 @@ final class PdfDocument private (val file: PdfFile) {
     try readDestinations()
     catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** NameTree.getAll (pdf.combined.js:43710-43744): BFS with a
+    * duplicate-kid assert (→ caller abandons the surface), /Kids nodes
+    * never read /Names, leaf /Names read pairwise. Keys coerce like JS
+    * object keys: strings keep raw latin-1 bytes, numbers print. */
+  private def nameTreeGetAll(treeRoot: PObj): mutable.LinkedHashMap[String, PObj] = {
+    val out = mutable.LinkedHashMap.empty[String, PObj]
+    val processed = mutable.Set[PObj](treeRoot)
+    val queue = mutable.Queue(treeRoot)
+    while (queue.nonEmpty) {
+      file.resolve(queue.dequeue()) match {
+        case d: PDict =>
+          if (d.has("Kids")) {
+            file.resolve(d.get("Kids").getOrElse(PNull)) match {
+              case PArr(kids) => kids.foreach { kid =>
+                if (processed.contains(kid)) throw new IllegalStateException("dup tree kid")
+                processed += kid
+                queue += kid
+              }
+              case _ => ()
+            }
+          } else file.dictGet(d, "Names") match {
+            case Some(PArr(entries)) =>
+              var i = 0
+              while (i + 1 < entries.length) {
+                file.resolve(entries(i)) match {
+                  case PStr(b) => out(new String(b,
+                    java.nio.charset.StandardCharsets.ISO_8859_1)) =
+                    file.resolve(entries(i + 1))
+                  case PNum(v) => out(PdfDocument.jsNum(v)) = file.resolve(entries(i + 1))
+                  case _ => () // other key types are unreachable in JS too
+                }
+                i += 2
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    out
+  }
+
   private def readDestinations(): Map[String, PObj] = {
     val root = file.dictGet(file.trailer, "Root")
       .collect { case d: PDict => d }.getOrElse(return Map.empty)
@@ -640,43 +681,8 @@ final class PdfDocument private (val file: PdfFile) {
     val out = mutable.LinkedHashMap.empty[String, PObj]
     file.dictGet(root, "Names") match {
       case Some(names: PDict) if names.has("Dests") =>
-        // NameTree.getAll: BFS, duplicate-kid assert (→ abandon), /Kids
-        // nodes never read /Names, leaf /Names read pairwise
         val treeRoot = names.get("Dests").getOrElse(return Map.empty)
-        val processed = mutable.Set[PObj](treeRoot)
-        val queue = mutable.Queue(treeRoot)
-        while (queue.nonEmpty) {
-          file.resolve(queue.dequeue()) match {
-            case d: PDict =>
-              if (d.has("Kids")) {
-                file.resolve(d.get("Kids").getOrElse(PNull)) match {
-                  case PArr(kids) => kids.foreach { kid =>
-                    if (processed.contains(kid)) throw new IllegalStateException("dup tree kid")
-                    processed += kid
-                    queue += kid
-                  }
-                  case _ => ()
-                }
-              } else file.dictGet(d, "Names") match {
-                case Some(PArr(entries)) =>
-                  var i = 0
-                  while (i + 1 < entries.length) {
-                    file.resolve(entries(i)) match {
-                      // JS object keys coerce: strings keep raw bytes,
-                      // numbers print; other key types are unreachable
-                      case PStr(b) => out(new String(b,
-                        java.nio.charset.StandardCharsets.ISO_8859_1)) =
-                        takeD(entries(i + 1))
-                      case PNum(v) => out(PdfDocument.jsNum(v)) = takeD(entries(i + 1))
-                      case _ => ()
-                    }
-                    i += 2
-                  }
-                case _ => ()
-              }
-            case _ => ()
-          }
-        }
+        nameTreeGetAll(treeRoot).foreach { case (k, v) => out(k) = takeD(v) }
       case _ =>
         file.dictGet(root, "Dests") match {
           case Some(d: PDict) =>
@@ -688,6 +694,93 @@ final class PdfDocument private (val file: PdfFile) {
         }
     }
     out.toMap
+  }
+
+  /** Embedded-file attachments — the getAttachments surface (reference
+    * Catalog.attachments + FileSpec, pdf.combined.js:42830-42850,
+    * 43850-43930): the /Names → /EmbeddedFiles name tree, each value a file
+    * specification whose display name picks UF > F > Unix > Mac > DOS,
+    * decodes per stringToPDFString and normalizes backslashes exactly like
+    * the reference (escaped pairs first, then any remaining '\' → '/');
+    * content is the decoded /EF stream (None when the spec embeds none).
+    * Keys decode per stringToPDFString too. Empty when absent/malformed. */
+  lazy val attachments: Map[String, (String, Option[Array[Byte]])] =
+    try readAttachments()
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def readAttachments(): Map[String, (String, Option[Array[Byte]])] = {
+    val root = file.dictGet(file.trailer, "Root")
+      .collect { case d: PDict => d }.getOrElse(return Map.empty)
+    val names = file.dictGet(root, "Names")
+      .collect { case d: PDict => d }.getOrElse(return Map.empty)
+    val treeRoot = names.get("EmbeddedFiles").getOrElse(return Map.empty)
+    def pickPlatform(d: PDict): Option[PObj] =
+      Seq("UF", "F", "Unix", "Mac", "DOS").iterator
+        .flatMap(k => file.dictGet(d, k)).nextOption()
+    val out = mutable.LinkedHashMap.empty[String, (String, Option[Array[Byte]])]
+    nameTreeGetAll(treeRoot).foreach { case (rawName, fsObj) =>
+      file.resolve(fsObj) match {
+        case fs: PDict =>
+          val filename = (pickPlatform(fs) match {
+            case Some(PStr(b)) => PdfDocument.decodePdfString(b)
+            case _ => "unnamed"
+          }).replace("\\\\", "\\").replace("\\/", "/").replace("\\", "/")
+          val content: Option[Array[Byte]] = file.dictGet(fs, "EF") match {
+            case Some(ef: PDict) => pickPlatform(ef) match {
+              case Some(s: PStream) => Some(file.decodeStream(s))
+              case _ => None
+            }
+            case _ => None
+          }
+          out(PdfDocument.decodePdfString(rawName.getBytes(
+            java.nio.charset.StandardCharsets.ISO_8859_1))) = (filename, content)
+        case _ => ()
+      }
+    }
+    out.toMap
+  }
+
+  /** Document-level JavaScript — the getJavaScript surface (reference
+    * Catalog.javaScript, pdf.combined.js:42852-42898): the /Names →
+    * /JavaScript name tree's /S /JavaScript action dicts (string or stream
+    * /JS, via stringToPDFString) plus the catalog /OpenAction — a /Type
+    * /Action dict appends its script, and the de-facto named Print action
+    * appends 'print({});'. Empty when absent; never throws. */
+  lazy val javaScript: Vector[String] =
+    try readJavaScript()
+    catch { case scala.util.control.NonFatal(_) => Vector.empty }
+
+  private def readJavaScript(): Vector[String] = {
+    val root = file.dictGet(file.trailer, "Root")
+      .collect { case d: PDict => d }.getOrElse(return Vector.empty)
+    val out = Vector.newBuilder[String]
+    def appendIfJs(d: PDict): Unit = {
+      if (!file.dictGet(d, "S").contains(PName("JavaScript"))) return
+      file.dictGet(d, "JS") match {
+        case Some(s: PStream) =>
+          out += PdfDocument.decodePdfString(file.decodeStream(s))
+        case Some(PStr(b)) => out += PdfDocument.decodePdfString(b)
+        case _ => ()
+      }
+    }
+    file.dictGet(root, "Names") match {
+      case Some(names: PDict) if names.has("JavaScript") =>
+        nameTreeGetAll(names.get("JavaScript").get).foreach {
+          case (_, d: PDict) => appendIfJs(d)
+          case _ => ()
+        }
+      case _ => ()
+    }
+    file.dictGet(root, "OpenAction") match {
+      case Some(oa: PDict) if file.dictGet(oa, "Type").contains(PName("Action")) =>
+        if (file.dictGet(oa, "S").contains(PName("Named"))) {
+          // the de-facto named Print action (not in PDF 1.7, honored anyway)
+          if (file.dictGet(oa, "N").contains(PName("Print")))
+            out += "print({});"
+        } else appendIfJs(oa)
+      case _ => ()
+    }
+    out.result()
   }
 
   /** The document outline (bookmarks) — reference getOutline /

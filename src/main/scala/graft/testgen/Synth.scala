@@ -215,6 +215,52 @@ object Synth {
     sb.toByteArray
   }
 
+  /** Deterministic attachment fixture: an /EmbeddedFiles name tree with a
+    * backslash-laden /F filespec (Flate content), a UTF-16BE /UF filespec
+    * (raw content), and an /EF-less filespec (content null). */
+  def pdfWithAttachments(): Array[Byte] = {
+    val raw = "hello attachment\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val flateSrc = Array.tabulate[Byte](64)(i => ((i * 7 + 3) & 0xff).toByte)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(flateSrc)
+    deflater.finish()
+    val buf = new Array[Byte](256)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val flate = new String(buf, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // "file2.bin" as a UTF-16BE hex string for both the tree key and /UF
+    val u16 = "FEFF" + "file2.bin".map(c => f"${c.toInt}%04X").mkString
+    pdfWithCatalogExtra(1, "/Names << /EmbeddedFiles 4 0 R >>", Seq(
+      s"<< /Names [(att1) 5 0 R <$u16> 6 0 R (noef) 7 0 R] >>",
+      // value decodes to a\\b\c.txt -> FileSpec normalizes to a/b/c.txt
+      "<< /Type /Filespec /F (a\\\\\\\\b\\\\c.txt) /EF << /F 9 0 R >> >>",
+      s"<< /Type /Filespec /UF <$u16> /EF << /UF 8 0 R >> >>",
+      "<< /Type /Filespec /F (orphan.txt) >>",
+      s"<< /Length ${raw.length} >>\nstream\n${new String(raw,
+        java.nio.charset.StandardCharsets.ISO_8859_1)}\nendstream",
+      s"<< /Length $n /Filter /FlateDecode >>\nstream\n$flate\nendstream"))
+  }
+
+  /** Deterministic document-JavaScript fixture: a /JavaScript name tree
+    * (string /JS, stream /JS, one non-JavaScript action to skip) plus the
+    * de-facto named Print OpenAction. */
+  def pdfWithJavaScript(openActionJs: Boolean = false): Array[Byte] = {
+    if (openActionJs)
+      pdfWithCatalogExtra(1,
+        "/OpenAction << /Type /Action /S /JavaScript /JS (open\\(\\);) >>", Nil)
+    else {
+      val js2 = "console.println('x');"
+      pdfWithCatalogExtra(1,
+        "/Names << /JavaScript 4 0 R >> " +
+          "/OpenAction << /Type /Action /S /Named /N /Print >>", Seq(
+          "<< /Names [(a) 5 0 R (b) 6 0 R (skip) 7 0 R] >>",
+          "<< /S /JavaScript /JS (app.alert\\(1\\);) >>",
+          "<< /S /JavaScript /JS 8 0 R >>",
+          "<< /S /GoTo /D (x) >>",
+          s"<< /Length ${js2.length} >>\nstream\n$js2\nendstream"))
+    }
+  }
+
   final case class SynthTurn(conv_id: String, turn_idx: Int, role: String,
       text: String, tool: String, tsMillis: Long, expected: String)
 
