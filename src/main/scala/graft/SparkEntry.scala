@@ -408,6 +408,25 @@ object SparkEntry {
         }
         .toDF("paper", "ord", "js")
     }),
+    "q69_pdf_fingerprint" -> ((s, dir) => {
+      // the document fingerprint surface (reference PDFDocument.fingerprint,
+      // pdf.combined.js:49271-49292): trailer /ID[0] hex when present and
+      // non-placeholder, else MD5 over the first 1024 file bytes (with the
+      // reference's zero-pad-to-1024 quirk for shorter files). All literals
+      // verified against the vendored engine under node (AttachmentsSpec).
+      // The natural corpus-dedup key for a PDF ingest pipeline.
+      import s.implicits._
+      val _ = dir
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          (paper, graft.pdf.PdfDocument.open(bytes).fingerprint)
+        }
+        .toDF("paper", "fingerprint")
+    }),
     "q64_page_labels" -> ((s, dir) => {
       // catalog /PageLabels number tree → per-page display labels (SURVEY.md
       // §2.8 C4, round 6; reference Catalog.pageLabels): corpus papers —
@@ -1172,6 +1191,14 @@ object SparkEntry {
         | ('js', 2, 'print({});'),
         | ('jsopen', 0, 'open();')
         |) AS t(paper, ord, js)""".stripMargin,
+    "q69_pdf_fingerprint" ->
+      """SELECT * FROM (VALUES
+        | ('1301.4293', '9605231df768918a8dc5a1b770bff72e'),
+        | ('C04-1204', 'e2ad24e5cb021ebfbc52ffa6449933bb'),
+        | ('test24', 'c37dbdcbecd3bbbef8e50f83bd0d4ef7'),
+        | ('test25', 'eb7e9f8123febb91b7c47bffa44269b5'),
+        | ('2839', '3b70f2b8de5cb59e6a3462073141096f')
+        |) AS t(paper, fingerprint)""".stripMargin,
     "q64_page_labels" ->
       """SELECT * FROM (VALUES
         | ('1301.4293', -1, ''),

@@ -740,6 +740,36 @@ final class PdfDocument private (val file: PdfFile) {
     out.toMap
   }
 
+  /** Document fingerprint (reference PDFDocument.fingerprint,
+    * pdf.combined.js:49271-49292): hex of the trailer /ID's first string
+    * when present, non-empty and not the all-zero placeholder; otherwise
+    * MD5 over the file's first 1024 bytes. A natural corpus-dedup key. */
+  lazy val fingerprint: String = try {
+    val idBytes: Array[Byte] = file.trailer.get("ID") match {
+      case Some(o) => file.resolve(o) match {
+        case PArr(items) if items.nonEmpty => items.head match {
+          // raw element, like the reference's idArray[0]: an empty string
+          // is falsy there and a 16-NUL placeholder is rejected explicitly
+          case PStr(b) if b.nonEmpty && !(b.length == 16 && b.forall(_ == 0)) => b
+          case _ => null
+        }
+        case _ => null
+      }
+      case None => null
+    }
+    val hash =
+      if (idBytes != null) idBytes
+      else {
+        // the reference's calculateMD5 call passes length 1024 regardless
+        // of the file size, so a shorter file hashes as if ZERO-PADDED to
+        // 1024 (its Uint8Array out-of-bounds reads coerce to 0) — mirrored
+        // for fingerprint parity on the same bytes
+        val head = java.util.Arrays.copyOf(file.bytes, 1024)
+        java.security.MessageDigest.getInstance("MD5").digest(head)
+      }
+    hash.map("%02x".format(_)).mkString
+  } catch { case scala.util.control.NonFatal(_) => "" }
+
   /** Document-level JavaScript — the getJavaScript surface (reference
     * Catalog.javaScript, pdf.combined.js:42852-42898): the /Names →
     * /JavaScript name tree's /S /JavaScript action dicts (string or stream

@@ -62,6 +62,26 @@ class AttachmentsSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprints match the vendored engine (trailer /ID and md5-of-head paths)") {
+    // literals from /tmp/getfp.js over the vendored build: all five corpus
+    // PDFs take the trailer-/ID path; the synthetic (no /ID, 596 bytes)
+    // takes md5-of-first-1024 INCLUDING the reference's zero-pad quirk
+    // (calculateMD5 is always called with length 1024)
+    val expected = Seq(
+      "/root/reference/src/test/resources/input/1301.4293.pdf" -> "9605231df768918a8dc5a1b770bff72e",
+      "/root/reference/src/test/resources/input/C04-1204.pdf" -> "e2ad24e5cb021ebfbc52ffa6449933bb",
+      "/root/reference/src/test/resources/input/test24.pdf" -> "c37dbdcbecd3bbbef8e50f83bd0d4ef7",
+      "/root/reference/src/test/resources/input/test25.pdf" -> "eb7e9f8123febb91b7c47bffa44269b5",
+      "/root/reference/test-papers/2839.pdf" -> "3b70f2b8de5cb59e6a3462073141096f")
+    expected.foreach { case (p, fp) =>
+      val pp = Paths.get(p)
+      if (Files.exists(pp))
+        assert(PdfDocument.open(Files.readAllBytes(pp)).fingerprint == fp, p)
+    }
+    assert(PdfDocument.open(Synth.pdfWithJavaScript()).fingerprint ==
+      "f0d116bb202f6a4030a3930fda64778a")
+  }
+
   test("the corpus carries neither surface; malformed trees degrade empty") {
     Seq("/root/reference/src/test/resources/input/test24.pdf",
       "/root/reference/test-papers/2839.pdf").foreach { p =>

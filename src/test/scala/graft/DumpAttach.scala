@@ -21,3 +21,22 @@ object DumpAttach {
     }
   }
 }
+
+/** Scratch dump: our fingerprints over the corpus + a synthetic (md5 path). */
+object DumpFingerprint {
+  def main(args: Array[String]): Unit = {
+    val paths = Seq(
+      "/root/reference/src/test/resources/input/1301.4293.pdf",
+      "/root/reference/src/test/resources/input/C04-1204.pdf",
+      "/root/reference/src/test/resources/input/test24.pdf",
+      "/root/reference/src/test/resources/input/test25.pdf",
+      "/root/reference/test-papers/2839.pdf")
+    paths.foreach { p =>
+      val doc = graft.pdf.PdfDocument.open(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      println(s"${p.split('/').last}: ${doc.fingerprint}")
+    }
+    println("synth_js: " + graft.pdf.PdfDocument.open(
+      graft.testgen.Synth.pdfWithJavaScript()).fingerprint)
+  }
+}
