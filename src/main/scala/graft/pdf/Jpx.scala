@@ -85,21 +85,23 @@ package graft.pdf
   * carrying both PPM and PPT (A.7.4's exclusivity).
   *
   * Per-tile coding overrides decode (A.4.2, round 6): first tile-parts may
-  * carry COD/COC/QCD/QCC, merged per T.800's precedence — tile COC > tile
-  * COD > main COC > main COD, a tile COD/QCD dropping the main
+  * carry COD/COC/QCD/QCC/RGN/POC, merged per T.800's precedence — tile
+  * COC > tile COD > main COC > main COD, a tile COD/QCD dropping the main
   * per-component overrides for its tile (the reference's SOT reset +
-  * tile-COD clear, pdf.combined.js:11010-11011). Coding markers in a
-  * NON-first tile-part (TPsot > 0) reject per A.4.2. Note the vendored
-  * reference reads SOP/EPH from the main COD only (11754-11755), so a
-  * tile-signalled SOP desyncs it — ours honors the tile's flags.
+  * tile-COD clear, pdf.combined.js:11010-11011), a tile RGN overriding the
+  * main RGN per component, and a tile POC replacing the main POC wholesale
+  * for its tile. Coding markers in a NON-first tile-part (TPsot > 0)
+  * reject per A.4.2. Note the vendored reference reads SOP/EPH from the
+  * main COD only (11754-11755), so a tile-signalled SOP desyncs it — ours
+  * honors the tile's flags.
   *
   * Scope (disclosed): RGN styles other than maxshift (none are defined by
-  * T.800), SPrgn above 31 (the int magnitude lane), and RGN/POC inside
-  * tile-part headers return None — the caller keeps the metadata-only
-  * row. Everything else decodes: all six code-block style bits (which the
-  * reference errors on), custom precincts, maxshift ROI, POC, PPM, PPT,
-  * per-tile coding overrides, the full 1..255 subsampling range and
-  * arbitrary grid offsets/tile grids. The reference wires its own vendored decoder
+  * T.800) and SPrgn above 31 (the int magnitude lane) return None — the
+  * caller keeps the metadata-only row. Everything else decodes: all six
+  * code-block style bits (which the reference errors on), custom
+  * precincts, maxshift ROI, POC, PPM, PPT, per-tile coding overrides
+  * (incl. tile RGN/POC), the full 1..255 subsampling range and arbitrary
+  * grid offsets/tile grids. The reference wires its own vendored decoder
   * at pdf.combined.js:10689-12880 (stream wiring 22461-22529) — cited as the
   * semantic contract; this implementation is from the public spec and is
   * cross-validated against that decoder on encoder-generated fixtures.
@@ -943,14 +945,61 @@ object Jpx {
         cbStyle = cbStyle, reversible = wavelet == 1, precSizes = precSizesC))
     }
 
+    /** RGN segment body (A.6.3) at `s`; null = reject. Srgn 0 is the only
+      * style T.800 defines; shifts above 31 would overflow the int
+      * magnitude lane — metadata-only then. */
+    def parseRgnSeg(s: Int): (Int, Int) = {
+      if (siz == null) return null
+      val (ci, off) =
+        if (siz.comps < 257) (data(s + 2) & 0xff, s + 3)
+        else (u16(data, s + 2), s + 4)
+      val srgn = data(off) & 0xff
+      val sprgn = data(off + 1) & 0xff
+      if (srgn != 0 || sprgn > 31) return null
+      (ci, sprgn)
+    }
+
+    /** POC segment body (A.6.6) at `s`, entries appended to `into`.
+      * False = reject. */
+    def parsePocSeg(s: Int, e: Int,
+        into: scala.collection.mutable.ArrayBuffer[Poc]): Boolean = {
+      if (siz == null) return false
+      val entry = if (siz.comps < 257) 7 else 9
+      val len = e - s
+      if (len - 2 < entry || (len - 2) % entry != 0) return false
+      var q = s + 2
+      while (q < e) {
+        val rs = data(q) & 0xff
+        val (cs0, q1) =
+          if (siz.comps < 257) (data(q + 1) & 0xff, q + 2)
+          else (u16(data, q + 1), q + 3)
+        val lye = u16(data, q1)
+        val re = data(q1 + 2) & 0xff
+        val (ceRaw, q2) =
+          if (siz.comps < 257) (data(q1 + 3) & 0xff, q1 + 4)
+          else (u16(data, q1 + 3), q1 + 5)
+        val pp = data(q2) & 0xff
+        val ce = math.min(ceRaw, siz.comps)
+        if (pp > 4 || rs >= re || cs0 >= ce || lye == 0) return false
+        into += Poc(rs, cs0, lye, re, ce, pp)
+        q = q2 + 1
+      }
+      true
+    }
+
     // per-tile coding overrides (A.4.2: first tile-part headers may carry
-    // COD/COC/QCD/QCC; T.800's precedence — tile COC > tile COD > main COC
-    // > main COD, a tile COD/QCD dropping the main per-component overrides
-    // for that tile — is realized at the decodeTile call site)
+    // COD/COC/QCD/QCC/RGN/POC; T.800's precedence — tile COC > tile COD >
+    // main COC > main COD, a tile COD/QCD dropping the main per-component
+    // overrides for that tile, a tile RGN overriding the main RGN per
+    // component, a tile POC replacing the main POC for its tile — is
+    // realized at the decodeTile call site)
     val tileCod = scala.collection.mutable.HashMap.empty[Int, Cod]
     val tileCoc = scala.collection.mutable.HashMap.empty[(Int, Int), Cod]
     val tileQcd = scala.collection.mutable.HashMap.empty[Int, Qcd]
     val tileQcc = scala.collection.mutable.HashMap.empty[(Int, Int), Qcd]
+    val tileRoi = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    val tilePocs = scala.collection.mutable.HashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Poc]]
 
     var sawEoc = false
     while (!sawEoc && p + 2 <= csEnd) {
@@ -1018,16 +1067,10 @@ object Jpx {
                 else (u16(data, p + 2), p + 4)
               qcdPerComp(ci) = parseQ(data, off, segEnd)
             case 0xff5e => // RGN (ROI): maxshift method (A.6.3 / Annex H)
-              if (siz == null) return None
-              val (ci, off) =
-                if (siz.comps < 257) (data(p + 2) & 0xff, p + 3)
-                else (u16(data, p + 2), p + 4)
-              val srgn = data(off) & 0xff
-              val sprgn = data(off + 1) & 0xff
-              // Srgn 0 is the only style T.800 defines; shifts above 31
-              // would overflow the int magnitude lane — metadata-only then
-              if (srgn != 0 || sprgn > 31) return None
-              roiPerComp(ci) = sprgn
+              parseRgnSeg(p) match {
+                case null => return None
+                case (ci, sprgn) => roiPerComp(ci) = sprgn
+              }
             case 0xff90 => // SOT
               val tileIdx = u16(data, p + 2)
               val psot0 = u32(data, p + 4).toInt
@@ -1061,22 +1104,30 @@ object Jpx {
                         pptChunks += ((tileParts.length, data(tp + 4) & 0xff,
                           java.util.Arrays.copyOfRange(data, tp + 5, tp + 2 + l)))
                       case 0xff58 | 0xff64 => () // PLT / COM: skipped
-                      case 0xff52 | 0xff53 | 0xff5c | 0xff5d =>
+                      case 0xff52 | 0xff53 | 0xff5c | 0xff5d | 0xff5e | 0xff5f =>
                         // coding markers are first-tile-part-only (A.4.2)
                         if (tpsot != 0) return None
                         hdrSegs += ((m, tp + 2, tp + 2 + l))
-                      case _ => return None // RGN / POC in tile: out of subset
+                      case _ => return None // unknown tile-header marker
                     }
                     tp += 2 + l
                 }
               }
-              hdrSegs.foreach { case (m, s, e) => // pass 1: COD / QCD
+              hdrSegs.foreach { case (m, s, e) => // pass 1: COD / QCD / RGN / POC
                 m match {
                   case 0xff52 =>
                     val c = parseCodSeg(s, e)
                     if (c == null) return None
                     tileCod(tileIdx) = c
                   case 0xff5c => tileQcd(tileIdx) = parseQ(data, s + 2, e)
+                  case 0xff5e =>
+                    parseRgnSeg(s) match {
+                      case null => return None
+                      case (ci, sprgn) => tileRoi((tileIdx, ci)) = sprgn
+                    }
+                  case 0xff5f =>
+                    if (!parsePocSeg(s, e, tilePocs.getOrElseUpdate(tileIdx,
+                      scala.collection.mutable.ArrayBuffer.empty[Poc]))) return None
                   case _ => ()
                 }
               }
@@ -1098,26 +1149,7 @@ object Jpx {
               }
               tileParts += ((tileIdx, sod, tpEnd))
             case 0xff5f => // POC (A.6.6): progression order changes
-              if (siz == null) return None
-              val entry = if (siz.comps < 257) 7 else 9
-              if (len - 2 < entry || (len - 2) % entry != 0) return None
-              var q = p + 2
-              while (q < segEnd) {
-                val rs = data(q) & 0xff
-                val (cs0, q1) =
-                  if (siz.comps < 257) (data(q + 1) & 0xff, q + 2)
-                  else (u16(data, q + 1), q + 3)
-                val lye = u16(data, q1)
-                val re = data(q1 + 2) & 0xff
-                val (ceRaw, q2) =
-                  if (siz.comps < 257) (data(q1 + 3) & 0xff, q1 + 4)
-                  else (u16(data, q1 + 3), q1 + 5)
-                val pp = data(q2) & 0xff
-                val ce = math.min(ceRaw, siz.comps)
-                if (pp > 4 || rs >= re || cs0 >= ce || lye == 0) return None
-                pocs += Poc(rs, cs0, lye, re, ce, pp)
-                q = q2 + 1
-              }
+              if (!parsePocSeg(p, segEnd, pocs)) return None
             case 0xff60 => // PPM (A.7.4): packed packet headers, round 6
               if (len < 3) return None
               val z = data(p + 2) & 0xff
@@ -1239,9 +1271,21 @@ object Jpx {
           tileQcc.foreach { case ((t, c), v) => if (t == ti) m(c) = v }
           m
         }
+        // a tile RGN overrides the main RGN per component; a tile POC
+        // replaces the main POC wholesale for its tile (A.6.6)
+        val roiT = {
+          val m = scala.collection.mutable.HashMap.empty[Int, Int]
+          m ++= roiPerComp
+          tileRoi.foreach { case ((t, c), v) => if (t == ti) m(c) = v }
+          m
+        }
+        val pocsT: Seq[Poc] = tilePocs.get(ti) match {
+          case Some(tp) => tp.toSeq
+          case None => pocs.toSeq
+        }
         decodeTile(data, parts.map { case (t, _) => (t._2, t._3) }.toSeq,
           siz, codT, codPerCompT,
-          qcdT, qcdPerCompT, roiPerComp, pocs.toSeq, ppmHdr, tx0, ty0, tx1, ty1) match {
+          qcdT, qcdPerCompT, roiT, pocsT, ppmHdr, tx0, ty0, tx1, ty1) match {
           case Some(tilePlanes) =>
             var c = 0
             while (c < siz.comps) {

@@ -23,7 +23,13 @@ object JpxSynth {
       cbExp: Option[Int] = None, cbStyle: Option[Int] = None,
       reversible: Option[Boolean] = None, sop: Option[Boolean] = None,
       eph: Option[Boolean] = None, cocStyles: Option[Map[Int, Int]] = None,
-      ownQcd: Boolean = false)
+      ownQcd: Boolean = false,
+      /** Tile-local maxshift ROI: per-component image-grid rects encoded as
+        * first-tile-part RGN markers (reversible tiles only). */
+      roi: Map[Int, (Int, Int, Int, Int)] = Map.empty,
+      /** Tile-local POC volumes (override the progression for THIS tile);
+        * emitted as a first-tile-part POC marker. */
+      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil)
 
   // ── forward wavelets (the exact inverses of Jpx's synthesis lifting) ─────
 
@@ -724,9 +730,11 @@ object JpxSynth {
     // every nonzero ROI magnitude clears every background magnitude; the
     // decoder recovers them purely by the 2^SPrgn threshold, so an
     // over-approximated mask is legal — it never reaches the decoder.
-    val roiShifts = new Array[Int](comps)
-    roi.keys.foreach(c => require(c >= 0 && c < comps))
-    roi.toSeq.sortBy(_._1).foreach { case (c, (rx0, ry0, rx1, ry1)) =>
+    // `tis` scopes the shift: all tiles for a main-header RGN, one tile for
+    // a first-tile-part RGN (TileCoding.roi). Returns the chosen SPrgn.
+    def applyRoi(tis: Seq[Int], c: Int, rect: (Int, Int, Int, Int)): Int = {
+      val (rx0, ry0, rx1, ry1) = rect
+      require(c >= 0 && c < comps)
       require(rx0 >= 0 && rx0 < rx1 && rx1 <= w && ry0 >= 0 && ry0 < ry1 && ry1 <= h)
       // rectangle on the component's own sample grid
       val rcx0 = rx0 / xr(c); val rcx1 = Jpx.ceilDiv(rx1, xr(c))
@@ -734,8 +742,8 @@ object JpxSynth {
       // band-domain mask: coefficient (u,v) — ABSOLUTE band coordinates
       // since round 6's offset support — at decomposition level nb covers
       // component samples [u<<nb, (u+1)<<nb) widened by the 5/3 support
-      def mask(r: Int, sb: SubbandPlan): Array[Boolean] = {
-        val nb = if (r == 0) levels else levels - r + 1
+      def mask(lv: Int, r: Int, sb: SubbandPlan): Array[Boolean] = {
+        val nb = if (r == 0) lv else lv - r + 1
         val pad = 2 << nb
         val bw = sb.x1 - sb.x0
         Array.tabulate(sb.coeffs.length) { i =>
@@ -747,8 +755,8 @@ object JpxSynth {
       }
       var maxBg = 0
       var maxRoi = 0
-      for (ti <- tilePlans.indices; r <- 0 to levels; sb <- tilePlans(ti)(c)(r)) {
-        val m = mask(r, sb)
+      for (ti <- tis; r <- 0 to lvOf(ti); sb <- tilePlans(ti)(c)(r)) {
+        val m = mask(lvOf(ti), r, sb)
         var i = 0
         while (i < sb.coeffs.length) {
           val a = math.abs(sb.coeffs(i))
@@ -758,9 +766,8 @@ object JpxSynth {
       }
       val sprgn = math.max(1, bits(maxBg))
       require(bits(maxRoi) + sprgn <= 30, "ROI shift would overflow the int lane")
-      roiShifts(c) = sprgn
-      for (ti <- tilePlans.indices; r <- 0 to levels; sb <- tilePlans(ti)(c)(r)) {
-        val m = mask(r, sb)
+      for (ti <- tis; r <- 0 to lvOf(ti); sb <- tilePlans(ti)(c)(r)) {
+        val m = mask(lvOf(ti), r, sb)
         var i = 0
         while (i < sb.coeffs.length) {
           if (m(i) && sb.coeffs(i) != 0) {
@@ -769,6 +776,21 @@ object JpxSynth {
           }
           i += 1
         }
+      }
+      sprgn
+    }
+    val roiShifts = new Array[Int](comps)
+    roi.toSeq.sortBy(_._1).foreach { case (c, rect) =>
+      roiShifts(c) = applyRoi(tilePlans.indices, c, rect)
+    }
+    // tile-local ROI (first-tile-part RGN): reversible tiles only, same
+    // constraint as the main lane
+    val tileRoiShifts = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    tileCoding.toSeq.sortBy(_._1).foreach { case (ti, t) =>
+      t.roi.toSeq.sortBy(_._1).foreach { case (c, rect) =>
+        require(revOf(ti), "tile maxshift ROI: reversible tiles only")
+        require(roiShifts(c) == 0, "tile ROI over a main-RGN component")
+        tileRoiShifts((ti, c)) = applyRoi(Seq(ti), c, rect)
       }
     }
     // per-subband-position exponents, PER TILE (each tile's own levels /
@@ -881,14 +903,17 @@ object JpxSynth {
           case 3 => val (y, x) = posKey(c, r, p); (y, x, c.toLong, r.toLong, l.toLong)
           case _ => val (y, x) = posKey(c, r, p); (c.toLong, y, x, r.toLong, l.toLong)
         }
+      // this tile's POC: a TileCoding.poc (first-tile-part POC marker)
+      // replaces the main-header POC wholesale for its tile (A.6.6)
+      val tPoc = tcOf(ti).map(_.poc).filter(_.nonEmpty).getOrElse(poc)
       val order =
-        if (poc.isEmpty)
+        if (tPoc.isEmpty)
           basePk.sortBy { case (c, r, p, l) => progKey(progOf(ti), c, r, p, l) }
         else {
           // mirror of the decoder's B.12.3 volume sequencing
           val emitted = scala.collection.mutable.HashSet.empty[(Int, Int, Int, Int)]
           val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
-          poc.foreach { case (rs, cs, lye, re, ce, pg) =>
+          tPoc.foreach { case (rs, cs, lye, re, ce, pg) =>
             basePk.filter { case (c, r, p, l) =>
               r >= rs && r < re && c >= cs && c < ce && l < lye &&
                 !emitted((c, r, p, l))
@@ -939,6 +964,22 @@ object JpxSynth {
         } else {
           t16(0xff5c); t16(3 + 2 * ex.length); t8((Guard << 5) | 2)
           ex.foreach(e => t16(e << 11)) // μ = 0
+        }
+      }
+      // tile-local RGN markers (A.6.3) for this tile's maxshift ROIs
+      tileRoiShifts.toSeq.filter(_._1._1 == ti).sortBy(_._1._2)
+        .foreach { case ((_, c), sprgn) =>
+          t16(0xff5e); t16(5); t8(c); t8(0); t8(sprgn)
+        }
+      // tile-local POC marker (A.6.6): overrides the progression here
+      val thdrPoc = tcOf(ti).map(_.poc).getOrElse(Nil)
+      if (thdrPoc.nonEmpty) {
+        thdrPoc.foreach { case (rs, cs, lye, re, ce, pp) =>
+          require(rs < re && cs < ce && ce <= comps && lye >= 1 && pp >= 0 && pp <= 4)
+        }
+        t16(0xff5f); t16(2 + 7 * thdrPoc.length)
+        thdrPoc.foreach { case (rs, cs, lye, re, ce, pp) =>
+          t8(rs); t8(cs); t16(lye); t8(re); t8(ce); t8(pp)
         }
       }
       tileSections += ((hdrBuf.toByteArray, body.toByteArray, thdr.toByteArray))

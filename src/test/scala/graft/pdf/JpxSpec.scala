@@ -95,7 +95,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * with 'Out of packets'; the spec reading (the tile's effective COD
   * governs its packets) is pinned by the bit-exact round-trips below,
   * which also cover the T.800 precedence (a tile COD dropping main COCs)
-  * and the non-first-tile-part coding-marker reject.
+  * and the non-first-tile-part coding-marker reject. Tile-local
+  * RGN and POC markers (the last tile-header classes) are likewise
+  * round-trip-gated — a first-tile-part RGN whose stripped variant
+  * provably mis-decodes, and a tile POC sequencing its own volumes while
+  * the other tile stays on the COD progression.
   *
   * Maxshift ROI (RGN) CANNOT be cross-validated there — the vendored
   * decoder throws 'Unknown codestream code' on 0xFF5E
@@ -798,6 +802,20 @@ class JpxSpec extends AnyFunSuite {
     }
     assert(Jpx.decode(Array.tabulate[Byte](100)(i => (i * 41).toByte)).isEmpty)
     assert(Jpx.decode(Array.empty[Byte]).isEmpty)
+    // the tile-override lane holds the same contract: mutations of a
+    // first-tile-part COD/QCD stream degrade or decode, never throw
+    val tiled = JpxSynth.encode(Array(JpxSynth.testGray(64, 48, 3)), 64, 48,
+      8, 2, cbExp = 4, tileW = 48, tileCoding = Map(
+        1 -> JpxSynth.TileCoding(prog = Some(1), levels = Some(1),
+          cbExp = Some(3), ownQcd = true)))
+    (0 until 60).foreach { k =>
+      val b = tiled.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val r = Jpx.decode(b)
+      assert(r.isEmpty || (r.get.w == 64 && r.get.h == 48), s"tiled mutation $k")
+    }
+    for (cut <- Seq(tiled.length / 3, tiled.length / 2, tiled.length - 2))
+      assert(Jpx.decode(tiled.take(cut)).forall(_.w == 64))
   }
 
   test("maxshift ROI (RGN) round-trips bit-exactly and the shift is load-bearing") {
@@ -1124,6 +1142,61 @@ class JpxSpec extends AnyFunSuite {
     }
     assert((b.decodedW, b.decodedH, b.decodedBands) == ((64, 48, 3)))
     assert(b.grayMean == a.grayMean) // both lossless encodings of one raster
+  }
+
+  test("tile-local maxshift ROI (first-tile-part RGN) round-trips; shift is load-bearing") {
+    val (w, h) = (80, 40)
+    val px = JpxSynth.testGray(w, h, 13)
+    val cs = JpxSynth.encode(Array(px), w, h, 8, levels = 2, cbExp = 4,
+      tileW = 48, tileCoding = Map(
+        1 -> JpxSynth.TileCoding(roi = Map(0 -> ((56, 8, 72, 32))))))
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    assert(out.get.planes(0).toSeq == px.toSeq)
+    // strip the tile RGN (FF5E, 5-byte body): the shifted magnitudes then
+    // dequantize unscaled — the decode MUST differ, proving the tile
+    // marker is honored rather than skipped
+    var rgnAt = -1
+    var i = 0
+    while (rgnAt < 0 && i + 1 < cs.length) {
+      if ((cs(i) & 0xff) == 0xff && (cs(i + 1) & 0xff) == 0x5e) rgnAt = i
+      i += 1
+    }
+    assert(rgnAt > 0)
+    val stripped = cs.take(rgnAt) ++ cs.drop(rgnAt + 7)
+    // Psot spans the removed marker: fix the length field of the SOT that
+    // precedes it (second tile's SOT is the nearest FF90 before rgnAt)
+    var sot = -1
+    i = 0
+    while (i + 1 < rgnAt) {
+      if ((cs(i) & 0xff) == 0xff && (cs(i + 1) & 0xff) == 0x90) sot = i
+      i += 1
+    }
+    assert(sot > 0)
+    val psot = ((stripped(sot + 6) & 0xff) << 24) | ((stripped(sot + 7) & 0xff) << 16) |
+      ((stripped(sot + 8) & 0xff) << 8) | (stripped(sot + 9) & 0xff)
+    val np = psot - 7
+    stripped(sot + 6) = (np >>> 24).toByte
+    stripped(sot + 7) = ((np >>> 16) & 0xff).toByte
+    stripped(sot + 8) = ((np >>> 8) & 0xff).toByte
+    stripped(sot + 9) = (np & 0xff).toByte
+    val tampered = Jpx.decode(stripped)
+    assert(tampered.isEmpty || tampered.get.planes(0).toSeq != px.toSeq)
+  }
+
+  test("tile-local POC volumes (first-tile-part POC) round-trip") {
+    val (w, h) = (80, 40)
+    val px = JpxSynth.testGray(w, h, 21)
+    // tile 0 stays plain LRCP; tile 1 sequences a low-res thumbnail volume
+    // before the detail volume, each in its own progression
+    val cs = JpxSynth.encode(Array(px), w, h, 8, levels = 2, cbExp = 4,
+      tileW = 48, layers = 2, tileCoding = Map(
+        1 -> JpxSynth.TileCoding(poc = Seq(
+          (0, 0, 2, 1, 1, 0), // r0 only, both layers, LRCP
+          (1, 0, 2, 3, 1, 1))))) // r1..2, RLCP
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    assert(out.get.planes(0).toSeq == px.toSeq)
   }
 
   test("coding markers in a non-first tile-part reject") {
