@@ -427,6 +427,49 @@ object SparkEntry {
         }
         .toDF("paper", "fingerprint")
     }),
+    "q70_pdf_annotations" -> ((s, dir) => {
+      // the getAnnotations surface (reference Page.annotations +
+      // AnnotationFactory, pdf.combined.js:47897-48725; round 6): per
+      // corpus page, the viewable annotation count + md5 of the canonical
+      // record dump (id, subtype, type, normalized rect, flags, appearance,
+      // color, url/dest/action). The corpus carries 265 Link annotations —
+      // arXiv URI actions, named dests with appearance streams + flags,
+      // GoTo dests — each matched field-for-field against the vendored
+      // engine's own getAnnotations dumps (AnnotationsParitySpec; Text /
+      // Widget / Popup / FileAttachment lanes gate there on synthetics).
+      import s.implicits._
+      val _ = dir
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/src/test/resources/input", "/root/reference/test-papers")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val paper = path.split('/').last.stripSuffix(".pdf")
+          val doc = graft.pdf.PdfDocument.open(bytes)
+          def fmt(d: Double): String = {
+            val s0 = new java.math.BigDecimal(d)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .stripTrailingZeros.toPlainString
+            if (s0.isEmpty) "0" else s0
+          }
+          def canon(a: graft.pdf.AnnotData): String = {
+            val color = a.color.map { case (r, g, b) => s"$r,$g,$b" }.getOrElse("-")
+            Seq(a.id, a.subtype, a.annotationType.map(_.toString).getOrElse("-"),
+              a.rect.map(fmt).mkString(","), a.flags.toString,
+              a.hasAppearance.toString, color, a.url.getOrElse("-"),
+              a.dest.getOrElse("-"), a.action.getOrElse("-")).mkString("|")
+          }
+          val rows = (0 until doc.pages.length).flatMap { i =>
+            val as = doc.annotations(i)
+            if (as.isEmpty) None
+            else Some((paper, i + 1, as.length.toLong, as.map(canon).mkString("\n")))
+          }
+          if (rows.isEmpty) Seq((paper, -1, 0L, "")) else rows
+        }
+        .toDF("paper", "page", "n_annots", "joined")
+        .select(col("paper"), col("page"), col("n_annots"),
+          when(col("joined") === "", "").otherwise(md5(col("joined"))).as("annots_md5"))
+    }),
     "q64_page_labels" -> ((s, dir) => {
       // catalog /PageLabels number tree → per-page display labels (SURVEY.md
       // §2.8 C4, round 6; reference Catalog.pageLabels): corpus papers —
@@ -1191,6 +1234,36 @@ object SparkEntry {
         | ('js', 2, 'print({});'),
         | ('jsopen', 0, 'open();')
         |) AS t(paper, ord, js)""".stripMargin,
+    "q70_pdf_annotations" ->
+      """SELECT * FROM (VALUES
+        | ('1301.4293', 1, 8, '29abb728f5c7fe4918b0e9daf1195493'),
+        | ('1301.4293', 2, 5, '75eb7d772ceadb874c9bbda9df45a944'),
+        | ('1301.4293', 3, 3, '7d4f1f6ed20c00d02b127356b28bf173'),
+        | ('C04-1204', -1, 0, ''),
+        | ('test24', 1, 33, '500370cb2636af22a7287be0d5ea231c'),
+        | ('test24', 2, 12, 'abb71d6d91ec84fffa0a0d740590ea24'),
+        | ('test24', 4, 26, '0f47de54b148e87158cedd998cb7d202'),
+        | ('test24', 5, 19, '8ff77ea9b23d9857cab9e91dbf6bcf75'),
+        | ('test24', 6, 15, 'b367b2ef4e6beaa1eb7e0e0f1718096e'),
+        | ('test24', 7, 13, '6603284251cb35ba60a4d9c34c9f76da'),
+        | ('test24', 8, 9, '8b16e1113493cf6a77ada50133bee736'),
+        | ('test24', 9, 15, 'cfb80a2ad9c756b1a09ded5f3b130e61'),
+        | ('test24', 10, 12, 'e3f7f9367300a751e96a0dfd215ba61f'),
+        | ('test24', 11, 3, '4a50aea3e04ed95696993c70088cbbe0'),
+        | ('test25', 1, 30, '2df85d316a54ddeaba6414c406867dc6'),
+        | ('test25', 2, 1, '2dc13f4022376359b46a2e7f212a960e'),
+        | ('test25', 3, 10, 'e2a6b4086fe4745860b494276830b26d'),
+        | ('test25', 4, 10, '509a5b61273a4f9b2f626085cabb4d6a'),
+        | ('test25', 5, 8, 'e20594946196cda6a07d7642fcc39144'),
+        | ('test25', 6, 2, '95b6a91969f0cec66e818d24a6a68c59'),
+        | ('test25', 7, 1, '0861518998d932033d49a22f9a326bb4'),
+        | ('2839', 1, 6, '3cda6dff66cff74872a9fb344a0f7a0b'),
+        | ('2839', 2, 7, 'a2979488ca6fda1ca43f960806964cec'),
+        | ('2839', 3, 5, '350c0b08db754f3e5387122773e5def3'),
+        | ('2839', 4, 8, 'e2657732f8fb08078d80e8de36124939'),
+        | ('2839', 5, 1, '718e2a348f42a5fa894812de7c2623a4'),
+        | ('2839', 6, 3, '5f7206825f437aa11ff608504579b64e')
+        |) AS t(paper, page, n_annots, annots_md5)""".stripMargin,
     "q69_pdf_fingerprint" ->
       """SELECT * FROM (VALUES
         | ('1301.4293', '9605231df768918a8dc5a1b770bff72e'),

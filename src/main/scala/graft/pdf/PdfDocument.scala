@@ -696,6 +696,314 @@ final class PdfDocument private (val file: PdfFile) {
     out.toMap
   }
 
+  /** FileSpec mirror (pdf.combined.js:43850-43930): display name from the
+    * UF > F > Unix > Mac > DOS pick with the reference's exact backslash
+    * normalization; decoded /EF stream content when embedded. */
+  private def fileSpecOf(o: PObj): Option[(String, Option[Array[Byte]])] =
+    file.resolve(o) match {
+      case fs: PDict =>
+        def pickPlatform(d: PDict): Option[PObj] =
+          Seq("UF", "F", "Unix", "Mac", "DOS").iterator
+            .flatMap(k => file.dictGet(d, k)).nextOption()
+        val filename = (pickPlatform(fs) match {
+          case Some(PStr(b)) => PdfDocument.decodePdfString(b)
+          case _ => "unnamed"
+        }).replace("\\\\", "\\").replace("\\/", "/").replace("\\", "/")
+        val content: Option[Array[Byte]] = file.dictGet(fs, "EF") match {
+          case Some(ef: PDict) => pickPlatform(ef) match {
+            case Some(s: PStream) => Some(file.decodeStream(s))
+            case _ => None
+          }
+          case _ => None
+        }
+        Some((filename, content))
+      case _ => None
+    }
+
+  /** Page annotations — the getAnnotations('display') surface (reference
+    * Page.annotations + AnnotationFactory, pdf.combined.js:47897-48725,
+    * 49003-49030): every /Annots entry becomes a data record with the base
+    * fields (id `<num>R[<gen>]`, subtype, normalized /Rect, /F flags, the
+    * 0/1/3/4-component /C color conversion, AP/N-with-/AS appearance
+    * detection) plus the per-subtype payload — Link /A actions (URI with
+    * the www. default-protocol and 7-bit-ASCII-as-UTF-8 decode, GoTo /
+    * GoToR destinations, Named actions) and /Dest fallbacks, Text icon
+    * rects and names, Widget field name/value/type/flags (with the
+    * backtick-index rule for unnamed kids and the Sig hide), Popup parent
+    * title/contents/color, markup popups, FileAttachment filenames. The
+    * 'display' viewable filter (INVISIBLE/HIDDEN/NOVIEW) applies like the
+    * API default. A malformed entry is skipped, never thrown. */
+  def annotations(i: Int): Vector[AnnotData] = try {
+    val annotsObj = pages(i).attr("Annots").getOrElse(return Vector.empty)
+    val refs = annotsObj match {
+      case PArr(items) => items
+      case _ => return Vector.empty
+    }
+    val out = Vector.newBuilder[AnnotData]
+    refs.foreach { ref =>
+      try annotOf(ref).foreach { a =>
+        val viewable = a.flags == 0 ||
+          (a.flags & (1 | 2 | 0x20)) == 0 // INVISIBLE | HIDDEN | NOVIEW
+        if (viewable) out += a
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    out.result()
+  } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+
+  private def annotOf(ref: PObj): Option[AnnotData] = {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val d = file.resolve(ref) match {
+      case dd: PDict => dd
+      case _ => return None
+    }
+    val subtype = file.dictGet(d, "Subtype") match {
+      case Some(PName(n)) => n
+      case _ => ""
+    }
+    val id = ref match {
+      case PRef(num, gen) => if (gen == 0) s"${num}R" else s"${num}R$gen"
+      case _ => ""
+    }
+    val flags = file.dictGet(d, "F") match {
+      case Some(n: PNum) if n.value.isWhole => n.int
+      case _ => 0
+    }
+    // Util.normalizeRect with the reference's NaN-tolerant comparisons
+    val rect: Array[Double] = file.dictGet(d, "Rect") match {
+      case Some(PArr(items)) if items.length == 4 =>
+        val r = items.map(file.resolve).map {
+          case PNum(v) => v
+          case _ => Double.NaN
+        }.toArray
+        if (r(0) > r(2)) { val t = r(0); r(0) = r(2); r(2) = t }
+        if (r(1) > r(3)) { val t = r(1); r(1) = r(3); r(3) = t }
+        r
+      case _ => Array(0.0, 0.0, 0.0, 0.0)
+    }
+    // setColor: 0 = transparent (None), 1 gray, 3 rgb, 4 cmyk, else black
+    def cvt(v: Double): Int = {
+      val t = (v * 255).toInt
+      if (t < 0) 0 else if (t > 255) 255 else t
+    }
+    def colorOf(obj: Option[PObj]): Option[(Int, Int, Int)] = obj match {
+      case Some(PArr(cs)) =>
+        val v = cs.map(file.resolve).map { case PNum(x) => x; case _ => Double.NaN }
+        cs.length match {
+          case 0 => None
+          case 1 => val g = cvt(v(0)); Some((g, g, g))
+          case 3 => Some((cvt(v(0)), cvt(v(1)), cvt(v(2))))
+          case 4 =>
+            // (1-c)(1-k) approximation — the reference's DeviceCmykCS runs a
+            // large calibration polynomial instead (pdf.combined.js:41226);
+            // disclosed deviation, no corpus annotation carries CMYK
+            val (r, g, b) = graft.eval.ColorSpaceModel
+              .toRgb(graft.eval.ColorSpaceModel.CMYK, v.toArray)
+              .getOrElse((0.0, 0.0, 0.0))
+            Some((cvt(r), cvt(g), cvt(b)))
+          case _ => Some((0, 0, 0))
+        }
+      case _ => Some((0, 0, 0))
+    }
+    var color = colorOf(file.dictGet(d, "C"))
+    // getDefaultAppearance: AP → N; a states subdictionary picks /AS
+    val hasAppearance = file.dictGet(d, "AP") match {
+      case Some(ap: PDict) => file.dictGet(ap, "N") match {
+        case Some(states: PDict) => file.dictGet(d, "AS") match {
+          case Some(PName(as)) => states.has(as)
+          case _ => false
+        }
+        case Some(_) => true
+        case None => false
+      }
+      case _ => false
+    }
+    var annotationType: Option[Int] = None
+    var url: Option[String] = None
+    var dest: Option[String] = None
+    var action: Option[String] = None
+    var title: Option[String] = None
+    var contents: Option[String] = None
+    var name: Option[String] = None
+    var hasPopup: Option[Boolean] = None
+    var fieldName: Option[String] = None
+    var fieldValue: Option[String] = None
+    var fieldType: Option[String] = None
+    var fieldFlags: Option[Int] = None
+    var fileFilename: Option[String] = None
+    var flagsOut = flags
+    val rectOut = rect.clone()
+
+    def preparePopup(): Unit = {
+      if (!d.has("C")) color = None
+      hasPopup = Some(d.has("Popup"))
+      title = Some(file.dictGet(d, "T") match {
+        case Some(PStr(b)) => PdfDocument.decodePdfString(b)
+        case _ => ""
+      })
+      contents = Some(file.dictGet(d, "Contents") match {
+        case Some(PStr(b)) => PdfDocument.decodePdfString(b)
+        case _ => ""
+      })
+    }
+    def getInheritable(start: PDict, key: String): Option[PObj] = {
+      var cur: PDict = start
+      var depth = 0
+      while (cur != null && depth < 100) {
+        file.dictGet(cur, key) match {
+          case Some(v) => return Some(v)
+          case None => ()
+        }
+        cur = file.dictGet(cur, "Parent") match {
+          case Some(p: PDict) => p
+          case _ => null
+        }
+        depth += 1
+      }
+      None
+    }
+
+    subtype match {
+      case "Link" =>
+        annotationType = Some(2)
+        file.dictGet(d, "A") match {
+          case Some(a: PDict) =>
+            val linkType = file.dictGet(a, "S") match {
+              case Some(PName(n)) => n
+              case _ => ""
+            }
+            linkType match {
+              case "URI" =>
+                var u = file.dictGet(a, "URI") match {
+                  case Some(PName(n)) => "/" + n // bad PDFs: unparenthesized relative urls
+                  case Some(PStr(b)) =>
+                    val s = new String(b, ISO_8859_1)
+                    if (s.startsWith("www.")) "http://" + s else s
+                  case _ => ""
+                }
+                if (!PdfDocument.isValidUrl(u)) u = ""
+                // URIs should be 7-bit ASCII; bad PDFs carry UTF-8 — decode
+                // it when valid, keep the raw copy otherwise (:48420-48426)
+                url = Some(try {
+                  val bytes = u.toCharArray.map(_.toByte)
+                  val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+                  dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+                } catch { case scala.util.control.NonFatal(_) => u })
+              case "GoTo" =>
+                file.dictGet(a, "D").foreach(v => dest = Some(PdfDocument.renderDest(v)))
+              case "GoToR" =>
+                var u = file.dictGet(a, "F") match {
+                  case Some(fd: PDict) => file.dictGet(fd, "F") match {
+                    case Some(PStr(b)) => new String(b, ISO_8859_1)
+                    case _ => ""
+                  }
+                  case _ => ""
+                }
+                if (!PdfDocument.isValidUrl(u)) u = ""
+                url = Some(u)
+                file.dictGet(a, "D").foreach(v => dest = Some(PdfDocument.renderDest(v)))
+              case "Named" =>
+                file.dictGet(a, "N") match {
+                  case Some(PName(n)) => action = Some(n)
+                  case _ => ()
+                }
+              case _ => () // unrecognized link type: warn-only there
+            }
+          case _ =>
+            if (d.has("Dest")) file.dictGet(d, "Dest").foreach {
+              case PName(n) => dest = Some(n)
+              case v => dest = Some(PdfDocument.renderDest(v))
+            }
+        }
+      case "Text" =>
+        annotationType = Some(1)
+        if (hasAppearance) name = Some("NoIcon")
+        else {
+          // icon-sized rect (22 px) anchored at the top-left corner
+          rectOut(1) = rectOut(3) - 22
+          rectOut(2) = rectOut(0) + 22
+          name = Some(file.dictGet(d, "Name") match {
+            case Some(PName(n)) => n
+            case _ => "Note"
+          })
+        }
+        preparePopup()
+      case "Widget" =>
+        annotationType = Some(20)
+        fieldValue = Some(getInheritable(d, "V") match {
+          case Some(PStr(b)) => PdfDocument.decodePdfString(b)
+          case _ => ""
+        })
+        fieldType = Some(getInheritable(d, "FT") match {
+          case Some(PName(n)) => n
+          case _ => ""
+        })
+        fieldFlags = Some(getInheritable(d, "Ff") match {
+          case Some(n: PNum) if n.value.isWhole => n.int
+          case _ => 0
+        })
+        if (fieldType.contains("Sig")) flagsOut = 2 // HIDDEN, like the reference
+        // full field name: T entries up the Parent chain; unnamed kids get
+        // a backtick + Kids index (the reference's de-facto rule)
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cur: PDict = d
+        var curRef: PObj = ref
+        var depth = 0
+        while (cur != null && depth < 100) {
+          val parent = file.dictGet(cur, "Parent").collect { case p: PDict => p }
+          val parentRef = cur.get("Parent").orNull
+          file.dictGet(cur, "T") match {
+            case Some(PStr(b)) => parts.prepend(PdfDocument.decodePdfString(b))
+            case _ =>
+              (parent, curRef) match {
+                case (Some(p), PRef(num, gen)) =>
+                  val kids = file.dictGet(p, "Kids") match {
+                    case Some(PArr(ks)) => ks
+                    case _ => Vector.empty
+                  }
+                  val j = kids.indexWhere {
+                    case PRef(kn, kg) => kn == num && kg == gen
+                    case _ => false
+                  }
+                  parts.prepend("`" + (if (j < 0) kids.length else j))
+                case _ => ()
+              }
+          }
+          cur = parent.orNull
+          curRef = parentRef
+          depth += 1
+        }
+        fieldName = Some(parts.mkString("."))
+      case "Popup" =>
+        annotationType = Some(16)
+        file.dictGet(d, "Parent") match {
+          case Some(p: PDict) =>
+            title = Some(file.dictGet(p, "T") match {
+              case Some(PStr(b)) => PdfDocument.decodePdfString(b)
+              case _ => ""
+            })
+            contents = Some(file.dictGet(p, "Contents") match {
+              case Some(PStr(b)) => PdfDocument.decodePdfString(b)
+              case _ => ""
+            })
+            if (!p.has("C")) color = None
+            else color = colorOf(file.dictGet(p, "C"))
+          case _ => ()
+        }
+      case "Highlight" => annotationType = Some(9); preparePopup()
+      case "Underline" => annotationType = Some(10); preparePopup()
+      case "Squiggly" => annotationType = Some(11); preparePopup()
+      case "StrikeOut" => annotationType = Some(12); preparePopup()
+      case "FileAttachment" =>
+        annotationType = Some(17)
+        fileFilename = file.dictGet(d, "FS").flatMap(fileSpecOf).map(_._1)
+        preparePopup()
+      case _ => () // base annotation: shared fields only
+    }
+    Some(AnnotData(id, subtype, annotationType, rectOut, flagsOut,
+      hasAppearance, color, url, dest, action, title, contents, name,
+      hasPopup, fieldName, fieldValue, fieldType, fieldFlags, fileFilename))
+  }
+
   /** Embedded-file attachments — the getAttachments surface (reference
     * Catalog.attachments + FileSpec, pdf.combined.js:42830-42850,
     * 43850-43930): the /Names → /EmbeddedFiles name tree, each value a file
@@ -714,27 +1022,11 @@ final class PdfDocument private (val file: PdfFile) {
     val names = file.dictGet(root, "Names")
       .collect { case d: PDict => d }.getOrElse(return Map.empty)
     val treeRoot = names.get("EmbeddedFiles").getOrElse(return Map.empty)
-    def pickPlatform(d: PDict): Option[PObj] =
-      Seq("UF", "F", "Unix", "Mac", "DOS").iterator
-        .flatMap(k => file.dictGet(d, k)).nextOption()
     val out = mutable.LinkedHashMap.empty[String, (String, Option[Array[Byte]])]
     nameTreeGetAll(treeRoot).foreach { case (rawName, fsObj) =>
-      file.resolve(fsObj) match {
-        case fs: PDict =>
-          val filename = (pickPlatform(fs) match {
-            case Some(PStr(b)) => PdfDocument.decodePdfString(b)
-            case _ => "unnamed"
-          }).replace("\\\\", "\\").replace("\\/", "/").replace("\\", "/")
-          val content: Option[Array[Byte]] = file.dictGet(fs, "EF") match {
-            case Some(ef: PDict) => pickPlatform(ef) match {
-              case Some(s: PStream) => Some(file.decodeStream(s))
-              case _ => None
-            }
-            case _ => None
-          }
-          out(PdfDocument.decodePdfString(rawName.getBytes(
-            java.nio.charset.StandardCharsets.ISO_8859_1))) = (filename, content)
-        case _ => ()
+      fileSpecOf(fsObj).foreach { spec =>
+        out(PdfDocument.decodePdfString(rawName.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1))) = spec
       }
     }
     out.toMap
@@ -1040,6 +1332,32 @@ object PdfDocument {
     case _ => "?"
   }
 }
+
+/** One annotation's extracted data — the reference getAnnotations record
+  * shape (Annotation.data, pdf.combined.js:48010-48022 and the subtype
+  * ctors) restricted to the extraction-relevant fields. `rect` is the
+  * normalized [x0, y0, x1, y1]; `color` None = transparent; subtype-less
+  * fields stay None. */
+final case class AnnotData(
+    id: String,
+    subtype: String,
+    annotationType: Option[Int],
+    rect: Array[Double],
+    flags: Int,
+    hasAppearance: Boolean,
+    color: Option[(Int, Int, Int)],
+    url: Option[String],
+    dest: Option[String],
+    action: Option[String],
+    title: Option[String],
+    contents: Option[String],
+    name: Option[String],
+    hasPopup: Option[Boolean],
+    fieldName: Option[String],
+    fieldValue: Option[String],
+    fieldType: Option[String],
+    fieldFlags: Option[Int],
+    fileFilename: Option[String])
 
 /** One outline (bookmark) item — the reference getOutline item shape
   * (pdf.combined.js:42655-42664) with the destination pre-rendered and
