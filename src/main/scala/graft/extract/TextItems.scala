@@ -125,14 +125,30 @@ object TextItems {
   }
 
   def extract(content: Array[Byte], res: PageResources,
-      initialCtm: Array[Double] = NumFmt.Identity): Vector[TextItem] =
-    extractWithStyles(content, res, initialCtm)._1
+      initialCtm: Array[Double] = NumFmt.Identity,
+      normalizeWhitespace: Boolean = false): Vector[TextItem] =
+    extractWithStyles(content, res, initialCtm, normalizeWhitespace)._1
+
+  /** getTextContent's normalizeWhitespace option (replaceWhitespace,
+    * pdf.combined.js:46022-46031): a str whose chars are all printable
+    * ASCII (0x20-0x7F) passes through untouched (the fast scan stops at the
+    * FIRST char outside that range — tabs included, since 0x09 < 0x20);
+    * otherwise every JS-\s-class char becomes a plain 0x20 space. */
+  private val JsWhitespace = java.util.regex.Pattern.compile(
+    "[\\t\\n\\u000B\\f\\r \\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff]")
+
+  private def replaceWhitespace(s: String): String = {
+    var i = 0
+    while (i < s.length && { val c = s.charAt(i); c >= 0x20 && c <= 0x7F }) i += 1
+    if (i == s.length) s else JsWhitespace.matcher(s).replaceAll(" ")
+  }
 
   /** Items plus the page's styles dict, keyed by loadedName in first-use
     * order (ensureTextContentItem registers a style the first time a font
     * initializes an item — a Tf that shows no text contributes nothing). */
   def extractWithStyles(content: Array[Byte], res: PageResources,
-      initialCtm: Array[Double] = NumFmt.Identity): (Vector[TextItem], Vector[(String, TextStyle)]) = {
+      initialCtm: Array[Double] = NumFmt.Identity,
+      normalizeWhitespace: Boolean = false): (Vector[TextItem], Vector[(String, TextStyle)]) = {
     // plain buffer, NOT a Vector builder: the Do-replay cache reads slices
     // mid-build (builder result() mid-use is undefined for ReusableBuilder)
     val items = ArrayBuffer.empty[TextItem]
@@ -213,7 +229,9 @@ object TextItems {
       if (!initialized) return
       val raw = buf.toString
       val rtl = Bidi.rtlRatio(raw) >= 0.3
-      val str = if (rtl) Bidi.reverseIfRtl(raw) else raw
+      val bidi = if (rtl) Bidi.reverseIfRtl(raw) else raw
+      // normalizeWhitespace applies AFTER bidi, like runBidiTransform
+      val str = if (normalizeWhitespace) replaceWhitespace(bidi) else bidi
       items += TextItem(str, if (rtl) "rtl" else "ltr", itemFamily, itemWidth, itemHeight, itemFontName)
       initialized = false
       buf.setLength(0)

@@ -418,10 +418,12 @@ final class PdfDocument private (val file: PdfFile) {
     * fake-space thresholds) instead of the generalized y-cluster the default
     * `extractPageText` uses. Gated item-for-item against a fixture generated
     * by the vendored CLI's own getTextContent (TextItemsSpec). */
-  def textContentItems(i: Int): Vector[graft.extract.TextItem] =
+  def textContentItems(i: Int,
+      normalizeWhitespace: Boolean = false): Vector[graft.extract.TextItem] =
     try {
       val p = pages(i)
-      graft.extract.TextItems.extract(p.content, p.resources)
+      graft.extract.TextItems.extract(p.content, p.resources,
+        normalizeWhitespace = normalizeWhitespace)
     } catch { case scala.util.control.NonFatal(_) => Vector.empty }
 
   /** Items plus the page's styles dict (getTextContent's second surface):

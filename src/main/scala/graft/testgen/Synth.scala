@@ -261,6 +261,43 @@ object Synth {
     }
   }
 
+  /** Deterministic whitespace-normalization fixture: a simple font whose
+    * /ToUnicode maps charcodes to NBSP / TAB / ideographic space / é, shown
+    * as two text items — one non-ASCII (triggers the \s → 0x20 replace),
+    * one pure-ASCII-plus-TAB (the fast scan stops at 0x09 < 0x20 too). */
+  def pdfWithWhitespaceText(): Array[Byte] = {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |5 beginbfchar
+        |<41> <00A0>
+        |<42> <0009>
+        |<43> <3000>
+        |<44> <00E9>
+        |<45> <0045>
+        |endbfchar
+        |endcmap
+        |end""".stripMargin
+    val content = "BT /F1 12 Tf 72 700 Td (DAEBC) Tj 0 -40 Td (EBE) Tj ET"
+    val sb = new StringBuilder
+    def obj(n: Int, body: String): Unit =
+      sb.append(s"$n 0 obj\n$body\nendobj\n")
+    def stream(n: Int, data: String): Unit =
+      sb.append(s"$n 0 obj\n<< /Length ${data.length} >>\nstream\n$data\nendstream\nendobj\n")
+    sb.append("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 6 0 R >>")
+    obj(4, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/FirstChar 65 /LastChar 69 /Widths [500 500 500 500 500] " +
+      "/ToUnicode 5 0 R >>")
+    stream(5, cmap)
+    stream(6, content)
+    sb.append("trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
   final case class SynthTurn(conv_id: String, turn_idx: Int, role: String,
       text: String, tool: String, tsMillis: Long, expected: String)
 

@@ -84,3 +84,18 @@ object DumpAnnots {
     }
   }
 }
+
+/** Scratch dump: the whitespace-normalization synthetic PDF + our items. */
+object DumpWs {
+  def main(args: Array[String]): Unit = {
+    val bytes = graft.testgen.Synth.pdfWithWhitespaceText()
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/synth_ws.pdf"), bytes)
+    val doc = graft.pdf.PdfDocument.open(bytes)
+    for (nw <- Seq(false, true)) {
+      val items = doc.textContentItems(0, normalizeWhitespace = nw)
+      println(s"nw=$nw: " + items.map(i =>
+        i.str.map(c => if (c >= 0x20 && c < 0x7f) c.toString else f"\\u${c.toInt}%04x").mkString)
+        .mkString(" || "))
+    }
+  }
+}

@@ -153,6 +153,21 @@ class TextItemsSpec extends AnyFunSuite {
     assert(items.map(_.str) == Vector("A", "IN", "B"))
   }
 
+  test("normalizeWhitespace option matches getTextContent({normalizeWhitespace:true})") {
+    // expectations verified against the vendored engine under node
+    // (/tmp/getitems_nw.js over Synth.pdfWithWhitespaceText): an item with
+    // any char outside printable ASCII gets every JS-\s char (NBSP, TAB,
+    // ideographic space) replaced by 0x20 — and the fast scan stops at a
+    // TAB too (0x09 < 0x20), so a pure-ASCII-plus-TAB item normalizes as
+    // well; without the option both items pass through untouched
+    val doc = PdfDocument.open(graft.testgen.Synth.pdfWithWhitespaceText())
+    val plain = doc.textContentItems(0)
+    assert(plain.map(_.str) == Vector("é E\t　", "E\tE"))
+    val norm = doc.textContentItems(0, normalizeWhitespace = true)
+    assert(norm.map(_.str) == Vector("é E  ", "E E"))
+    assert(norm.map(_.dir) == Vector("ltr", "ltr"))
+  }
+
   test("textContentText renders the getinfo join of the fixture items") {
     val fp = Paths.get("src/test/resources/reference-C04-1204-page1-items.json")
     val pp = Paths.get("/root/reference/src/test/resources/input/C04-1204.pdf")
