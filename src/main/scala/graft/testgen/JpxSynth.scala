@@ -29,7 +29,10 @@ object JpxSynth {
       roi: Map[Int, (Int, Int, Int, Int)] = Map.empty,
       /** Tile-local POC volumes (override the progression for THIS tile);
         * emitted as a first-tile-part POC marker. */
-      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil)
+      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
+      /** Tile-local custom precinct sizes (one byte per resolution 0..tile
+        * levels, PPx low nibble / PPy high) — Scod bit 0 of the tile COD. */
+      precSizes: Seq[Int] = Nil)
 
   // ── forward wavelets (the exact inverses of Jpx's synthesis lifting) ─────
 
@@ -602,7 +605,22 @@ object JpxSynth {
     def hasTileCod(ti: Int): Boolean = tcOf(ti).exists(t =>
       t.prog.nonEmpty || t.layers.nonEmpty || t.levels.nonEmpty ||
         t.cbExp.nonEmpty || t.cbStyle.nonEmpty || t.reversible.nonEmpty ||
-        t.sop.nonEmpty || t.eph.nonEmpty)
+        t.sop.nonEmpty || t.eph.nonEmpty || t.precSizes.nonEmpty)
+    tileCoding.foreach { case (ti, t) =>
+      if (t.precSizes.nonEmpty) {
+        require(t.precSizes.length == lvOf(ti) + 1,
+          "one tile precinct byte per resolution")
+        t.precSizes.zipWithIndex.foreach { case (ps, r) =>
+          require(r == 0 || ((ps & 0xf) >= 1 && ((ps >> 4) & 0xf) >= 1),
+            "tile PPx/PPy must be >= 1 above resolution 0")
+        }
+      }
+    }
+    /** Per-tile precinct exponents (tile COD precincts > main precincts). */
+    def ppxOfT(ti: Int, r: Int): Int = tcOf(ti).filter(_.precSizes.nonEmpty)
+      .map(t => t.precSizes(r) & 0xf).getOrElse(ppxOf(r))
+    def ppyOfT(ti: Int, r: Int): Int = tcOf(ti).filter(_.precSizes.nonEmpty)
+      .map(t => (t.precSizes(r) >> 4) & 0xf).getOrElse(ppyOf(r))
     /** Effective Tier-1 style for (tile, comp): a tile COD drops the main
       * COCs for that tile (T.800 precedence); tile COCs override either way. */
     def styleOf(ti: Int, c: Int): Int = tcOf(ti) match {
@@ -875,7 +893,7 @@ object JpxSynth {
             tLayers, styleOf(ti, c),
             rx0 = Jpx.ceilDiv(tcx0, 1 << sh), ry0 = Jpx.ceilDiv(tcy0, 1 << sh),
             rx1 = Jpx.ceilDiv(tcx1, 1 << sh), ry1 = Jpx.ceilDiv(tcy1, 1 << sh),
-            ppx = ppxOf(r), ppy = ppyOf(r))
+            ppx = ppxOfT(ti, r), ppy = ppyOfT(ti, r))
         }
       }
       // packet order per the signalled progression — the same stable-sort
@@ -942,12 +960,15 @@ object JpxSynth {
       def t8(v: Int): Unit = thdr.write(v & 0xff)
       def t16(v: Int): Unit = { t8(v >>> 8); t8(v) }
       if (hasTileCod(ti)) {
-        t16(0xff52); t16(12)
-        t8((if (sopOf(ti)) 2 else 0) | (if (ephOf(ti)) 4 else 0))
+        val tPrec = tcOf(ti).map(_.precSizes).getOrElse(Nil)
+        t16(0xff52); t16(12 + tPrec.length)
+        t8((if (tPrec.nonEmpty) 1 else 0) |
+          (if (sopOf(ti)) 2 else 0) | (if (ephOf(ti)) 4 else 0))
         t8(progOf(ti)); t16(tLayers); t8(mct)
         t8(tLv); t8(cbExpOf(ti) - 2); t8(cbExpOf(ti) - 2)
         t8(tcOf(ti).flatMap(_.cbStyle).getOrElse(cbStyle))
         t8(if (revOf(ti)) 1 else 0)
+        tPrec.foreach(t8)
       }
       tcOf(ti).flatMap(_.cocStyles).getOrElse(Map.empty).toSeq.sortBy(_._1)
         .foreach { case (ci, style) =>

@@ -88,38 +88,49 @@ object JpxXval {
     // tile-COD SOP/EPH (its parseTilePackets reads the flags from the MAIN
     // COD only — pdf.combined.js:11754-11755 — so a tile-signalled SOP
     // desyncs it with 'Out of packets')
-    val tileCases: Seq[(String, Array[Byte], Int)] = Seq(
+    val tileCases: Seq[(String, Array[Byte], Int, Int, Int)] = Seq(
       ("tcod_mix", JpxSynth.encode(tgray, tw, th, 8, levels = 2, cbExp = 4,
         tileW = 48, tileH = 40, tileCoding = Map(
           1 -> JpxSynth.TileCoding(prog = Some(1)),
           2 -> JpxSynth.TileCoding(layers = Some(3)),
-          3 -> JpxSynth.TileCoding(levels = Some(1), cbExp = Some(3), ownQcd = true))), 1),
+          3 -> JpxSynth.TileCoding(levels = Some(1), cbExp = Some(3),
+            ownQcd = true))), 1, tw, th),
       ("tqcd_own", JpxSynth.encode(contrast, tw, th, 8, levels = 2, cbExp = 4,
-        tileW = 48, tileCoding = Map(1 -> JpxSynth.TileCoding(ownQcd = true))), 1),
+        tileW = 48, tileCoding = Map(1 -> JpxSynth.TileCoding(ownQcd = true))),
+        1, tw, th),
       ("twavelet", JpxSynth.encode(tgray, tw, th, 8, levels = 2, cbExp = 4,
         tileW = 48, tileCoding = Map(
-          1 -> JpxSynth.TileCoding(reversible = Some(false), ownQcd = true))), 1),
+          1 -> JpxSynth.TileCoding(reversible = Some(false), ownQcd = true))),
+        1, tw, th),
       ("tcod_rlcp", JpxSynth.encode(tgray, tw, th, 8, levels = 2, cbExp = 4,
         tileW = 48, tileH = 40, tileCoding = Map(
-          1 -> JpxSynth.TileCoding(prog = Some(1)))), 1),
+          1 -> JpxSynth.TileCoding(prog = Some(1)))), 1, tw, th),
       ("tcod_rgb_rct", JpxSynth.encode(trgb, tw, th, 8, levels = 2, cbExp = 4,
         mct = 1, tileW = 48, tileCoding = Map(
-          1 -> JpxSynth.TileCoding(prog = Some(4), layers = Some(2)))), 3),
+          1 -> JpxSynth.TileCoding(prog = Some(4), layers = Some(2)))),
+        3, tw, th),
       ("tcod_layers", JpxSynth.encode(tgray, tw, th, 8, levels = 2, cbExp = 4,
         tileW = 48, tileH = 40, tileCoding = Map(
-          2 -> JpxSynth.TileCoding(layers = Some(3)))), 1),
+          2 -> JpxSynth.TileCoding(layers = Some(3)))), 1, tw, th),
       ("tcod_levels", JpxSynth.encode(tgray, tw, th, 8, levels = 2, cbExp = 4,
         tileW = 48, tileH = 40, tileCoding = Map(
           3 -> JpxSynth.TileCoding(levels = Some(1), cbExp = Some(3),
-            ownQcd = true))), 1))
-    for ((name, cs, comps) <- tileCases) {
+            ownQcd = true))), 1, tw, th),
+      // tile-COD custom precincts: 128-wide so every band origin stays
+      // precinct-aligned (the vendored anchoring is band-relative — its
+      // 3rd bug — so only aligned configurations arbitrate)
+      ("tcod_prec", JpxSynth.encode(Array(JpxSynth.testGray(128, 64, 29)),
+        128, 64, 8, levels = 2, cbExp = 4, tileW = 64, tileCoding = Map(
+          1 -> JpxSynth.TileCoding(precSizes = Seq(0x44, 0x44, 0x55)))),
+        1, 128, 64))
+    for ((name, cs, comps, cw, ch) <- tileCases) {
       java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/xvt_$name.j2k"), cs)
       val d = Jpx.decode(cs).getOrElse(sys.error(s"our decoder rejected $name"))
-      require(d.planes.length == comps && d.w == tw && d.h == th)
-      val items = new Array[Int](tw * th * comps)
+      require(d.planes.length == comps && d.w == cw && d.h == ch)
+      val items = new Array[Int](cw * ch * comps)
       var i = 0
       var px = 0
-      while (px < tw * th) {
+      while (px < cw * ch) {
         var c = 0
         while (c < comps) {
           items(i) = math.max(0, math.min(255, d.planes(c)(px)))
@@ -128,7 +139,7 @@ object JpxXval {
         px += 1
       }
       val sb = new StringBuilder
-      sb.append(s"""{"w":$tw,"h":$th,"comps":$comps,"items":[""")
+      sb.append(s"""{"w":$cw,"h":$ch,"comps":$comps,"items":[""")
       sb.append(items.mkString(","))
       sb.append("]}")
       java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/xvt_$name.ours.json"),

@@ -80,13 +80,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * POC) plus dry-packed-stream and PPM+PPT-exclusivity reject tests.
   *
   * Round 6 closes PER-TILE CODING OVERRIDES (A.4.2 first-tile-part
-  * COD/COC/QCD/QCC) with SEVEN cross-validated classes (graft.JpxXval
+  * COD/COC/QCD/QCC) with EIGHT cross-validated classes (graft.JpxXval
   * emits /tmp/xvt_*.j2k; /tmp/xval_cmp_tiles.js composites the vendored
   * per-tile items by left/top origin): tile COD changing the progression,
   * the layer count, or levels+block-size (with an own tile QCD), all
   * three combined on a 2×2 unaligned grid, RGB+RCT with a CPRL+2-layer
   * tile, a tile QCD whose exponents differ from the main (high-contrast
-  * vs near-flat tiles), and a 9/7 tile inside a 5/3 image — 0 mismatched
+  * vs near-flat tiles), a 9/7 tile inside a 5/3 image, and a tile COD carrying its own custom precinct partition — 0 mismatched
   * samples on every stream. Two lanes stay round-trip-only: COC-bearing
   * streams (the vendored decoder throws 'COC not implemented' on 0xFF53
   * anywhere, pdf.combined.js:11051-11053) and tile-COD-signalled SOP/EPH
@@ -1197,6 +1197,24 @@ class JpxSpec extends AnyFunSuite {
     val out = Jpx.decode(cs)
     assert(out.isDefined)
     assert(out.get.planes(0).toSeq == px.toSeq)
+  }
+
+  test("tile-COD custom precincts round-trip (per-tile precinct grids)") {
+    val (w, h) = (128, 64)
+    val px = JpxSynth.testGray(w, h, 29)
+    val cs = JpxSynth.encode(Array(px), w, h, 8, levels = 2, cbExp = 4,
+      tileW = 64, tileCoding = Map(
+        1 -> JpxSynth.TileCoding(precSizes = Seq(0x44, 0x44, 0x55))))
+    val out = Jpx.decode(cs)
+    assert(out.isDefined)
+    assert(out.get.planes(0).toSeq == px.toSeq)
+    // and combined with a levels override (precinct list sized to the
+    // TILE's resolution count, not the main header's)
+    val cs2 = JpxSynth.encode(Array(px), w, h, 8, levels = 2, cbExp = 4,
+      tileW = 64, tileCoding = Map(
+        1 -> JpxSynth.TileCoding(levels = Some(1), ownQcd = true,
+          precSizes = Seq(0x44, 0x55))))
+    assert(Jpx.decode(cs2).exists(_.planes(0).toSeq == px.toSeq))
   }
 
   test("coding markers in a non-first tile-part reject") {
