@@ -470,6 +470,46 @@ object SparkEntry {
         .select(col("paper"), col("page"), col("n_annots"),
           when(col("joined") === "", "").otherwise(md5(col("joined"))).as("annots_md5"))
     }),
+    "q71_streaming_sessions" -> ((s, dir) => {
+      // the Structured Streaming lane under a hard oracle (round 6 —
+      // previously unit-gated only): the events table read as a BOUNDED
+      // file stream (Trigger.AvailableNow), sessionized per user through
+      // flatMapGroupsWithState with an EVENT-TIME TIMEOUT, memory-sinked.
+      // Bounded-stream semantics are deterministic: one data batch holds
+      // every row (so each user accumulates one session), then the no-data
+      // flush batch fires timeouts for sessions whose lastTs + gap lies
+      // strictly below the final watermark (max event-time ms − delay) —
+      // users active within the last 2·gap of the stream stay open and are
+      // withheld, exactly what an unbounded run would do. The oracle
+      // replays that rule relationally (ms truncation included — both the
+      // watermark and the emitted timestamps are ms-precision).
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // FileStreamSource wants a directory: stage the single file into one
+      val streamDir = java.nio.file.Files.createTempDirectory("q71_events")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      streamDir.toFile.deleteOnExit()
+      val turns = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("user_id").cast("string").as("conv_id"),
+          col("event_id").cast("int").as("turn_idx"),
+          col("event_type").as("role"),
+          col("props").as("text"),
+          lit("").as("tool"),
+          // the parquet ts is NTZ; the session runs UTC, so the cast is a
+          // pure type change and getTime matches the naive epoch
+          col("ts").cast("timestamp").as("ts"))
+        .as[graft.core.Turn]
+      val q = graft.streaming.StreamingPipeline.sessionize(turns, gapMinutes = 30)
+        .writeStream.format("memory").queryName("q71_sessions")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q71_sessions")
+        .select(col("conv_id"), col("turns"), col("chars"),
+          col("first_ts"), col("last_ts"))
+    }),
     "q64_page_labels" -> ((s, dir) => {
       // catalog /PageLabels number tree → per-page display labels (SURVEY.md
       // §2.8 C4, round 6; reference Catalog.pageLabels): corpus papers —
@@ -1264,6 +1304,16 @@ object SparkEntry {
         | ('2839', 5, 1, '718e2a348f42a5fa894812de7c2623a4'),
         | ('2839', 6, 3, '5f7206825f437aa11ff608504579b64e')
         |) AS t(paper, page, n_annots, annots_md5)""".stripMargin,
+    "q71_streaming_sessions" ->
+      """WITH mx AS (SELECT epoch_ms(max(ts)) AS m_ms FROM events)
+        |SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |       COUNT(*) AS turns,
+        |       CAST(SUM(LENGTH(props)) AS BIGINT) AS chars,
+        |       epoch_ms(epoch_ms(MIN(ts))) AS first_ts,
+        |       epoch_ms(epoch_ms(MAX(ts))) AS last_ts
+        |FROM events, mx
+        |GROUP BY user_id, mx.m_ms
+        |HAVING epoch_ms(MAX(ts)) + 1800000 < mx.m_ms - 1800000""".stripMargin,
     "q69_pdf_fingerprint" ->
       """SELECT * FROM (VALUES
         | ('1301.4293', '9605231df768918a8dc5a1b770bff72e'),
