@@ -510,6 +510,40 @@ object SparkEntry {
         .select(col("conv_id"), col("turns"), col("chars"),
           col("first_ts"), col("last_ts"))
     }),
+    "q72_streaming_dedup" -> ((s, dir) => {
+      // the streaming exact-dedup lane under a hard oracle (round 6): the
+      // events table staged TWICE into the stream directory — every row a
+      // replay duplicate — through dropDuplicatesWithinWatermark keyed by
+      // (identity, 64-bit content hash). Both copies land in one
+      // AvailableNow batch, inside the watermark horizon by construction,
+      // so the output is exactly one row per original event; the oracle is
+      // the plain distinct projection.
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("q72_events")
+      Seq("a", "b").foreach { tag =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          streamDir.resolve(s"events_$tag.parquet"))
+      }
+      streamDir.toFile.deleteOnExit()
+      val turns = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("user_id").cast("string").as("conv_id"),
+          col("event_id").cast("int").as("turn_idx"),
+          col("event_type").as("role"),
+          col("props").as("text"),
+          lit("").as("tool"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[graft.core.Turn]
+      val q = graft.streaming.StreamingPipeline.dedupeStream(turns)
+        .writeStream.format("memory").queryName("q72_deduped")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q72_deduped")
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          md5(col("text")).as("text_md5"), col("ts"))
+    }),
     "q64_page_labels" -> ((s, dir) => {
       // catalog /PageLabels number tree → per-page display labels (SURVEY.md
       // §2.8 C4, round 6; reference Catalog.pageLabels): corpus papers —
@@ -1314,6 +1348,13 @@ object SparkEntry {
         |FROM events, mx
         |GROUP BY user_id, mx.m_ms
         |HAVING epoch_ms(MAX(ts)) + 1800000 < mx.m_ms - 1800000""".stripMargin,
+    "q72_streaming_dedup" ->
+      """SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |       CAST(event_id AS INT) AS turn_idx,
+        |       event_type AS role,
+        |       md5(props) AS text_md5,
+        |       ts
+        |FROM events""".stripMargin,
     "q69_pdf_fingerprint" ->
       """SELECT * FROM (VALUES
         | ('1301.4293', '9605231df768918a8dc5a1b770bff72e'),
