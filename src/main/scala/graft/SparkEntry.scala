@@ -502,11 +502,13 @@ object SparkEntry {
           // pure type change and getTime matches the naive epoch
           col("ts").cast("timestamp").as("ts"))
         .as[graft.core.Turn]
+      // unique sink name: re-invocation in one session must not collide
+      val sink71 = "q71_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = graft.streaming.StreamingPipeline.sessionize(turns, gapMinutes = 30)
-        .writeStream.format("memory").queryName("q71_sessions")
+        .writeStream.format("memory").queryName(sink71)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table("q71_sessions")
+      s.table(sink71)
         .select(col("conv_id"), col("turns"), col("chars"),
           col("first_ts"), col("last_ts"))
     }),
@@ -536,11 +538,12 @@ object SparkEntry {
           lit("").as("tool"),
           col("ts").cast("timestamp").as("ts"))
         .as[graft.core.Turn]
+      val sink72 = "q72_deduped_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = graft.streaming.StreamingPipeline.dedupeStream(turns)
-        .writeStream.format("memory").queryName("q72_deduped")
+        .writeStream.format("memory").queryName(sink72)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table("q72_deduped")
+      s.table(sink72)
         .select(col("conv_id"), col("turn_idx"), col("role"),
           md5(col("text")).as("text_md5"), col("ts"))
     }),
