@@ -547,6 +547,39 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("role"),
           md5(col("text")).as("text_md5"), col("ts"))
     }),
+    "q73_streaming_windows" -> ((s, dir) => {
+      // the watermarked windowed-aggregation lane under a hard oracle
+      // (round 6): events as a bounded AvailableNow stream through
+      // windowedMetrics — extraction + 1-minute event-time tumbling windows
+      // per role with 5 minutes of tolerated lateness, append mode. The
+      // no-data flush batch closes every window whose end lies at or below
+      // the final watermark (max event-time ms − 5 min); the oracle replays
+      // that rule relationally over the turn counts (the extracted-char
+      // sums ride the extractor kernel, which the golden gates own).
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("q73_events")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      streamDir.toFile.deleteOnExit()
+      val turns = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("user_id").cast("string").as("conv_id"),
+          col("event_id").cast("int").as("turn_idx"),
+          col("event_type").as("role"),
+          col("props").as("text"),
+          lit("").as("tool"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[graft.core.Turn]
+      val sink73 = "q73_windows_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamingPipeline.windowedMetrics(turns)
+        .writeStream.format("memory").queryName(sink73)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink73)
+        .select(col("window.start").as("wstart"), col("role"), col("turns"))
+    }),
     "q64_page_labels" -> ((s, dir) => {
       // catalog /PageLabels number tree → per-page display labels (SURVEY.md
       // §2.8 C4, round 6; reference Catalog.pageLabels): corpus papers —
@@ -1358,6 +1391,14 @@ object SparkEntry {
         |       md5(props) AS text_md5,
         |       ts
         |FROM events""".stripMargin,
+    "q73_streaming_windows" ->
+      """WITH mx AS (SELECT epoch_ms(max(ts)) AS m_ms FROM events)
+        |SELECT date_trunc('minute', ts) AS wstart,
+        |       event_type AS role,
+        |       COUNT(*) AS turns
+        |FROM events, mx
+        |GROUP BY date_trunc('minute', ts), event_type, mx.m_ms
+        |HAVING epoch_ms(date_trunc('minute', ts)) + 60000 <= mx.m_ms - 300000""".stripMargin,
     "q69_pdf_fingerprint" ->
       """SELECT * FROM (VALUES
         | ('1301.4293', '9605231df768918a8dc5a1b770bff72e'),
