@@ -21,8 +21,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** documents table → transcript turns (deterministic conv/turn mapping shared
-    * with the oracle SQL: conv_id = conv_%04d of doc_id%50, turn_idx = doc_id/50). */
+  /** Recursively delete a staged stream directory once its bounded streaming
+    * query has terminated (the memory sink holds the rows; the staged parquet
+    * copies would otherwise leak into /tmp — deleteOnExit only removes empty
+    * directories). */
+  private def deleteStagedDir(dir: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** documents table → RAW transcript turns (deterministic conv/turn mapping
+    * shared with the oracle SQL: conv_id = conv_%04d of doc_id%50, turn_idx =
+    * doc_id/50). The HTML payload encode is NOT applied here — the pipeline
+    * queries fuse it after the range exchange (guide §2.3: the exchange then
+    * carries the raw text, and the RangePartitioner's sampling pass doesn't
+    * re-run the encode), via [[encodeHtmlTurn]]. */
   private def docsAsTurns(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Turn] = {
     import s.implicits._
     t(s, dir, "documents")
@@ -34,14 +50,34 @@ object SparkEntry {
         lit("").as("tool"),
         timestamp_seconds(lit(1735689600L) + col("doc_id")).as("ts"))
       .as[Turn]
-      .map(tn => tn.copy(text = Synth.encodeHtml(tn.text)))
   }
 
-  /** Flagship: the full extraction pipeline on sf0.001 transcripts. */
-  def entry(spark: SparkSession): DataFrame = {
-    val turns = docsAsTurns(spark, "/root/testdata/sf0.001")
-    Pipeline.extractTurns(turns).toDF()
+  /** Per-row payload encode for the pipeline queries, fused post-exchange. */
+  private val encodeHtmlTurn: Turn => Turn =
+    tn => tn.copy(text = Synth.encodeHtml(tn.text))
+
+  /** Scale-adaptive fan-out for CPU-bound per-row stages over small compressed
+    * scans (r7, guide §2.2/§6): text compresses 10-60× in parquet, so
+    * byte-sized splits undercount the work per row and a sub-core partition
+    * count serializes the kernel stage on one thread. When the scan yields
+    * fewer partitions than defaultParallelism, fan out once (the exchange
+    * carries the narrow pre-kernel projection); on a cluster-sized input the
+    * scan already exceeds defaultParallelism and this is a NO-OP — no
+    * constant tuned to the local core count, no extra exchange at scale. */
+  private def fanOutNarrowScan(df: DataFrame): DataFrame = {
+    val parts = df.rdd.getNumPartitions
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (parts < target) df.repartition(target) else df
   }
+
+  /** The e2e extraction over the docs-as-turns fixture: raw rows cross the one
+    * range exchange, encode+extract run fused in the post-exchange map stage. */
+  private def extractDocTurns(s: SparkSession, dir: String) =
+    Pipeline.extractTurnsEncoding(docsAsTurns(s, dir), encodeHtmlTurn)
+
+  /** Flagship: the full extraction pipeline on sf0.001 transcripts. */
+  def entry(spark: SparkSession): DataFrame =
+    extractDocTurns(spark, "/root/testdata/sf0.001").toDF()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────── relational shell (Catalyst built-ins) ─────────────
@@ -132,7 +168,7 @@ object SparkEntry {
         .toDF("doc_id", "extracted_text")
     }),
     "q13_pipeline_e2e" -> ((s, dir) =>
-      Pipeline.extractTurns(docsAsTurns(s, dir))
+      extractDocTurns(s, dir)
         .select("conv_id", "turn_idx", "extracted_text")),
     "q14_spans" -> ((s, dir) => {
       import s.implicits._
@@ -145,7 +181,7 @@ object SparkEntry {
     }),
     "q15_ordering" -> ((s, dir) => {
       val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-      Pipeline.extractTurns(docsAsTurns(s, dir))
+      extractDocTurns(s, dir)
         .select("conv_id", "turn_idx")
         .withColumn("rn", row_number().over(w).cast("long"))
     }),
@@ -508,6 +544,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink71)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      deleteStagedDir(streamDir)
       s.table(sink71)
         .select(col("conv_id"), col("turns"), col("chars"),
           col("first_ts"), col("last_ts"))
@@ -543,6 +580,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink72)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      deleteStagedDir(streamDir)
       s.table(sink72)
         .select(col("conv_id"), col("turn_idx"), col("role"),
           md5(col("text")).as("text_md5"), col("ts"))
@@ -577,6 +615,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink73)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      deleteStagedDir(streamDir)
       s.table(sink73)
         .select(col("window.start").as("wstart"), col("role"), col("turns"))
     }),
@@ -755,7 +794,7 @@ object SparkEntry {
       s.sql("SELECT doc_id, extract_text(payload) AS extracted_text FROM payloads")
     }),
     "q17_conv_rollup" -> ((s, dir) =>
-      graft.spark.ConvRollup.salted(Pipeline.extractTurns(docsAsTurns(s, dir)))
+      graft.spark.ConvRollup.salted(extractDocTurns(s, dir))
         .select(col("conv_id"), col("turns"), col("chars"),
           col("max_turn_idx").cast("int").as("max_turn_idx"))),
     "q20_dedup_exact" -> ((s, dir) =>
@@ -1037,19 +1076,22 @@ object SparkEntry {
 
     // ───────────── text analysis ─────────────
     "q40_textstats" -> ((s, dir) =>
+      // r7: stop-count via the native token_set_count kernel — same value as
+      // size(filter(split(lower(text), " "), in stop set)) (empty split
+      // tokens are never stopwords), without the interpreted HOF chain
       t(s, dir, "documents").select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         TextStats.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
-        size(filter(split(lower(col("text")), " "),
-          w => w.isInCollection(Seq("the", "of", "and", "a", "to", "in", "is", "for", "on", "with"))))
+        graft.functions.TextHashes.token_set_count(lower(col("text")),
+          Seq("the", "of", "and", "a", "to", "in", "is", "for", "on", "with"))
           .cast("long").as("n_stop"))),
     "q41_quality" -> ((s, dir) => {
       val txt = col("text")
       val len = length(txt)
       val nWords = TextStats.wsTokenCount(txt)
-      val nStop = size(filter(split(lower(txt), " "),
-        w => w.isInCollection(Seq("the", "of", "and", "a", "to", "in", "is", "for", "on", "with"))))
+      val nStop = graft.functions.TextHashes.token_set_count(lower(txt),
+        Seq("the", "of", "and", "a", "to", "in", "is", "for", "on", "with"))
       val punct = TextStats.punctCount(txt)
       val lenScore = when(len.between(50, 10000), lit(4)).when(len.between(20, 50000), lit(2)).otherwise(lit(0))
       val stopScore = when(nStop * 20 > nWords, lit(3)).otherwise(lit(0))

@@ -615,6 +615,78 @@ object TextScan {
     if (total == 0) 0.0 else max.toDouble / total
   }
 
+  /** Count of U+0020 code points by raw byte scan — 0x20 can only encode the
+    * space character in UTF-8 (continuation and lead bytes are ≥ 0x80), so no
+    * decode is needed. Equals `length(text) − length(remove-spaces(text))`
+    * without the regexp Matcher + full-copy StringBuffer per row (r7: the
+    * quality-gate queries spent their per-row time there). */
+  def spaceCount(text: UTF8String): Int = {
+    val nb = text.numBytes()
+    var count = 0
+    var i = 0
+    while (i < nb) {
+      if (text.getByte(i) == 0x20) count += 1
+      i += 1
+    }
+    count
+  }
+
+  /** split(" ") token count: 0 for the empty string, else spaces + 1 —
+    * byte-for-byte the `length − length(regexp_replace(text," ","")) + 1`
+    * column it replaces (split-token count, empty tokens included). */
+  def wsTokenCountKernel(text: UTF8String): Int =
+    if (text.numBytes() == 0) 0 else spaceCount(text) + 1
+
+  /** Count of Java `\p{Punct}` code points (the POSIX punct class: ASCII
+    * 33-47, 58-64, 91-96, 123-126 — all single-byte in UTF-8, so a raw byte
+    * scan is exact). Equals `length(text) − length(strip-punct(text))`. */
+  def punctCount(text: UTF8String): Int = {
+    val nb = text.numBytes()
+    var count = 0
+    var i = 0
+    while (i < nb) {
+      val b = text.getByte(i)
+      if ((b >= 33 && b <= 47) || (b >= 58 && b <= 64) ||
+          (b >= 91 && b <= 96) || (b >= 123 && b <= 126)) count += 1
+      i += 1
+    }
+    count
+  }
+
+  /** Overlapping word-window chunks as byte-range slices: window i covers
+    * split(" ") tokens [i·stride, i·stride+size), windows start while the
+    * start index is inside the token list. Because split/join on the same
+    * single-space delimiter is lossless, each chunk is literally the text
+    * between two space boundaries — so this emits zero-copy slices of one
+    * byte array instead of the split → transform → slice → array_join chain
+    * (every step of which is a CodegenFallback higher-order function,
+    * interpreted per row). Spaces are located by byte scan (see spaceCount);
+    * slice boundaries at 0x20 bytes are always valid UTF-8 boundaries. */
+  def chunkWords(text: UTF8String, size: Int, stride: Int): Array[UTF8String] = {
+    val bytes = text.getBytes // returns the backing array when exact-sized
+    val nb = bytes.length
+    var nSpaces = 0
+    var i = 0
+    while (i < nb) { if (bytes(i) == 0x20) nSpaces += 1; i += 1 }
+    val spacePos = new Array[Int](nSpaces)
+    var k = 0
+    i = 0
+    while (i < nb) { if (bytes(i) == 0x20) { spacePos(k) = i; k += 1 }; i += 1 }
+    val nTokens = nSpaces + 1 // split(" ") semantics: "" -> [""], n = 1
+    val out = new Array[UTF8String]((nTokens - 1) / stride + 1)
+    var ci = 0
+    var s = 0
+    while (s <= nTokens - 1) {
+      val startByte = if (s == 0) 0 else spacePos(s - 1) + 1
+      val lastTok = math.min(s + size - 1, nTokens - 1)
+      val endByte = if (lastTok == nTokens - 1) nb else spacePos(lastTok)
+      out(ci) = UTF8String.fromBytes(bytes, startByte, endByte - startByte)
+      ci += 1
+      s += stride
+    }
+    out
+  }
+
   /** BPE-ish word-token estimate: per \p{L}\p{N} run, 1 + (len-1)/4 tokens
     * (len in codepoints) — identical to the aggregate() over split words it
     * replaces. */
@@ -692,6 +764,51 @@ case class TokenInVocab(child: Expression, words: Array[String]) extends UnaryEx
   override protected def withNewChildInternal(newChild: Expression): TokenInVocab =
     copy(child = newChild)
   override def prettyName: String = "token_in_vocab"
+}
+
+/** split(" ") token count by byte scan — the `length − length(regexp_replace)`
+  * replacement (r7). */
+case class WsTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.wsTokenCountKernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.wsTokenCountKernel($c)")
+  override protected def withNewChildInternal(newChild: Expression): WsTokenCount =
+    copy(child = newChild)
+  override def prettyName: String = "ws_token_count"
+}
+
+/** Java \p{Punct} code-point count by byte scan (r7). */
+case class PunctCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.punctCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.punctCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): PunctCount =
+    copy(child = newChild)
+  override def prettyName: String = "punct_count"
+}
+
+/** Overlapping word-window chunks as byte-range slices (r7 — replaces the
+  * interpreted split/transform/slice/array_join chain in Chunking). */
+case class ChunkWordsExpr(child: Expression, size: Int, stride: Int) extends UnaryExpression {
+  // containsNull = true matches the transform/array_join formulation this
+  // kernel replaced, so downstream schemas (posexplode output nullability,
+  // written parquet optionality) stay bit-identical
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextScan.chunkWords(input.asInstanceOf[UTF8String], size, stride)
+        .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"(Object[]) graft.functions.TextScan.chunkWords($c, $size, $stride))")
+  override protected def withNewChildInternal(newChild: Expression): ChunkWordsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "chunk_words"
 }
 
 case class BpeishWordTokens(child: Expression) extends UnaryExpression {
@@ -806,6 +923,10 @@ object TextHashes {
   def token_in_vocab(c: Column, words: Seq[String]): Column =
     column(TokenInVocab(expression(c), words.toArray))
   def bpeish_word_tokens(c: Column): Column = column(BpeishWordTokens(expression(c)))
+  def ws_token_count(c: Column): Column = column(WsTokenCount(expression(c)))
+  def punct_count(c: Column): Column = column(PunctCount(expression(c)))
+  def chunk_words(c: Column, size: Int, stride: Int): Column =
+    column(ChunkWordsExpr(expression(c), size, stride))
   def top_bigram_share(c: Column): Column = column(TopBigramShare(expression(c)))
 
   /** Register as SQL functions: minhash_signature(text), simhash64(text), … */

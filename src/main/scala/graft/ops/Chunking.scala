@@ -16,13 +16,15 @@ object Chunking {
   def chunkWords(df: DataFrame, idCol: String, textCol: String,
       size: Int, stride: Int): DataFrame = {
     require(stride > 0 && size > 0)
-    val words = split(col(textCol), " ")
-    val n = org.apache.spark.sql.functions.size(words)
-    val starts = transform(
-      sequence(lit(0), ((n - 1) / stride).cast("int")),
-      i => i * stride)
+    // r7: one byte-scan kernel per row (chunk i = split(" ") tokens
+    // [i·stride, i·stride+size) re-joined — literally a slice of the text
+    // between space boundaries, emitted zero-copy). Replaces the
+    // split → transform(sequence) → slice → array_join chain, all of whose
+    // higher-order steps are CodegenFallback (interpreted per row). Values
+    // identical: split/join on the same single-space delimiter is lossless,
+    // so both formulations emit the same chunk strings and chunk_idx.
     df.select(col(idCol), posexplode(
-        transform(starts, s => array_join(slice(words, s + 1, lit(size)), " ")))
+        graft.functions.TextHashes.chunk_words(col(textCol), size, stride))
         .as(Seq("chunk_idx", "chunk_text")))
   }
 

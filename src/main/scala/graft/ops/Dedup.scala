@@ -276,7 +276,16 @@ object Dedup {
     * internal expressions the optimizer's own runtime-filter injection
     * uses (BloomFilterAggregate / BloomFilterMightContain), bridged into
     * Columns. Size `bloomItems` to the expected duplicated-gram count;
-    * the default 4M items / 64M bits holds ~1% false positives. */
+    * the default 4M items / 64M bits holds ~1% false positives.
+    *
+    * Broadcast lifetime (r7 ADVICE): each invocation broadcasts one serialized
+    * bloom (128 MB at production sizing) that the returned plan references.
+    * The only reference held is the expression tree's own, so Spark's
+    * ContextCleaner reclaims the driver and executor blocks as soon as the
+    * caller releases the returned DataFrame (referenceTracking is on by
+    * default) — but a caller that HOLDS many returned frames in one session
+    * holds their blooms too, and should release (or `.unpersist()` via the
+    * plan's broadcast) between invocations. */
   def substringDedupTwoPass(df: DataFrame, idCol: String, textCol: String,
       l: Int = 50, minDocs: Int = 2, maxDocs: Long = 0L,
       bloomItems: Long = 4L << 20, bloomBits: Long = 64L << 20): DataFrame = {

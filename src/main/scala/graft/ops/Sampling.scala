@@ -34,16 +34,41 @@ object Sampling {
     * window plan. Per-partition state: distinct-strata-in-partition × n
     * buffered rows. */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String, n: Int): DataFrame = {
+    // n <= 0 keeps nothing: return the empty frame directly instead of running
+    // the pre-filter (whose bounded heap would be empty — heap.head on it threw
+    // before round 7) and the window
+    if (n <= 0) return df.filter(lit(false))
     val keyed = df.withColumn("__rk", graft.functions.TextHashes.mix64_col(col(idCol)))
     val schema = keyed.schema
     val rkIdx = schema.fieldIndex("__rk")
     val idIdx = schema.fieldIndex(idCol)
     val stIdx = schema.fieldIndex(stratumCol)
     val pre = idOrdering(schema(idIdx).dataType) match {
-      case Some(idOrd) =>
-        val rowOrd: Ordering[org.apache.spark.sql.Row] =
-          Ordering.by[org.apache.spark.sql.Row, Long](_.getLong(rkIdx))
-            .orElse(Ordering.by[org.apache.spark.sql.Row, Any](_.get(idIdx))(idOrd))
+      case Some(idOrd0) =>
+        // the window's ORDER BY (__rk, id) places NULLS FIRST on both keys
+        // (Spark ascending default); a null id yields a null __rk, so the
+        // partition-local order must rank null keys ahead of every value or
+        // null-id rows could be dropped from the pre-filter superset
+        val idOrd: Ordering[Any] = new Ordering[Any] {
+          def compare(a: Any, b: Any): Int =
+            if (a == null && b == null) 0
+            else if (a == null) -1
+            else if (b == null) 1
+            else idOrd0.compare(a, b)
+        }
+        val rowOrd: Ordering[org.apache.spark.sql.Row] = new Ordering[org.apache.spark.sql.Row] {
+          def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
+            val an = a.isNullAt(rkIdx)
+            val bn = b.isNullAt(rkIdx)
+            val c =
+              if (an || bn) { if (an == bn) 0 else if (an) -1 else 1 }
+              else java.lang.Long.compare(a.getLong(rkIdx), b.getLong(rkIdx))
+            if (c != 0) c
+            else idOrd.compare(
+              if (a.isNullAt(idIdx)) null else a.get(idIdx),
+              if (b.isNullAt(idIdx)) null else b.get(idIdx))
+          }
+        }
         keyed.mapPartitions { it =>
           val heaps = scala.collection.mutable.HashMap
             .empty[Any, scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]]

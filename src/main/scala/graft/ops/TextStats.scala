@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace token count — `length - length(remove spaces) + 1` (string-exact
-    * and oracle-reproducible, unlike regex splits across engines). */
+  /** Whitespace token count — split(" ") token count (0 for empty text), the
+    * same value as `length - length(remove spaces) + 1` (string-exact and
+    * oracle-reproducible, unlike regex splits across engines). r7: a native
+    * byte-scan kernel — the regexp_replace formulation built a Matcher and a
+    * full stripped copy of every document just to count spaces. */
   def wsTokenCount(textCol: Column): Column =
-    when(length(textCol) === 0, lit(0))
-      .otherwise(length(textCol) - length(regexp_replace(textCol, " ", "")) + 1)
+    graft.functions.TextHashes.ws_token_count(textCol)
 
   /** BPE-ish token estimate: words + punctuation marks counted separately, long
     * words surcharged ~1 token per 4 chars beyond 4 (the usual subword scaling).
@@ -26,8 +28,11 @@ object TextStats {
       .as("bpeish_tokens")
   }
 
+  /** Java \p{Punct} code-point count — same value as
+    * `length - length(regexp_replace(text, "[\\p{Punct}]", ""))`; r7 byte-scan
+    * kernel (the class is pure ASCII, so bytes are exact). */
   def punctCount(textCol: Column): Column =
-    length(textCol) - length(regexp_replace(textCol, "[\\p{Punct}]", ""))
+    graft.functions.TextHashes.punct_count(textCol)
 
   def upperRatio(textCol: Column): Column = {
     val letters = length(regexp_replace(textCol, "[^a-zA-Z]", ""))

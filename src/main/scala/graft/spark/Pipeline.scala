@@ -32,13 +32,25 @@ object Pipeline {
   }
 
   /** Core extraction: ordered, skew-safe, one shuffle. */
-  def extractTurns(ds: Dataset[Turn], numPartitions: Option[Int] = None): Dataset[ExtractedTurn] = {
+  def extractTurns(ds: Dataset[Turn], numPartitions: Option[Int] = None): Dataset[ExtractedTurn] =
+    extractTurnsEncoding(ds, identity, numPartitions)
+
+  /** Extraction with a per-row payload step fused AFTER the range exchange
+    * (guide §2.3/§8: shuffle the lightweight rows, run payload expansion in
+    * the post-exchange map stage). Two effects versus mapping `encode` before
+    * [[extractTurns]]: the exchange carries the raw text instead of the
+    * (larger) encoded payload, and the RangePartitioner's sampling pass — a
+    * full extra evaluation of the child plan — samples cheap raw rows instead
+    * of re-running the encode. The row set is identical either way: `encode`
+    * is per-row and the sort keys (conv_id, turn_idx) don't depend on it. */
+  def extractTurnsEncoding(ds: Dataset[Turn], encode: Turn => Turn,
+      numPartitions: Option[Int] = None): Dataset[ExtractedTurn] = {
     val spark = ds.sparkSession
     import spark.implicits._
     val parts = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     ds.repartitionByRange(parts, col("conv_id"), col("turn_idx"))
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
-      .mapPartitions(_.map(Extractor.extractTurn))
+      .mapPartitions(_.map(t => Extractor.extractTurn(encode(t))))
   }
 
   /** Ordering invariant check (BASELINE.json north_rule): row_number over

@@ -424,6 +424,49 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L).getAs[Double]("q") >= 0.7) // long, stopword-rich, low punct
   }
 
+  test("r7 byte-scan kernels equal their declarative formulations (fuzz)") {
+    import spark.implicits._
+    // texts exercising every boundary: empty, all-spaces, consecutive/leading/
+    // trailing spaces, multibyte (é, CJK, emoji incl. supplementary plane),
+    // punctuation classes, and random word soups
+    val rng = new java.util.Random(7L)
+    val alphabet = "ab c.,;!?()[]{}#@é世🌍界 -_~`^|\\\"'<>&%$ xyz"
+    val fixed = Seq("", " ", "   ", "a", " a ", "a  b", "a b c", "é 世界 🌍🌍",
+      "!!!", "tab\tnewline\nmix", "..a..b..")
+    val rand = (0 until 300).map { _ =>
+      val n = rng.nextInt(120)
+      (0 until n).map(_ => alphabet.charAt(rng.nextInt(alphabet.length))).mkString
+    }
+    val df = (fixed ++ rand).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // ws_token_count == length - length(remove spaces) + 1 (0 for empty)
+    // punct_count == length - length(strip \p{Punct})
+    val counts = df.select(
+      graft.functions.TextHashes.ws_token_count(col("text")).as("ws_new"),
+      when(length(col("text")) === 0, lit(0))
+        .otherwise(length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .as("ws_old"),
+      graft.functions.TextHashes.punct_count(col("text")).as("p_new"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[\\p{Punct}]", "")))
+        .as("p_old")).collect()
+    counts.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"ws mismatch: $r")
+      assert(r.getInt(2) == r.getInt(3), s"punct mismatch: $r")
+    }
+    // chunk_words == split -> transform(sequence) -> slice -> array_join
+    for ((size, stride) <- Seq((32, 24), (4, 3), (1, 1), (5, 5))) {
+      val neu = graft.ops.Chunking.chunkWords(df, "id", "text", size, stride)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+      val words = split(col("text"), " ")
+      val n = org.apache.spark.sql.functions.size(words)
+      val starts = transform(sequence(lit(0), ((n - 1) / stride).cast("int")), i => i * stride)
+      val alt = df.select(col("id"), posexplode(
+          transform(starts, s => array_join(slice(words, s + 1, lit(size)), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+      assert(neu == alt, s"chunk mismatch at size=$size stride=$stride")
+    }
+  }
+
   test("token-window chunking: coverage with overlap; redaction hits PII shapes") {
     import spark.implicits._
     val d = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")

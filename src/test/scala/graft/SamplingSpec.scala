@@ -45,6 +45,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(expect.size == 28)
   }
 
+  test("stratifiedSample: n=0 is empty and null ids survive the pre-filter (r7 ADVICE)") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, i % 4)).toDF("id", "stratum")
+    // n = 0: empty result, same schema, no exception from the bounded heap
+    val empty = Sampling.stratifiedSample(df, "id", "stratum", 0)
+    assert(empty.count() == 0L)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "stratum"))
+    // null ids rank FIRST (window: __rk null, NULLS FIRST) — the pre-filter
+    // must keep them deterministically, matching the window-only plan
+    val withNulls = df.select(
+      when(col("id") < 2, lit(null).cast("long")).otherwise(col("id")).as("id"),
+      col("stratum"))
+    val got = Sampling.stratifiedSample(withNulls, "id", "stratum", 3)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+    // window-only reference: rank by (mix64 null first, id null first)
+    val ref = withNulls
+      .withColumn("__rk", graft.functions.TextHashes.mix64_col(col("id")))
+      .collect().map { r =>
+        val id: java.lang.Long = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        val rk: java.lang.Long = if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))
+        (id, r.getLong(1), rk)
+      }
+      .groupBy(_._2).valuesIterator.flatMap { rows =>
+        rows.sortBy { r =>
+          (r._3 != null, if (r._3 == null) 0L else r._3.longValue,
+            r._1 != null, if (r._1 == null) 0L else r._1.longValue)
+        }.take(3).map(r => (if (r._1 == null) -1L else r._1.longValue, r._2)).toSeq
+      }.toSet
+    assert(got.toSet == ref, s"got=${got.toSet} ref=$ref")
+    // both null-id rows (strata 0 and 1) must be present
+    assert(got.count(_._1 == -1L) == 2)
+  }
+
   test("packSequences: greedy fill, oversized doc gets its own sequence") {
     import spark.implicits._
     val df = Seq(
