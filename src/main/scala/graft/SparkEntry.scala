@@ -144,8 +144,12 @@ object SparkEntry {
         .toDF("doc_id", "extracted_text")
     }),
     "q11_extract_svg" -> ((s, dir) => {
+      // the heaviest per-row lane (SVG encode emits one pf-formatted x per
+      // glyph): fan the narrow scan out to the session parallelism first —
+      // no-op at cluster scale (see fanOutNarrowScan)
       import s.implicits._
-      t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+      fanOutNarrowScan(t(s, dir, "documents").select("doc_id", "text"))
+        .as[(Long, String)]
         .map { case (id, txt) =>
           (id, Extractor.extract(Synth.encodeSvg(txt)).text.replace('\n', ' '))
         }
@@ -976,6 +980,12 @@ object SparkEntry {
       // and the text rides a single id-keyed semi-join afterwards. The 128-bit
       // key (two independently-seeded xxhash64 variants) makes silent
       // collision merges ~10^-15 at 10^12 rows, so the byte-exact oracle holds.
+      // NOTE (r7): fanning the scan out before the dedup semi-join was tried
+      // (the BHJ probe side inherits the scan's 1-partition layout) and
+      // measured ~0.35 s SLOWER across two full bench runs — the added
+      // exchange outweighs parallelizing a kernel chain that, after the
+      // byte-scan kernel swaps, costs ~0.1 s single-core here. At cluster
+      // scale the scan is already wide. Kept as the plain scan.
       val docs = t(s, dir, "documents")
       val deduped = graft.ops.Dedup.exact128(docs, "doc_id", "text")
         .select(col("text"), col("doc_id"))
@@ -1020,6 +1030,12 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
       val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
       val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      // NOTE (r7): explicit broadcast() hints on these bounded gate joins
+      // were tried (guide §3.1) and MEASURED 1.35-1.4x slower against an
+      // interleaved untouched control: the broadcast build serializes the
+      // whole top-k subtree into a separate build job, costing more than the
+      // 50-row sort-merge exchanges it saves; AQE already rewrites to
+      // broadcast at runtime when profitable. Kept as SMJ-planned.
       val hits = ivf.select("qid", "nid")
         .join(bf.select("qid", "nid"), Seq("qid", "nid"))
         .groupBy("qid").agg(count(lit(1)).as("hits"))
@@ -1044,6 +1060,8 @@ object SparkEntry {
       val pq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
         nlist = 16, nprobe = 6, m = 16, ksub = 32, refine = 8)
       val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      // gate joins stay SMJ-planned — broadcast hints measured slower here
+      // for the same reason as q33 (see note there)
       val hits = pq.select("qid", "nid")
         .join(bf.select("qid", "nid"), Seq("qid", "nid"))
         .groupBy("qid").agg(count(lit(1)).as("hits"))
