@@ -103,10 +103,10 @@ object Similarity {
   private def assignList(cents: Array[Array[Double]], v: Column): Column =
     graft.functions.TextHashes.nearest_centroid(v, cents)
 
-  /** Coarse-quantizer training over a cached (nid, __cv) projection:
+  /** Coarse-quantizer training over the narrow (nid, __cv) projection:
     * deterministic seed centroids (nlist lowest xxhash64(id) vectors) + one
-    * Lloyd refinement (mean of assigned vectors per list). Two eager passes —
-    * the caller caches `base` across them. */
+    * Lloyd refinement (mean of assigned vectors per list). Two eager passes
+    * over the column-pruned scan (r7: uncached — see ivfTopK). */
   private def trainCoarse(base: DataFrame, nlist: Int): Array[Array[Double]] = {
     val seeds = base
       .withColumn("__h", xxhash64(col("nid")))
@@ -143,16 +143,15 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // the index build makes two eager passes (seed + Lloyd refinement): cache
-    // the narrow (id, vec) projection across them and release it once the
-    // centroids are collected — the lazy final assignment re-reads the
-    // column-pruned scan once, instead of leaking a cached projection for the
-    // session lifetime. At 100 TB the corpus is instead written partitioned
-    // by __list at index build time, so probes prune files and no repeated
-    // full scan happens.
-    val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv")).cache()
+    // the index build makes two eager passes (seed + Lloyd refinement), each
+    // over the narrow column-pruned (id, vec) scan. r7: the .cache() that
+    // used to bridge them is gone — for a scan this small the
+    // InMemoryRelation build cost more than the re-scan it saved, and at
+    // 100 TB a memory-resident corpus projection was never the plan anyway:
+    // the corpus is written partitioned by __list at index build time, so
+    // probes prune files and no repeated full scan happens.
+    val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
     val refined = trainCoarse(base, nlist)
-    base.unpersist() // both eager index passes done; don't leak the cache
 
     val c = base.withColumn("__list", assignList(refined, col("__cv")))
     val q = broadcast(probeLists(queries, idCol, vecCol, refined, nprobe))
@@ -216,7 +215,7 @@ object Similarity {
       byResidual: Boolean = true): DataFrame = {
     import graft.functions.{PqFunctions, PqVector, VectorKernels}
     import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv")).cache()
+    val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
     val coarse = trainCoarse(base, nlist)
     // PQ training sample: bounded deterministic sample (lowest-hash ids) —
     // the same discipline at any corpus scale; only the sample is collected
@@ -225,7 +224,6 @@ object Similarity {
       .orderBy("__h").limit(trainN)
       .select(col("__cv")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    base.unpersist() // eager training passes done
 
     // by_residual (the FAISS IVFPQ default): codebooks quantize x − c(list),
     // which is far smaller than x when the coarse quantizer is any good, so
