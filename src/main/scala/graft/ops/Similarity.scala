@@ -107,12 +107,21 @@ object Similarity {
     * deterministic seed centroids (nlist lowest xxhash64(id) vectors) + one
     * Lloyd refinement (mean of assigned vectors per list). Two eager passes
     * over the column-pruned scan (r7: uncached — see ivfTopK). */
-  private def trainCoarse(base: DataFrame, nlist: Int): Array[Array[Double]] = {
-    val seeds = base
-      .withColumn("__h", xxhash64(col("nid")))
-      .orderBy("__h").limit(nlist)
+  private def trainCoarse(base: DataFrame, nlist: Int): Array[Array[Double]] =
+    lloydRefine(base, lowestHashVectors(base, nlist))
+
+  /** The `n` lowest-xxhash64(id) vectors, in hash order — the deterministic
+    * sampling primitive shared by coarse seeding and PQ training. One
+    * TakeOrdered pass over the column-pruned projection. */
+  private def lowestHashVectors(base: DataFrame, n: Int): Array[Array[Double]] =
+    base.withColumn("__h", xxhash64(col("nid")))
+      .orderBy("__h").limit(n)
       .select(col("__cv")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** One Lloyd refinement of the given seed centroids (mean of assigned
+    * vectors per list). */
+  private def lloydRefine(base: DataFrame, seeds: Array[Array[Double]]): Array[Array[Double]] = {
     val dims = seeds.headOption.map(_.length).getOrElse(0)
     val sums = base
       .select(assignList(seeds, col("__cv")).as("__list"),
@@ -216,14 +225,16 @@ object Similarity {
     import graft.functions.{PqFunctions, PqVector, VectorKernels}
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
-    val coarse = trainCoarse(base, nlist)
-    // PQ training sample: bounded deterministic sample (lowest-hash ids) —
-    // the same discipline at any corpus scale; only the sample is collected
-    val sample = base
-      .withColumn("__h", xxhash64(col("nid")))
-      .orderBy("__h").limit(trainN)
-      .select(col("__cv")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // ONE lowest-hash pass serves both trainings (r7): the coarse seeds
+    // (nlist lowest-xxhash64 vectors) are exactly the PQ sample's prefix
+    // under the same hash ordering, so a single TakeOrdered collect replaces
+    // the two separate sampling scans — one fewer full pass over the corpus
+    // at index-build time, identical seeds/sample hence identical results.
+    // Only the bounded max(nlist, trainN) rows are collected, the same
+    // discipline at any corpus scale.
+    val pool = lowestHashVectors(base, math.max(nlist, trainN))
+    val coarse = lloydRefine(base, pool.take(nlist))
+    val sample = pool.take(trainN)
 
     // by_residual (the FAISS IVFPQ default): codebooks quantize x − c(list),
     // which is far smaller than x when the coarse quantizer is any good, so
