@@ -14,10 +14,20 @@ import java.nio.charset.StandardCharsets
 class PropertySpec extends AnyFunSuite {
 
   /** Run a scalacheck property and fail the ScalaTest test on falsification
-    * (no scalatestplus bridge in the offline cache — drive scalacheck directly). */
+    * (no scalatestplus bridge in the offline cache — drive scalacheck directly).
+    *
+    * r7 (r6 VERDICT "wrong #2"): the run's initial seed is pinned and printed
+    * on failure, so a flake is replayable — re-run with
+    * GRAFT_SCALACHECK_SEED=<seed> to reproduce the exact generator stream. */
   private def check(p: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
-    assert(res.passed, res.status.toString)
+    val seed = sys.env.get("GRAFT_SCALACHECK_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(100)
+      .withInitialSeed(org.scalacheck.rng.Seed(seed))
+    val res = SCTest.check(params, p)
+    assert(res.passed,
+      s"${res.status} — replay with GRAFT_SCALACHECK_SEED=$seed")
   }
 
   private val word: Gen[String] =
